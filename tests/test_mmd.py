@@ -1,0 +1,142 @@
+"""MMD loss parity: jnp implementation vs a PyTorch oracle of the documented
+reference math (multi-bandwidth RBF V-statistic + coverage penalty,
+Mmd_loss_constrained.py), including gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from vgan_tpu.ops.mmd import (
+    bandwidth_multipliers,
+    coverage_penalty,
+    mmd2_biased,
+    mmd_loss_constrained,
+    pairwise_sq_dists,
+    reference_bandwidth,
+)
+
+
+def torch_mmd_constrained(x, y, u, weight, bandwidth=None):
+    """Oracle re-expressing Mmd_loss_constrained.py:24-50 semantics."""
+    z = torch.vstack([x, y])
+    d2 = torch.cdist(z, z) ** 2
+    n = d2.shape[0]
+    if bandwidth is None:
+        bandwidth = d2.detach().sum() / (n**2 - n)
+    mults = torch.tensor([0.25, 0.5, 1.0, 2.0, 4.0], dtype=d2.dtype)
+    k = torch.exp(-d2[None] / (bandwidth * mults)[:, None, None]).sum(0)
+    ns = x.shape[0]
+    mmd2 = k[:ns, :ns].mean() - 2 * k[:ns, ns:].mean() + k[ns:, ns:].mean()
+    penalty = torch.mean(torch.ones(u.shape[1]) - torch.topk(u, 1, 0).values)
+    return mmd2 + weight * penalty, bandwidth
+
+
+def test_bandwidth_multipliers():
+    assert bandwidth_multipliers() == (0.25, 0.5, 1.0, 2.0, 4.0)
+    assert bandwidth_multipliers(3, 3.0) == (1 / 3, 1.0, 3.0)
+
+
+def test_pairwise_sq_dists_matches_naive(rng):
+    x = rng.normal(size=(17, 5)).astype(np.float64)
+    ours = np.asarray(pairwise_sq_dists(jnp.asarray(x)))
+    naive = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(ours, naive, rtol=1e-9, atol=1e-9)
+
+
+def test_pairwise_sq_dists_cross(rng):
+    x = rng.normal(size=(6, 4))
+    y = rng.normal(size=(9, 4))
+    ours = np.asarray(pairwise_sq_dists(jnp.asarray(x), jnp.asarray(y)))
+    naive = ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(ours, naive, rtol=1e-6, atol=1e-6)
+
+
+def test_reference_bandwidth_rule(rng):
+    x = rng.normal(size=(10, 3))
+    d2 = pairwise_sq_dists(jnp.asarray(x))
+    bw = float(reference_bandwidth(d2))
+    # zero diagonal included in the numerator; m^2 - m denominator
+    expected = float(np.asarray(d2).sum() / (10 * 10 - 10))
+    np.testing.assert_allclose(bw, expected, rtol=1e-6)
+
+
+def test_mmd_loss_matches_torch_oracle(rng):
+    x = rng.normal(size=(20, 6))
+    y = rng.normal(size=(20, 6)) + 0.5
+    u = rng.uniform(size=(20, 6))
+
+    loss, bw = mmd_loss_constrained(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(u), weight=10.0, impl="jnp"
+    )
+    t_loss, t_bw = torch_mmd_constrained(
+        torch.tensor(x), torch.tensor(y), torch.tensor(u), 10.0
+    )
+    np.testing.assert_allclose(float(loss), float(t_loss), rtol=1e-9)
+    np.testing.assert_allclose(float(bw), float(t_bw), rtol=1e-9)
+
+
+def test_mmd_loss_frozen_bandwidth(rng):
+    x = rng.normal(size=(12, 4))
+    y = rng.normal(size=(12, 4))
+    u = rng.uniform(size=(12, 4))
+    frozen = jnp.asarray(3.21, dtype=jnp.float64)
+    loss, bw = mmd_loss_constrained(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(u), 0.0, bandwidth=frozen
+    )
+    assert float(bw) == float(frozen)
+    t_loss, _ = torch_mmd_constrained(
+        torch.tensor(x), torch.tensor(y), torch.tensor(u), 0.0,
+        bandwidth=torch.tensor(3.21, dtype=torch.float64),
+    )
+    np.testing.assert_allclose(float(loss), float(t_loss), rtol=1e-5)
+
+
+def test_mmd_gradient_matches_torch(rng):
+    x = rng.normal(size=(8, 5))
+    y = rng.normal(size=(8, 5)) + 0.3
+    u = rng.uniform(size=(8, 5))
+
+    def f(yy, uu):
+        loss, _ = mmd_loss_constrained(jnp.asarray(x), yy, uu, 2.0, impl="jnp")
+        return loss
+
+    gy, gu = jax.grad(f, argnums=(0, 1))(jnp.asarray(y), jnp.asarray(u))
+
+    yt = torch.tensor(y, requires_grad=True)
+    ut = torch.tensor(u, requires_grad=True)
+    t_loss, _ = torch_mmd_constrained(torch.tensor(x), yt, ut, 2.0)
+    t_loss.backward()
+    np.testing.assert_allclose(np.asarray(gy), yt.grad.numpy(), rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gu), ut.grad.numpy(), rtol=1e-8, atol=1e-10)
+
+
+def test_no_gradient_through_bandwidth(rng):
+    # Reference detaches the bandwidth (`.data`); grad wrt inputs must not
+    # include a bandwidth term. Compare grad with auto-bandwidth vs the same
+    # bandwidth passed as a frozen constant.
+    x = rng.normal(size=(6, 3)).astype(np.float32)
+    y = rng.normal(size=(6, 3)).astype(np.float32)
+    u = rng.uniform(size=(6, 3)).astype(np.float32)
+
+    _, bw = mmd2_biased(jnp.asarray(x), jnp.asarray(y))
+
+    g_auto = jax.grad(lambda yy: mmd2_biased(jnp.asarray(x), yy)[0])(jnp.asarray(y))
+    g_frozen = jax.grad(lambda yy: mmd2_biased(jnp.asarray(x), yy, bandwidth=bw)[0])(
+        jnp.asarray(y)
+    )
+    np.testing.assert_allclose(np.asarray(g_auto), np.asarray(g_frozen), rtol=1e-6)
+
+
+def test_coverage_penalty(rng):
+    u = rng.uniform(size=(7, 9)).astype(np.float32)
+    ours = float(coverage_penalty(jnp.asarray(u)))
+    expected = float(np.mean(1.0 - u.max(axis=0)))
+    np.testing.assert_allclose(ours, expected, rtol=1e-6)
+
+
+def test_mmd_identical_samples_near_zero(rng):
+    x = rng.normal(size=(15, 4)).astype(np.float32)
+    mmd2, _ = mmd2_biased(jnp.asarray(x), jnp.asarray(x))
+    np.testing.assert_allclose(float(mmd2), 0.0, atol=1e-5)

@@ -1,0 +1,150 @@
+"""Training-core tests: schedule parity, bandwidth freezing, encoder-freeze
+quirk, and a small end-to-end training run on the notebook's correlated
+Gaussian (subspace distribution must concentrate on the dependent features).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vgan_tpu.ops.activations import binarize_mask
+from vgan_tpu.train.steps import (
+    AlternationSchedule,
+    TrainConfig,
+    init_kl_state,
+    init_no_kl_state,
+    kl_detector_epoch,
+    kl_generator_epoch,
+    no_kl_epoch,
+)
+
+
+def correlated_gaussian(n=400, d=10, rng=None):
+    """The notebook's data family: features {0, 8, 9} strongly coupled
+    (test.ipynb cell 2: cov 500 between those pairs, unit variance else)."""
+    rng = rng or np.random.default_rng(7)
+    cov = np.eye(d)
+    for i in [0, 8, 9]:
+        for j in [0, 8, 9]:
+            if i != j:
+                cov[i, j] = 0.95
+    return rng.multivariate_normal(np.zeros(d), cov, size=n).astype(np.float32)
+
+
+def test_alternation_schedule_default_cycle():
+    s = AlternationSchedule(1, 5)
+    phases = [s.next_phase() for _ in range(13)]
+    assert phases == ["detector"] + ["generator"] * 5 + ["detector"] + [
+        "generator"
+    ] * 5 + ["detector"]
+
+
+def test_alternation_schedule_2_3():
+    s = AlternationSchedule(2, 3)
+    phases = [s.next_phase() for _ in range(11)]
+    assert phases == ["detector"] * 2 + ["generator"] * 3 + ["detector"] * 2 + [
+        "generator"
+    ] * 3 + ["detector"]
+
+
+def test_alternation_schedule_d0_idles_after_one_cycle():
+    # Reference parity: with iternum_d=0 the generator counter is never reset
+    # (vgan.py:251-293), so after one generator cycle every epoch is a no-op.
+    s = AlternationSchedule(0, 2)
+    phases = [s.next_phase() for _ in range(6)]
+    assert phases == ["generator"] * 2 + ["idle"] * 4
+
+
+def test_no_kl_epoch_runs_and_freezes_bandwidth():
+    x = jnp.asarray(correlated_gaussian(n=128, d=10))
+    config = TrainConfig(ndims=10, batch_size=32, mmd_impl="jnp")
+    state = init_no_kl_state(config, jax.random.PRNGKey(0))
+    assert not bool(state.bw_is_set)
+
+    state1, loss1 = no_kl_epoch(state, x, config)
+    assert np.isfinite(float(loss1))
+    assert bool(state1.bw_is_set)
+    bw_after_1 = float(state1.bw_value)
+    assert bw_after_1 > 0
+
+    state2, loss2 = no_kl_epoch(state1, x, config)
+    # frozen: bandwidth unchanged in later epochs
+    assert float(state2.bw_value) == bw_after_1
+
+
+def test_no_kl_unfrozen_bandwidth_flag():
+    x = jnp.asarray(correlated_gaussian(n=128, d=10))
+    config = TrainConfig(ndims=10, batch_size=32, freeze_bandwidth=False, mmd_impl="jnp")
+    state = init_no_kl_state(config, jax.random.PRNGKey(0))
+    state1, _ = no_kl_epoch(state, x, config)
+    assert not bool(state1.bw_is_set)
+
+
+def test_kl_encoder_freeze_quirk():
+    x = jnp.asarray(correlated_gaussian(n=96, d=10))
+    config = TrainConfig(ndims=10, batch_size=32, mmd_impl="jnp")
+    state = init_kl_state(config, jax.random.PRNGKey(1))
+
+    enc0 = np.asarray(state.det_params["params"]["encoder"]["Dense_0"]["kernel"])
+    dec0 = np.asarray(state.det_params["params"]["decoder"]["Dense_0"]["kernel"])
+
+    # first detector epoch: both encoder and decoder train
+    state, _ = kl_detector_epoch(state, x, config)
+    enc1 = np.asarray(state.det_params["params"]["encoder"]["Dense_0"]["kernel"])
+    dec1 = np.asarray(state.det_params["params"]["decoder"]["Dense_0"]["kernel"])
+    assert not np.allclose(enc0, enc1)
+    assert not np.allclose(dec0, dec1)
+
+    # generator epoch flips the freeze leak
+    state, _ = kl_generator_epoch(state, x, config)
+    assert not bool(state.encoder_active)
+
+    # later detector epochs: decoder still trains, encoder is stuck
+    state, _ = kl_detector_epoch(state, x, config)
+    enc2 = np.asarray(state.det_params["params"]["encoder"]["Dense_0"]["kernel"])
+    dec2 = np.asarray(state.det_params["params"]["decoder"]["Dense_0"]["kernel"])
+    np.testing.assert_array_equal(enc1, enc2)
+    assert not np.allclose(dec1, dec2)
+
+
+def test_kl_generator_epoch_only_updates_generator():
+    x = jnp.asarray(correlated_gaussian(n=96, d=10))
+    config = TrainConfig(ndims=10, batch_size=32, mmd_impl="jnp")
+    state = init_kl_state(config, jax.random.PRNGKey(2))
+    det_before = jax.tree.map(np.asarray, state.det_params)
+    gen_before = np.asarray(state.gen_params["params"]["Dense_0"]["kernel"])
+
+    state, loss = kl_generator_epoch(state, x, config)
+    assert np.isfinite(float(loss))
+    jax.tree.map(
+        np.testing.assert_array_equal, det_before, jax.tree.map(np.asarray, state.det_params)
+    )
+    assert not np.allclose(gen_before, np.asarray(state.gen_params["params"]["Dense_0"]["kernel"]))
+
+
+def test_no_kl_training_mask_distribution_collapses():
+    """End-to-end dynamics check (mini version of test.ipynb cells 2-12).
+
+    The reference's behavioral signature after a short no-kl run is a small
+    discrete support: 500 sampled masks collapse to ~8 unique subspaces with
+    a dominant mode (test.ipynb cell 12), and the epoch loss sits in the
+    4.3-4.6 band (cell 4). Ours reproduces that shape: few unique structured
+    masks, dominant mode, loss in the same ballpark.
+    """
+    x = jnp.asarray(correlated_gaussian(n=512, d=10))
+    config = TrainConfig(ndims=10, batch_size=128, lr_g=0.01, mmd_impl="jnp")
+    state = init_no_kl_state(config, jax.random.PRNGKey(3))
+    for _ in range(20):
+        state, loss = no_kl_epoch(state, x, config)
+    assert np.isfinite(float(loss))
+    assert 1.0 < float(loss) < 12.0  # notebook band is ~4.3-4.6 on its data
+
+    gen = config.generator_module(kl=False)
+    z = jax.random.normal(jax.random.PRNGKey(777), (500, config.latent_size))
+    u = np.asarray(binarize_mask(gen.apply(state.params, z), axis=-1))
+
+    uniq, counts = np.unique(u, axis=0, return_counts=True)
+    assert len(uniq) <= 64, f"mask support did not collapse: {len(uniq)} unique"
+    assert counts.max() / 500 > 0.2, "no dominant mode in the mask distribution"
+    # masks are non-trivial (not all-ones / all-zeros)
+    assert 0 < u.mean() < 1

@@ -1,0 +1,410 @@
+"""Reference-parity estimator classes: ``VGAN`` and ``VGAN_no_kl``.
+
+Public surface, defaults, and training dynamics mirror
+/root/reference/src/vgan.py (classes at :20-431 and :434-708): ``__init__``
+(same hyperparameter names/defaults), ``fit``, ``generate_subspaces``,
+``approx_subspace_dist``, ``check_if_myopic``, ``model_snapshot``,
+``load_models``, ``get_params``, ``get_the_networks``, ``train_history``.
+
+Replicated quirks (all switchable via ``replicate_reference_quirks``):
+
+- ``VGAN.__init__`` re-hardcodes ``seed = 777`` regardless of the argument
+  (vgan.py:48); ``VGAN_no_kl`` honors its ``seed`` argument;
+- ``generate_subspaces`` re-seeds from ``self.seed`` on EVERY call
+  (vgan.py:365-366), so output is deterministic per (seed, nsubs);
+- ``approx_subspace_dist(add_leftover_features=True)`` appends the
+  never-selected-features mask with weight 1 *after* normalizing, then
+  renormalizes (vgan.py:376-382) — the leftover mask ends at probability 0.5
+  and all learned masks are halved;
+- ``check_if_myopic`` passes the divisor-style "recommended bandwidth"
+  directly as the multiplier-style kernel ``alpha`` (vgan.py:424-428);
+- bandwidth freeze + encoder freeze: see :mod:`vgan_tpu.train.steps`.
+
+Known reference *bugs* fixed rather than replicated (documented in
+api/base.py): detector checkpoint contents, models-dir creation crash,
+``momentum`` stored but never applied (we keep storing it for params.csv
+parity and likewise never apply it — torch Adadelta has no momentum arg).
+
+TPU-native behavior: ``fit`` keeps the dataset on device and runs each epoch
+as one jitted ``lax.scan``; ``generate_subspaces`` is one jitted batched
+forward; ``check_if_myopic`` runs its 1000-permutation bootstrap as a single
+jitted matmul batch.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vgan_tpu.api.base import EstimatorBase
+from vgan_tpu.models.generator import GeneratorBig, latent_size_for
+from vgan_tpu.ops.activations import binarize_mask
+from vgan_tpu.ops.mmd import mmd2_biased
+from vgan_tpu.ops.mmd_test import mmd_permutation_test
+from vgan_tpu.train.steps import (
+    AlternationSchedule,
+    TrainConfig,
+    init_kl_state,
+    init_no_kl_state,
+    kl_detector_epoch,
+    kl_generator_epoch,
+    no_kl_epoch,
+)
+
+
+def _column_l2_normalize(x: np.ndarray) -> np.ndarray:
+    """sklearn ``normalize(x, axis=0)``: each column scaled to unit L2 norm."""
+    norms = np.linalg.norm(x, axis=0)
+    norms = np.where(norms == 0.0, 1.0, norms)
+    return x / norms
+
+
+class _VGANCommon(EstimatorBase):
+    """Behavior shared verbatim between the two reference classes."""
+
+    # subclasses set: _kl (bool), batch_size, epochs, weight_decay, momentum,
+    # seed, _lr_g, (kl: _lr_d, temperature, iternum_d, iternum_g)
+
+    _kl: bool
+
+    def _generator_module(self) -> GeneratorBig:
+        return self._config.generator_module(kl=self._kl)
+
+    # -- inference path -----------------------------------------------------
+
+    def generate_subspaces(self, nsubs: int) -> np.ndarray:
+        """Sample ``nsubs`` binary subspace masks, shape (nsubs, d), bool.
+
+        Reference semantics (vgan.py:355-370): the RNG is re-seeded from
+        ``self.seed`` on every call, so the result is deterministic per
+        (seed, nsubs). One jitted batched forward; thousands of masks sample
+        in a single launch (vmap-free: the generator is already batched).
+        """
+        if self.seed is not None:
+            key = jax.random.PRNGKey(self.seed)
+        else:
+            key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        z = jax.random.normal(key, (nsubs, self._latent_size), jnp.float32)
+        u = self._sample_jit(self.generator_params, z)
+        return np.asarray(u)
+
+    @property
+    def _sample_jit(self):
+        fn = getattr(self, "_sample_jit_cache", None)
+        if fn is None:
+            module = self._generator_module()
+            fn = jax.jit(lambda p, z: binarize_mask(module.apply(p, z), axis=-1))
+            self._sample_jit_cache = fn
+        return fn
+
+    def approx_subspace_dist(self, subspace_count: int = 500, add_leftover_features: bool = False):
+        """Empirical distribution over unique masks (vgan.py:372-382)."""
+        u = self.generate_subspaces(subspace_count)
+        unique_subspaces, proba = np.unique(u, axis=0, return_counts=True)
+        if (unique_subspaces.sum(axis=0) < 1).sum() != 0 and add_leftover_features:
+            unique_subspaces = np.append(
+                unique_subspaces, [unique_subspaces.sum(axis=0) < 1], axis=0
+            )
+            proba = np.append(proba / proba.sum(), 1)
+        self.subspaces = unique_subspaces
+        self.proba = proba / proba.sum()
+
+    def check_if_myopic(
+        self,
+        x_data: np.ndarray,
+        bandwidth: Union[float, list, np.ndarray] = 0.01,
+        count: int = 500,
+        n_permutations: int = 1000,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        """MMD goodness-of-fit test for myopicity (vgan.py:384-431).
+
+        Column-L2-normalizes the data, samples ``count`` rows, projects each
+        through a sampled mask with MEAN IMPUTATION of dropped features
+        (training never imputes — parity with the reference), then runs the
+        two-sample permutation MMD test at each requested bandwidth plus the
+        "recommended" one. NOTE (reference semantics, flagged): bandwidths
+        are passed directly as multiplier-style kernel alphas
+        ``k = exp(-alpha d^2)``, including the divisor-style recommended
+        bandwidth. Returns a 1x(k+1) DataFrame of p-values.
+        """
+        import pandas as pd
+
+        assert count <= x_data.shape[0], (
+            "Selected 'count' is greater than the number of samples in the dataset"
+        )
+        rng = rng or np.random.default_rng()
+        x_norm = _column_l2_normalize(np.asarray(x_data, dtype=np.float64))
+        idx = rng.choice(x_norm.shape[0], size=count, replace=False)
+        x_sample = x_norm[idx].astype(np.float32)
+
+        u = self.generate_subspaces(count)
+        col_mean = x_sample.mean(axis=0)
+        ux_sample = u * x_sample + col_mean * (~u)
+
+        if getattr(self, "bandwidth", None) is None:
+            _, bw = mmd2_biased(jnp.asarray(x_sample), jnp.asarray(ux_sample))
+            self.bandwidth = float(bw)
+
+        if isinstance(bandwidth, float):
+            bandwidth = [bandwidth]
+        bandwidth = [float(b) for b in np.asarray(bandwidth).ravel()]
+        bandwidth.sort()
+
+        results = []
+        key = jax.random.PRNGKey(self.seed if self.seed is not None else 0)
+        for i, bw in enumerate(bandwidth + [float(self.bandwidth)]):
+            _, pval = mmd_permutation_test(
+                x_sample,
+                ux_sample,
+                alphas=[bw],
+                key=jax.random.fold_in(key, i),
+                n_permutations=n_permutations,
+            )
+            results.append(float(pval))
+
+        columns = bandwidth + ["recommended bandwidth"]
+        return pd.DataFrame([results], columns=columns, index=["p-val"])
+
+    # -- persistence --------------------------------------------------------
+
+    def load_models(self, path_to_generator, ndims: int, device: str = None):
+        """Load a trained generator for sampling (vgan.py:142-158).
+
+        Accepts both native ``.msgpack`` checkpoints and reference torch
+        ``.pt`` files (drop-in migration). Only the generator is restorable —
+        parity with the reference. ``device`` is accepted for signature
+        parity and ignored (JAX manages placement).
+        """
+        self._latent_size = latent_size_for(ndims)
+        self._ndims = ndims
+        self._config = self._make_config(ndims, self.batch_size)
+        module = self._generator_module()
+        template = module.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, self._latent_size))
+        )
+        self.generator_params = self._load_params_file(path_to_generator, template)
+        self._sample_jit_cache = None
+        self.generator_optimizer = (
+            f"Loaded Model from {path_to_generator} with {ndims} dimensions in the latent space"
+        )
+
+    # -- helpers ------------------------------------------------------------
+
+    def _finalize_fit(self, state, x_shape):
+        self.bandwidth = float(state.bw_value) if bool(state.bw_is_set) else None
+        self.train_state = state
+        self._sample_jit_cache = None
+
+
+class VGAN(_VGANCommon):
+    """Subspace-generation network WITH kernel learning (vgan.py:20-431).
+
+    Adversarial training of a subspace generator against an encoder/decoder
+    detector: the detector maximizes the (multi-bandwidth RBF) MMD between
+    encodings of full and projected data minus reconstruction penalties; the
+    generator minimizes the MMD in the learned embedding.
+    """
+
+    def __init__(
+        self,
+        batch_size: int = 500,
+        temperature: float = 0,
+        epochs: int = 2000,
+        lr_G: float = 0.007,
+        lr_D: float = 0.007,
+        iternum_d: int = 1,
+        iternum_g: int = 5,
+        momentum: float = 0.99,
+        seed: int = 777,
+        weight_decay: float = 0.04,
+        path_to_directory=None,
+        *,
+        mmd_impl: str = "auto",
+        replicate_reference_quirks: bool = True,
+        elm: bool = False,
+        verbose: bool = True,
+    ):
+        super().__init__(path_to_directory)
+        self._kl = True
+        self.batch_size = batch_size
+        self.temperature = temperature
+        self.epochs = epochs
+        self.lr_G = lr_G
+        self.lr_D = lr_D
+        self.iternum_d = iternum_d
+        self.iternum_g = iternum_g
+        self.momentum = momentum  # stored, never applied (reference parity)
+        self.weight_decay = weight_decay
+        self.mmd_impl = mmd_impl
+        self.replicate_reference_quirks = replicate_reference_quirks
+        self.elm = elm  # reference's private __elm flag (vgan.py:45)
+        self.verbose = verbose
+        self.bandwidth = None
+        # Reference quirk: seed is re-hardcoded to 777 (vgan.py:48).
+        self.seed = 777 if replicate_reference_quirks else seed
+
+    @property
+    def _lr_g(self):
+        return self.lr_G
+
+    def _make_config(self, ndims: int, batch_size: int) -> TrainConfig:
+        return TrainConfig(
+            ndims=ndims,
+            batch_size=batch_size,
+            lr_g=self.lr_G,
+            lr_d=self.lr_D,
+            weight_decay=self.weight_decay,
+            temperature=self.temperature,
+            iternum_d=self.iternum_d,
+            iternum_g=self.iternum_g,
+            seed=self.seed,
+            freeze_bandwidth=True,
+            replicate_encoder_freeze=self.replicate_reference_quirks,
+            mmd_impl=self.mmd_impl,
+        )
+
+    def get_the_networks(self, ndims: int, latent_size: int, device: str = None):
+        """Construct (generator, detector) modules (vgan.py:160-176).
+
+        ``device`` accepted for parity, ignored (JAX manages placement).
+        """
+        config = self._make_config(ndims, self.batch_size)
+        return config.generator_module(kl=True), config.detector_module()
+
+    def fit(self, X):
+        """Adversarially train generator and detector on dataset X."""
+        X = np.asarray(X)
+        n, ndims = X.shape[0], X.shape[1]
+        self.batch_size = min(self.batch_size, n)
+        self._ndims = ndims
+        self._config = config = self._make_config(ndims, self.batch_size)
+        self._latent_size = config.latent_size
+
+        state = init_kl_state(config, jax.random.PRNGKey(self.seed))
+        if self.elm:
+            state = state._replace(encoder_active=jnp.zeros((), bool))
+        x_dev = jnp.asarray(X, dtype=jnp.float32)
+
+        schedule = AlternationSchedule(self.iternum_d, self.iternum_g)
+        detector_loss = float("nan")
+        generator_loss = float("nan")
+        for epoch in range(self.epochs):
+            if self.verbose:
+                print(f"\rEpoch {epoch} of {self.epochs}")
+            phase = schedule.next_phase()
+            if phase == AlternationSchedule.DETECTOR:
+                state, loss = kl_detector_epoch(state, x_dev, config)
+                detector_loss = float(loss)
+            elif phase == AlternationSchedule.GENERATOR:
+                state, loss = kl_generator_epoch(state, x_dev, config)
+                generator_loss = float(loss)
+            if self.verbose:
+                print(f"Average loss in the epoch Generator: {generator_loss}")
+                print(f"Average loss in the epoch Detector: {detector_loss}")
+            self.train_history["generator_loss"].append(generator_loss)
+            self.train_history["detector_loss"].append(detector_loss)
+
+        self.generator_optimizer = "Adadelta"
+        self.detector_optimizer = "Adadelta"
+        self.generator_params = state.gen_params
+        self.detector_params = state.det_params
+        self._finalize_fit(state, X.shape)
+
+        if self.path_to_directory is not None:
+            path = Path(self.path_to_directory)
+            models_dir = path / "models"
+            run_number = self._count_runs(models_dir, files_per_run=2)
+            self._save_generator(models_dir, run_number, self.generator_params)
+            self._save_detector(models_dir, run_number, self.detector_params)
+            self.model_snapshot(path, run_number, show=False)
+
+
+class VGAN_no_kl(_VGANCommon):
+    """Subspace-generation network WITHOUT kernel learning (vgan.py:434-708).
+
+    Generator-only: MMD is computed in raw data space between the batch and
+    its masked projection, with coverage-penalty weight 10 (vgan.py:571).
+    """
+
+    def __init__(
+        self,
+        batch_size: int = 500,
+        epochs: int = 2000,
+        lr: float = 0.007,
+        momentum: float = 0.99,
+        seed: int = 777,
+        weight_decay: float = 0.04,
+        path_to_directory=None,
+        *,
+        mmd_impl: str = "auto",
+        replicate_reference_quirks: bool = True,
+        verbose: bool = True,
+    ):
+        super().__init__(path_to_directory)
+        self._kl = False
+        self.batch_size = batch_size
+        self.epochs = epochs
+        self.lr = lr
+        self.momentum = momentum
+        self.seed = seed
+        self.weight_decay = weight_decay
+        self.mmd_impl = mmd_impl
+        self.replicate_reference_quirks = replicate_reference_quirks
+        self.verbose = verbose
+        self.bandwidth = None
+
+    @property
+    def _lr_g(self):
+        return self.lr
+
+    def _make_config(self, ndims: int, batch_size: int) -> TrainConfig:
+        return TrainConfig(
+            ndims=ndims,
+            batch_size=batch_size,
+            lr_g=self.lr,
+            weight_decay=self.weight_decay,
+            seed=self.seed,
+            freeze_bandwidth=True,
+            mmd_impl=self.mmd_impl,
+        )
+
+    def get_the_networks(self, ndims: int, latent_size: int, device: str = None):
+        """Construct the generator module (vgan.py:529-544)."""
+        return self._make_config(ndims, self.batch_size).generator_module(kl=False)
+
+    def fit(self, X):
+        """Train the generator on dataset X (no kernel learning)."""
+        X = np.asarray(X)
+        n, ndims = X.shape[0], X.shape[1]
+        self.batch_size = min(self.batch_size, n)
+        self._ndims = ndims
+        self._config = config = self._make_config(ndims, self.batch_size)
+        self._latent_size = config.latent_size
+
+        state = init_no_kl_state(config, jax.random.PRNGKey(self.seed))
+        x_dev = jnp.asarray(X, dtype=jnp.float32)
+
+        for epoch in range(self.epochs):
+            if self.verbose:
+                print(f"\rEpoch {epoch} of {self.epochs}")
+            state, loss = no_kl_epoch(state, x_dev, config)
+            generator_loss = float(loss)
+            if self.verbose:
+                print(f"Average loss in the epoch: {generator_loss}")
+            self.train_history["generator_loss"].append(generator_loss)
+
+        self.generator_optimizer = "Adadelta"
+        self.generator_params = state.params
+        self._finalize_fit(state, X.shape)
+
+        if self.path_to_directory is not None:
+            path = Path(self.path_to_directory)
+            models_dir = path / "models"
+            run_number = self._count_runs(models_dir, files_per_run=1)
+            self._save_generator(models_dir, run_number, self.generator_params)
+            self.model_snapshot(path, run_number, show=False)

@@ -1,0 +1,82 @@
+"""Subspace generator MLPs.
+
+Behavioral spec: /root/reference/src/models/Generator.py:43-70.
+
+``GeneratorBig`` maps latent noise z (L,) through a *purely linear* MLP
+L -> 2L -> 4L -> 8L -> d (there are deliberately no nonlinearities between
+the Dense layers in the reference) terminated by the upper-softmax
+activation, yielding a soft-binary subspace-membership row. The latent size
+used by the estimators is ``L = max(d // 16, 1)`` (vgan.py:196).
+
+``Generator`` is the square L -> L x4 variant the reference defines but never
+instantiates; kept for API-surface parity.
+
+TPU notes: the whole forward is 4 small matmuls + a softmax — it exists to be
+called inside the jitted train step / vmapped sampling path, where XLA fuses
+it with the projection and MMD. For very large d the final 8L x d Dense can
+be sharded on the feature axis (see vgan_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+
+from vgan_tpu.models.initializers import REFERENCE_NORMAL, dense_inits
+from vgan_tpu.ops.activations import upper_softmax
+
+
+class GeneratorBig(nn.Module):
+    """Latent L -> 2L -> 4L -> 8L -> d linear MLP + upper-softmax."""
+
+    out_features: int
+    latent_size: int
+    init_scheme: str = REFERENCE_NORMAL
+    param_dtype: type = jax.numpy.float32
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> jax.Array:
+        widths = [
+            2 * self.latent_size,
+            4 * self.latent_size,
+            8 * self.latent_size,
+            self.out_features,
+        ]
+        fan_in = self.latent_size
+        h = z
+        for w in widths:
+            k_init, b_init = dense_inits(self.init_scheme, fan_in)
+            h = nn.Dense(
+                w,
+                kernel_init=k_init,
+                bias_init=b_init,
+                param_dtype=self.param_dtype,
+            )(h)
+            fan_in = w
+        return upper_softmax(h, axis=-1)
+
+
+class Generator(nn.Module):
+    """Square latent L -> L x4 linear MLP + upper-softmax (unused variant)."""
+
+    latent_size: int
+    init_scheme: str = REFERENCE_NORMAL
+    param_dtype: type = jax.numpy.float32
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> jax.Array:
+        h = z
+        for _ in range(4):
+            k_init, b_init = dense_inits(self.init_scheme, self.latent_size)
+            h = nn.Dense(
+                self.latent_size,
+                kernel_init=k_init,
+                bias_init=b_init,
+                param_dtype=self.param_dtype,
+            )(h)
+        return upper_softmax(h, axis=-1)
+
+
+def latent_size_for(ndims: int) -> int:
+    """Reference latent-size rule: ``max(d // 16, 1)`` (vgan.py:196)."""
+    return max(int(ndims / 16), 1)

@@ -1,0 +1,200 @@
+"""Multi-bandwidth RBF kernel and constrained squared-MMD loss (pure jnp).
+
+Behavioral spec: /root/reference/src/models/Mmd_loss_constrained.py.
+
+- 5 RBF kernels with bandwidth multipliers ``2^(k-2)`` = {1/4, 1/2, 1, 2, 4}
+  (Mmd_loss_constrained.py:12-13);
+- data-driven bandwidth = sum of *all* pairwise squared distances (zero
+  diagonal included in the numerator) divided by ``m^2 - m``
+  (Mmd_loss_constrained.py:19) — detached from the autodiff graph, matching
+  the reference's use of ``.data``;
+- biased (V-statistic) squared MMD: ``K_XX.mean() - 2 K_XY.mean() +
+  K_YY.mean()`` on the stacked Gram (Mmd_loss_constrained.py:43-49);
+- coverage penalty ``weight * mean_j(1 - max_i U[i, j])``
+  (Mmd_loss_constrained.py:50) pushing every feature to be selected in at
+  least one generated subspace.
+
+The reference caches the bandwidth inside a mutable module after the first
+forward pass (and leaks it across default-constructed loss instances via a
+mutable default argument). Here bandwidth is explicit functional state: pass
+``bandwidth=None`` to compute it from the current batch, or a concrete value
+to reuse a frozen one. The training loop threads it through its TrainState.
+
+This module is the always-available jnp reference implementation; the fused
+Pallas TPU kernel in ``vgan_tpu.ops.pallas.mmd_gram`` computes the same
+quantities block-tiled without materializing the Gram matrix, and is
+dispatched via ``impl=`` in :func:`mmd_loss_constrained`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_N_KERNELS = 5
+DEFAULT_MUL_FACTOR = 2.0
+
+
+def bandwidth_multipliers(
+    n_kernels: int = DEFAULT_N_KERNELS,
+    mul_factor: float = DEFAULT_MUL_FACTOR,
+) -> Tuple[float, ...]:
+    """Static tuple of bandwidth multipliers ``mul_factor ** (k - n//2)``."""
+    return tuple(float(mul_factor) ** (k - n_kernels // 2) for k in range(n_kernels))
+
+
+def pairwise_sq_dists(x: jax.Array, y: Optional[jax.Array] = None) -> jax.Array:
+    """All-pairs squared Euclidean distances via the matmul expansion.
+
+    ``d2[i, j] = |x_i|^2 + |y_j|^2 - 2 <x_i, y_j>``, clamped at 0. Matches the
+    reference's ``torch.cdist(X, X) ** 2`` (which also routes through a
+    clamped matmul expansion) up to float error, and keeps the O(n^2 d) work
+    on the MXU.
+    """
+    if y is None:
+        y = x
+    xn = jnp.sum(x * x, axis=-1)
+    yn = jnp.sum(y * y, axis=-1)
+    d2 = xn[:, None] + yn[None, :] - 2.0 * jnp.dot(
+        x, y.T, preferred_element_type=x.dtype
+    )
+    return jnp.maximum(d2, 0.0)
+
+
+def reference_bandwidth(d2: jax.Array) -> jax.Array:
+    """Reference bandwidth rule: ``sum(d2) / (m^2 - m)`` (zero diag included).
+
+    Spec: Mmd_loss_constrained.py:19. Detached (the reference sums
+    ``L2_distances.data``), so no gradient flows through the bandwidth.
+    """
+    m = d2.shape[0]
+    return jax.lax.stop_gradient(jnp.sum(d2) / (m * m - m))
+
+
+def multi_rbf_gram(
+    d2: jax.Array,
+    bandwidth: jax.Array,
+    mults: Tuple[float, ...] = bandwidth_multipliers(),
+) -> jax.Array:
+    """Sum of RBF Grams over the bandwidth ladder.
+
+    ``K = sum_k exp(-d2 / (bandwidth * mults[k]))`` (Mmd_loss_constrained.py:24-26).
+    Python loop over the (static, small) ladder so XLA fuses the exps without
+    materializing a (k, m, m) intermediate.
+    """
+    k = jnp.zeros_like(d2)
+    for mk in mults:
+        k = k + jnp.exp(-d2 / (bandwidth * mk))
+    return k
+
+
+def mmd2_biased(
+    x: jax.Array,
+    y: jax.Array,
+    bandwidth: Optional[jax.Array] = None,
+    mults: Tuple[float, ...] = bandwidth_multipliers(),
+) -> Tuple[jax.Array, jax.Array]:
+    """Biased squared MMD between samples ``x`` (n1, d) and ``y`` (n2, d).
+
+    Returns ``(mmd2, bandwidth_used)``. If ``bandwidth`` is None it is
+    computed from the stacked batch by :func:`reference_bandwidth` (and
+    returned so callers can freeze it, mirroring the reference's first-batch
+    bandwidth cache at Mmd_loss_constrained.py:16-22).
+    """
+    n1 = x.shape[0]
+    z = jnp.concatenate([x, y], axis=0)
+    d2 = pairwise_sq_dists(z)
+    bw = reference_bandwidth(d2) if bandwidth is None else bandwidth
+    k = multi_rbf_gram(d2, bw, mults)
+    kxx = jnp.mean(k[:n1, :n1])
+    kxy = jnp.mean(k[:n1, n1:])
+    kyy = jnp.mean(k[n1:, n1:])
+    return kxx - 2.0 * kxy + kyy, bw
+
+
+def coverage_penalty(u: jax.Array) -> jax.Array:
+    """``mean_j(1 - max_i U[i, j])`` — feature-coverage penalty.
+
+    Spec: Mmd_loss_constrained.py:50 (``torch.topk(U, 1, 0)`` = column max).
+    """
+    return jnp.mean(1.0 - jnp.max(u, axis=0))
+
+
+def mmd2_biased_stateful(
+    x: jax.Array,
+    y: jax.Array,
+    bw_value: jax.Array,
+    bw_is_set: jax.Array,
+    mults: Tuple[float, ...] = bandwidth_multipliers(),
+    impl: str = "jnp",
+) -> Tuple[jax.Array, jax.Array]:
+    """Biased MMD^2 with explicitly threaded bandwidth state.
+
+    The reference freezes the bandwidth after the very first loss evaluation
+    (Mmd_loss_constrained.py:16-22). Functionally: the caller threads
+    ``(bw_value, bw_is_set)``; when ``bw_is_set`` is False the candidate
+    bandwidth is computed from the current batch, otherwise the frozen value
+    is used. Returns ``(mmd2, bandwidth_used)`` — the caller stores
+    ``bandwidth_used`` back into its state (with ``is_set=True``) to freeze.
+    ``bw_is_set`` may be a traced bool, so the freeze lives inside jit.
+    """
+    if impl != "jnp":
+        from vgan_tpu.ops.pallas.mmd_gram import (
+            mmd2_biased_stateful_pallas,
+            pallas_supported,
+        )
+
+        if impl == "pallas" or (impl == "auto" and pallas_supported(x, y)):
+            return mmd2_biased_stateful_pallas(x, y, bw_value, bw_is_set, mults)
+    n1 = x.shape[0]
+    z = jnp.concatenate([x, y], axis=0)
+    d2 = pairwise_sq_dists(z)
+    candidate = reference_bandwidth(d2)
+    bw = jnp.where(bw_is_set, bw_value, candidate)
+    k = multi_rbf_gram(d2, bw, mults)
+    kxx = jnp.mean(k[:n1, :n1])
+    kxy = jnp.mean(k[:n1, n1:])
+    kyy = jnp.mean(k[n1:, n1:])
+    return kxx - 2.0 * kxy + kyy, bw
+
+
+def mmd_loss_constrained_stateful(
+    x: jax.Array,
+    y: jax.Array,
+    u: jax.Array,
+    weight: float,
+    bw_value: jax.Array,
+    bw_is_set: jax.Array,
+    mults: Tuple[float, ...] = bandwidth_multipliers(),
+    impl: str = "jnp",
+) -> Tuple[jax.Array, jax.Array]:
+    """Stateful-bandwidth constrained MMD loss; returns ``(loss, bw_used)``."""
+    mmd2, bw = mmd2_biased_stateful(x, y, bw_value, bw_is_set, mults, impl)
+    return mmd2 + weight * coverage_penalty(u), bw
+
+
+def mmd_loss_constrained(
+    x: jax.Array,
+    y: jax.Array,
+    u: jax.Array,
+    weight: float,
+    bandwidth: Optional[jax.Array] = None,
+    mults: Tuple[float, ...] = bandwidth_multipliers(),
+    impl: str = "auto",
+) -> Tuple[jax.Array, jax.Array]:
+    """Constrained MMD loss: biased MMD^2 + ``weight`` * coverage penalty.
+
+    Returns ``(loss, bandwidth_used)``. ``impl``: 'jnp' forces the pure-jnp
+    path, 'pallas' the fused TPU kernel, 'auto' picks Pallas on TPU when the
+    shapes are supported.
+    """
+    if impl != "jnp":
+        from vgan_tpu.ops.pallas.mmd_gram import mmd2_biased_pallas, pallas_supported
+
+        if impl == "pallas" or (impl == "auto" and pallas_supported(x, y)):
+            mmd2, bw = mmd2_biased_pallas(x, y, bandwidth=bandwidth, mults=mults)
+            return mmd2 + weight * coverage_penalty(u), bw
+    mmd2, bw = mmd2_biased(x, y, bandwidth=bandwidth, mults=mults)
+    return mmd2 + weight * coverage_penalty(u), bw

@@ -1,0 +1,107 @@
+"""Two-sample MMD goodness-of-fit test with bootstrap permutation p-values.
+
+Native replacement for the external ``torch_two_sample.MMDStatistic``
+dependency used by the reference's ``check_if_myopic``
+(/root/reference/src/vgan.py:419-428): kernel ``k(x, y) = sum_a exp(-a |x-y|^2)``
+over user-supplied ``alphas`` (NOTE: multiplier-style inverse bandwidths — the
+reference passes its divisor-style "recommended bandwidth" directly as an
+alpha; we reproduce that behavior at the API layer and flag it in docs), the
+*unbiased* MMD estimate
+
+    MMD_u = [sum_{i!=j} Kxx] / (n1 (n1-1)) + [sum_{i!=j} Kyy] / (n2 (n2-1))
+            - 2 [sum Kxy] / (n1 n2)
+
+and a permutation test: reassign the 2n pooled samples to the two groups
+uniformly at random, recompute the statistic on the fixed pooled Gram matrix,
+and report the fraction of permuted statistics >= the observed one.
+
+TPU-first formulation: each permutation is an indicator row-vector a over the
+pooled samples; all permuted statistics are computed at once from two batched
+matmuls (``A @ K`` against ``A`` and ``1-A``), so the whole test is a single
+jitted program on the MXU instead of a Cython loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vgan_tpu.ops.mmd import pairwise_sq_dists
+
+
+def alpha_gram(z: jax.Array, alphas: Sequence[float]) -> jax.Array:
+    """Pooled Gram matrix ``sum_a exp(-a d2)`` over the stacked samples."""
+    d2 = pairwise_sq_dists(z)
+    k = jnp.zeros_like(d2)
+    for a in alphas:
+        k = k + jnp.exp(-a * d2)
+    return k
+
+
+def _stat_from_indicators(k: jax.Array, a: jax.Array, n1: int, n2: int) -> jax.Array:
+    """Unbiased MMD statistic(s) for indicator assignment rows ``a``.
+
+    ``a`` is (p, m) in {0, 1} with each row summing to n1; returns (p,).
+    Diagonal self-pairs are removed exactly (the pooled Gram diagonal is
+    ``len(alphas)`` per entry, not 1, so we subtract the true diagonal mass).
+    """
+    b = 1.0 - a
+    diag = jnp.diagonal(k)
+    diag_total = jnp.sum(diag)
+    a_diag = jnp.dot(a, diag)  # diagonal mass inside the X group, per row
+    ak = jnp.dot(a, k, preferred_element_type=k.dtype)  # (p, m)
+    s_xx_full = jnp.sum(ak * a, axis=-1)  # a K a^T, incl. diagonal
+    s_xy = jnp.sum(ak * b, axis=-1)
+    # 1 K 1^T = s_xx_full + s_yy_full + 2 s_xy  (K symmetric)
+    s_yy_full = jnp.sum(k) - s_xx_full - 2.0 * s_xy
+    s_xx = s_xx_full - a_diag
+    s_yy = s_yy_full - (diag_total - a_diag)
+    return (
+        s_xx / (n1 * (n1 - 1))
+        + s_yy / (n2 * (n2 - 1))
+        - 2.0 * s_xy / (n1 * n2)
+    )
+
+
+@partial(jax.jit, static_argnames=("n1", "n2", "n_permutations", "alphas"))
+def _test_impl(
+    z: jax.Array,
+    key: jax.Array,
+    n1: int,
+    n2: int,
+    n_permutations: int,
+    alphas: Tuple[float, ...],
+) -> Tuple[jax.Array, jax.Array]:
+    m = n1 + n2
+    k = alpha_gram(z, alphas)
+    base = jnp.concatenate(
+        [jnp.ones((n1,), dtype=k.dtype), jnp.zeros((n2,), dtype=k.dtype)]
+    )
+    observed = _stat_from_indicators(k, base[None, :], n1, n2)[0]
+    perm_keys = jax.random.split(key, n_permutations)
+    perms = jax.vmap(lambda kk: jax.random.permutation(kk, base))(perm_keys)
+    perm_stats = _stat_from_indicators(k, perms, n1, n2)
+    pval = jnp.mean((perm_stats >= observed).astype(k.dtype))
+    return observed, pval
+
+
+def mmd_permutation_test(
+    x: jax.Array,
+    y: jax.Array,
+    alphas: Sequence[float],
+    key: jax.Array,
+    n_permutations: int = 1000,
+) -> Tuple[jax.Array, jax.Array]:
+    """Run the two-sample MMD test. Returns ``(statistic, p_value)``."""
+    z = jnp.concatenate([jnp.asarray(x), jnp.asarray(y)], axis=0)
+    return _test_impl(
+        z,
+        key,
+        n1=int(x.shape[0]),
+        n2=int(y.shape[0]),
+        n_permutations=int(n_permutations),
+        alphas=tuple(float(a) for a in alphas),
+    )

@@ -1,0 +1,386 @@
+"""Jitted training steps and the alternation schedule.
+
+TPU-first restructuring of the reference's eager per-batch loops
+(/root/reference/src/vgan.py:234-332 for the kernel-learning variant,
+vgan.py:573-621 for the generator-only variant): a whole epoch — shuffle,
+batching, per-batch noise sampling, generator/detector forward, MMD loss,
+backward, Adadelta update, loss averaging — is ONE jitted function whose body
+is a ``lax.scan`` over batches. No per-batch host<->device traffic, no Python
+dispatch in the hot loop, static shapes throughout (drop_last batching).
+
+Replicated training dynamics (each an explicit flag / threaded state rather
+than hidden mutation):
+
+- bandwidth frozen after the first loss evaluation
+  (Mmd_loss_constrained.py:16-22) -> ``(bw_value, bw_is_set)`` in TrainState,
+  ``freeze_bandwidth`` config flag;
+- encoder freeze leak: the generator phase freezes ALL detector params
+  (vgan.py:319-320) but the next detector phase re-enables only the decoder
+  (vgan.py:266-267), so the encoder stops learning after the first generator
+  phase -> ``encoder_active`` threaded bool, ``replicate_encoder_freeze``
+  flag to opt out;
+- frozen params take no Adadelta step, no weight decay, and no state advance
+  (torch skips grad-less params) -> ``active`` masks in
+  :mod:`vgan_tpu.train.adadelta`;
+- 1:|iternum_d| / |iternum_g| epoch-level alternation counters
+  (vgan.py:229-332) -> :class:`AlternationSchedule` (host-side, it only
+  picks which jitted epoch function to call);
+- the kl variant applies N(0, 0.1)/zero init (vgan.py:204-205); the no-kl
+  variant trains from torch-default init (vgan.py:565-566).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vgan_tpu.models.detector import Detector
+from vgan_tpu.models.generator import GeneratorBig, latent_size_for
+from vgan_tpu.models.initializers import REFERENCE_NORMAL, TORCH_DEFAULT
+from vgan_tpu.ops import mmd as mmd_ops
+from vgan_tpu.train.adadelta import AdadeltaState, adadelta
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Static training configuration (hashable -> usable as a jit static arg).
+
+    Defaults mirror the reference constructors (vgan.py:28-48, 442-454).
+    """
+
+    ndims: int
+    batch_size: int
+    lr_g: float = 0.007
+    lr_d: float = 0.007
+    weight_decay: float = 0.04
+    temperature: float = 0.0  # kl coverage-penalty weight (vgan.py:214)
+    penalty_weight: float = 10.0  # no-kl coverage-penalty weight (vgan.py:571)
+    iternum_d: int = 1
+    iternum_g: int = 5
+    seed: int = 777
+    freeze_bandwidth: bool = True
+    replicate_encoder_freeze: bool = True
+    mmd_impl: str = "auto"
+    init_scheme_kl: str = REFERENCE_NORMAL
+    init_scheme_no_kl: str = TORCH_DEFAULT
+
+    @property
+    def latent_size(self) -> int:
+        return latent_size_for(self.ndims)
+
+    def generator_module(self, kl: bool) -> GeneratorBig:
+        return GeneratorBig(
+            out_features=self.ndims,
+            latent_size=self.latent_size,
+            init_scheme=self.init_scheme_kl if kl else self.init_scheme_no_kl,
+        )
+
+    def detector_module(self) -> Detector:
+        return Detector(
+            latent_size=self.latent_size,
+            in_features=self.ndims,
+            init_scheme=self.init_scheme_kl,
+        )
+
+
+class NoKLTrainState(NamedTuple):
+    params: Any
+    opt_state: AdadeltaState
+    bw_value: jax.Array
+    bw_is_set: jax.Array
+    key: jax.Array
+
+
+class KLTrainState(NamedTuple):
+    gen_params: Any
+    det_params: Any
+    gen_opt: AdadeltaState
+    det_opt: AdadeltaState
+    bw_value: jax.Array
+    bw_is_set: jax.Array
+    encoder_active: jax.Array
+    key: jax.Array
+
+
+def _l2(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Reference `__distance(..., 'L2')`: mean squared difference (vgan.py:58-59)."""
+    return jnp.mean((x - y) ** 2)
+
+
+def _epoch_batches(x: jax.Array, key: jax.Array, batch_size: int) -> jax.Array:
+    """Shuffle + drop-last batching: (nb, batch_size, d), all on device."""
+    n = x.shape[0]
+    nb = n // batch_size
+    perm = jax.random.permutation(key, n)[: nb * batch_size]
+    return x[perm].reshape(nb, batch_size, x.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# no-kl variant: generator only, MMD in raw data space (vgan.py:546-624)
+# ---------------------------------------------------------------------------
+
+
+def init_no_kl_state(config: TrainConfig, key: jax.Array) -> NoKLTrainState:
+    gen = config.generator_module(kl=False)
+    k_init, k_train = jax.random.split(key)
+    params = gen.init(k_init, jnp.zeros((1, config.latent_size)))
+    opt = adadelta(config.lr_g, weight_decay=config.weight_decay)
+    return NoKLTrainState(
+        params=params,
+        opt_state=opt.init(params),
+        bw_value=jnp.zeros((), jnp.float32),
+        bw_is_set=jnp.zeros((), bool),
+        key=k_train,
+    )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def no_kl_epoch(
+    state: NoKLTrainState, x: jax.Array, config: TrainConfig
+) -> Tuple[NoKLTrainState, jax.Array]:
+    """One full no-kl epoch (shuffle -> scan of per-batch Adadelta steps).
+
+    Loss per batch: ``MMD(batch, U*batch, U) + 10 * coverage`` (vgan.py:615-616).
+    Returns ``(new_state, mean_epoch_loss)``.
+    """
+    gen = config.generator_module(kl=False)
+    opt = adadelta(config.lr_g, weight_decay=config.weight_decay)
+
+    epoch_key, next_key = jax.random.split(state.key)
+    perm_key, noise_key = jax.random.split(epoch_key)
+    batches = _epoch_batches(x, perm_key, config.batch_size)
+    nb = batches.shape[0]
+    noise_keys = jax.random.split(noise_key, nb)
+
+    def batch_step(carry, inp):
+        params, opt_state, bw_value, bw_is_set = carry
+        batch, nkey = inp
+        z = jax.random.normal(nkey, (config.batch_size, config.latent_size), x.dtype)
+
+        def loss_fn(p):
+            u = gen.apply(p, z)
+            loss, bw = mmd_ops.mmd_loss_constrained_stateful(
+                batch,
+                u * batch,
+                u,
+                weight=config.penalty_weight,
+                bw_value=bw_value,
+                bw_is_set=bw_is_set,
+                impl=config.mmd_impl,
+            )
+            return loss, bw
+
+        (loss, bw_used), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = opt.update(grads, opt_state, params)
+        new_params = jax.tree.map(lambda p, u_: p + u_, params, updates)
+        new_is_set = bw_is_set | bool(config.freeze_bandwidth)
+        return (new_params, new_opt, bw_used, new_is_set), loss
+
+    carry0 = (state.params, state.opt_state, state.bw_value, state.bw_is_set)
+    (params, opt_state, bw_value, bw_is_set), losses = jax.lax.scan(
+        batch_step, carry0, (batches, noise_keys)
+    )
+    new_state = NoKLTrainState(params, opt_state, bw_value, bw_is_set, next_key)
+    return new_state, jnp.mean(losses)
+
+
+# ---------------------------------------------------------------------------
+# kl variant: adversarial generator vs encoder/decoder detector
+# (vgan.py:178-332)
+# ---------------------------------------------------------------------------
+
+
+def init_kl_state(config: TrainConfig, key: jax.Array) -> KLTrainState:
+    gen = config.generator_module(kl=True)
+    det = config.detector_module()
+    kg, kd, k_train = jax.random.split(key, 3)
+    gen_params = gen.init(kg, jnp.zeros((1, config.latent_size)))
+    det_params = det.init(kd, jnp.zeros((1, config.ndims)))
+    gen_opt = adadelta(config.lr_g, weight_decay=config.weight_decay)
+    det_opt = adadelta(config.lr_d, weight_decay=config.weight_decay)
+    return KLTrainState(
+        gen_params=gen_params,
+        det_params=det_params,
+        gen_opt=gen_opt.init(gen_params),
+        det_opt=det_opt.init(det_params),
+        bw_value=jnp.zeros((), jnp.float32),
+        bw_is_set=jnp.zeros((), bool),
+        encoder_active=jnp.ones((), bool),
+        key=k_train,
+    )
+
+
+def _detector_active_mask(det_params, encoder_active):
+    """Per-leaf step mask: decoder always steps; encoder only while active."""
+
+    def mask_collection(coll):
+        return {
+            name: jax.tree.map(
+                lambda _: (encoder_active if name == "encoder" else True), sub
+            )
+            for name, sub in coll.items()
+        }
+
+    return {"params": mask_collection(det_params["params"])}
+
+
+@partial(jax.jit, static_argnames=("config",))
+def kl_detector_epoch(
+    state: KLTrainState, x: jax.Array, config: TrainConfig
+) -> Tuple[KLTrainState, jax.Array]:
+    """One detector epoch: maximize MMD minus reconstruction penalties.
+
+    Per batch (vgan.py:253-289): U = stop_grad(G(z)); loss_D =
+    ``-(MMD(enc x, enc Ux, U) - 0.1 L2(x, dec x) - 0.1 L2(Ux, dec Ux))``.
+    Encoder params step only while ``encoder_active`` (see module docstring).
+    """
+    gen = config.generator_module(kl=True)
+    det = config.detector_module()
+    det_opt = adadelta(config.lr_d, weight_decay=config.weight_decay)
+
+    epoch_key, next_key = jax.random.split(state.key)
+    perm_key, noise_key = jax.random.split(epoch_key)
+    batches = _epoch_batches(x, perm_key, config.batch_size)
+    noise_keys = jax.random.split(noise_key, batches.shape[0])
+
+    encoder_active = state.encoder_active | (not config.replicate_encoder_freeze)
+
+    def batch_step(carry, inp):
+        det_params, det_opt_state, bw_value, bw_is_set = carry
+        batch, nkey = inp
+        z = jax.random.normal(nkey, (config.batch_size, config.latent_size), x.dtype)
+        u = jax.lax.stop_gradient(gen.apply(state.gen_params, z))
+
+        def loss_fn(p):
+            enc_x, dec_x = det.apply(p, batch)
+            enc_ux, dec_ux = det.apply(p, u * batch)
+            l2_x = _l2(batch, dec_x)
+            l2_ux = _l2(u * batch, dec_ux)
+            mmd, bw = mmd_ops.mmd_loss_constrained_stateful(
+                enc_x,
+                enc_ux,
+                u,
+                weight=config.temperature,
+                bw_value=bw_value,
+                bw_is_set=bw_is_set,
+                impl=config.mmd_impl,
+            )
+            return -(mmd - 0.1 * l2_x - 0.1 * l2_ux), bw
+
+        (loss, bw_used), grads = jax.value_and_grad(loss_fn, has_aux=True)(det_params)
+        active = _detector_active_mask(det_params, encoder_active)
+        updates, new_opt = det_opt.update(
+            grads, det_opt_state, det_params, active=active
+        )
+        new_params = jax.tree.map(lambda p, u_: p + u_, det_params, updates)
+        new_is_set = bw_is_set | bool(config.freeze_bandwidth)
+        return (new_params, new_opt, bw_used, new_is_set), loss
+
+    carry0 = (state.det_params, state.det_opt, state.bw_value, state.bw_is_set)
+    (det_params, det_opt_state, bw_value, bw_is_set), losses = jax.lax.scan(
+        batch_step, carry0, (batches, noise_keys)
+    )
+    new_state = state._replace(
+        det_params=det_params,
+        det_opt=det_opt_state,
+        bw_value=bw_value,
+        bw_is_set=bw_is_set,
+        key=next_key,
+    )
+    return new_state, jnp.mean(losses)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def kl_generator_epoch(
+    state: KLTrainState, x: jax.Array, config: TrainConfig
+) -> Tuple[KLTrainState, jax.Array]:
+    """One generator epoch: minimize MMD in the detector's embedding.
+
+    Per batch (vgan.py:295-329): U = G(z) (grad ON); detector params frozen;
+    loss_G = ``MMD(enc x, enc Ux, U) + temperature * coverage``. After this
+    epoch the encoder becomes inactive (reference freeze leak).
+    """
+    gen = config.generator_module(kl=True)
+    det = config.detector_module()
+    gen_opt = adadelta(config.lr_g, weight_decay=config.weight_decay)
+
+    epoch_key, next_key = jax.random.split(state.key)
+    perm_key, noise_key = jax.random.split(epoch_key)
+    batches = _epoch_batches(x, perm_key, config.batch_size)
+    noise_keys = jax.random.split(noise_key, batches.shape[0])
+
+    def batch_step(carry, inp):
+        gen_params, gen_opt_state, bw_value, bw_is_set = carry
+        batch, nkey = inp
+        z = jax.random.normal(nkey, (config.batch_size, config.latent_size), x.dtype)
+
+        def loss_fn(p):
+            u = gen.apply(p, z)
+            enc_x, _ = det.apply(state.det_params, batch)
+            enc_ux, _ = det.apply(state.det_params, u * batch)
+            loss, bw = mmd_ops.mmd_loss_constrained_stateful(
+                enc_x,
+                enc_ux,
+                u,
+                weight=config.temperature,
+                bw_value=bw_value,
+                bw_is_set=bw_is_set,
+                impl=config.mmd_impl,
+            )
+            return loss, bw
+
+        (loss, bw_used), grads = jax.value_and_grad(loss_fn, has_aux=True)(gen_params)
+        updates, new_opt = gen_opt.update(grads, gen_opt_state, gen_params)
+        new_params = jax.tree.map(lambda p, u_: p + u_, gen_params, updates)
+        new_is_set = bw_is_set | bool(config.freeze_bandwidth)
+        return (new_params, new_opt, bw_used, new_is_set), loss
+
+    carry0 = (state.gen_params, state.gen_opt, state.bw_value, state.bw_is_set)
+    (gen_params, gen_opt_state, bw_value, bw_is_set), losses = jax.lax.scan(
+        batch_step, carry0, (batches, noise_keys)
+    )
+    new_state = state._replace(
+        gen_params=gen_params,
+        gen_opt=gen_opt_state,
+        bw_value=bw_value,
+        bw_is_set=bw_is_set,
+        encoder_active=jnp.zeros((), bool),
+        key=next_key,
+    )
+    return new_state, jnp.mean(losses)
+
+
+class AlternationSchedule:
+    """Host-side replica of the reference's epoch-phase counters.
+
+    vgan.py:229-332: detector phases run while ``iternum_d <= config`` then
+    generator phases while ``iternum_g <= config``; the generator phase's
+    completion resets the detector counter. Defaults (1, 5) produce the
+    1-detector/5-generator epoch cycle.
+    """
+
+    DETECTOR = "detector"
+    GENERATOR = "generator"
+    IDLE = "idle"
+
+    def __init__(self, iternum_d: int, iternum_g: int):
+        self.iternum_d = iternum_d
+        self.iternum_g = iternum_g
+        self._d = 1
+        self._g = 1
+
+    def next_phase(self) -> str:
+        if self._d <= self.iternum_d:
+            self._d += 1
+            self._g = 1
+            return self.DETECTOR
+        if self._g <= self.iternum_g:
+            self._g += 1
+            if self._g > self.iternum_g:
+                self._d = 1
+            return self.GENERATOR
+        return self.IDLE
