@@ -6,9 +6,6 @@ so this sits at conftest import time (pytest loads conftest before tests).
 
 import os
 
-# Force CPU regardless of ambient JAX_PLATFORMS (the dev box tunnels a real
-# TPU chip; tests want the virtual 8-device CPU mesh).
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,11 +13,20 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 import jax
+
+# Force CPU regardless of ambient platform plugins. NOTE: the env var
+# JAX_PLATFORMS=cpu is NOT honored when the axon TPU plugin is installed
+# (the plugin still registers and wins default_backend()); only the config
+# update reliably pins the CPU backend. Must run before any backend use.
+jax.config.update("jax_platforms", "cpu")
+# Allow float64 in precision-parity tests (explicit fp32 arrays stay fp32).
+jax.config.update("jax_enable_x64", True)
+
 import numpy as np
 import pytest
 
-# Allow float64 in precision-parity tests (explicit fp32 arrays stay fp32).
-jax.config.update("jax_enable_x64", True)
+assert jax.default_backend() == "cpu"
+assert len(jax.devices()) == 8, "virtual 8-device CPU mesh not active"
 
 
 @pytest.fixture

@@ -14,8 +14,10 @@ from vgan_tpu.train.steps import (
     init_kl_state,
     init_no_kl_state,
     kl_detector_epoch,
+    kl_fit_program,
     kl_generator_epoch,
     no_kl_epoch,
+    no_kl_fit_program,
 )
 
 
@@ -120,6 +122,60 @@ def test_kl_generator_epoch_only_updates_generator():
         np.testing.assert_array_equal, det_before, jax.tree.map(np.asarray, state.det_params)
     )
     assert not np.allclose(gen_before, np.asarray(state.gen_params["params"]["Dense_0"]["kernel"]))
+
+
+def test_no_kl_fit_program_equals_epoch_loop():
+    """The whole-fit single XLA program must produce bit-identical results to
+    the per-epoch jitted calls (same RNG threading)."""
+    x = jnp.asarray(correlated_gaussian(n=96, d=10))
+    config = TrainConfig(ndims=10, batch_size=32, mmd_impl="jnp")
+    key = jax.random.PRNGKey(5)
+
+    state_a = init_no_kl_state(config, key)
+    losses_a = []
+    for _ in range(3):
+        state_a, loss = no_kl_epoch(state_a, x, config)
+        losses_a.append(float(loss))
+
+    state_b, losses_b = no_kl_fit_program(x, key, config, 3)
+    np.testing.assert_allclose(losses_a, np.asarray(losses_b), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state_a.params["params"]["Dense_3"]["kernel"]),
+        np.asarray(state_b.params["params"]["Dense_3"]["kernel"]),
+        rtol=1e-6,
+    )
+
+
+def test_kl_fit_program_equals_epoch_loop():
+    x = jnp.asarray(correlated_gaussian(n=96, d=10))
+    config = TrainConfig(ndims=10, batch_size=32, mmd_impl="jnp")
+    key = jax.random.PRNGKey(6)
+    epochs = 7  # D G G G G G D under the default 1:5 schedule
+
+    state_a = init_kl_state(config, key)
+    det_hist, gen_hist = [], []
+    last_d, last_g = float("nan"), float("nan")
+    sched = AlternationSchedule(config.iternum_d, config.iternum_g)
+    for _ in range(epochs):
+        phase = sched.next_phase()
+        if phase == AlternationSchedule.DETECTOR:
+            state_a, loss = kl_detector_epoch(state_a, x, config)
+            last_d = float(loss)
+        else:
+            state_a, loss = kl_generator_epoch(state_a, x, config)
+            last_g = float(loss)
+        det_hist.append(last_d)
+        gen_hist.append(last_g)
+
+    phases = AlternationSchedule(config.iternum_d, config.iternum_g).phase_array(epochs)
+    state_b, det_b, gen_b = kl_fit_program(x, key, jnp.asarray(phases), config)
+    np.testing.assert_allclose(det_hist, np.asarray(det_b), rtol=1e-5)
+    np.testing.assert_allclose(gen_hist, np.asarray(gen_b), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(state_a.gen_params["params"]["Dense_3"]["kernel"]),
+        np.asarray(state_b.gen_params["params"]["Dense_3"]["kernel"]),
+        rtol=1e-5,
+    )
 
 
 def test_no_kl_training_mask_distribution_collapses():

@@ -48,11 +48,8 @@ from vgan_tpu.ops.mmd_test import mmd_permutation_test
 from vgan_tpu.train.steps import (
     AlternationSchedule,
     TrainConfig,
-    init_kl_state,
-    init_no_kl_state,
-    kl_detector_epoch,
-    kl_generator_epoch,
-    no_kl_epoch,
+    kl_fit_program,
+    no_kl_fit_program,
 )
 
 
@@ -265,6 +262,7 @@ class VGAN(_VGANCommon):
             seed=self.seed,
             freeze_bandwidth=True,
             replicate_encoder_freeze=self.replicate_reference_quirks,
+            elm=self.elm,
             mmd_impl=self.mmd_impl,
         )
 
@@ -285,29 +283,24 @@ class VGAN(_VGANCommon):
         self._config = config = self._make_config(ndims, self.batch_size)
         self._latent_size = config.latent_size
 
-        state = init_kl_state(config, jax.random.PRNGKey(self.seed))
-        if self.elm:
-            state = state._replace(encoder_active=jnp.zeros((), bool))
         x_dev = jnp.asarray(X, dtype=jnp.float32)
-
-        schedule = AlternationSchedule(self.iternum_d, self.iternum_g)
-        detector_loss = float("nan")
-        generator_loss = float("nan")
+        phases = AlternationSchedule(self.iternum_d, self.iternum_g).phase_array(
+            self.epochs
+        )
+        # The whole fit is ONE compiled program: single dispatch, and a single
+        # device->host fetch for the loss history at the end.
+        state, det_hist, gen_hist = kl_fit_program(
+            x_dev, jax.random.PRNGKey(self.seed), jnp.asarray(phases), config
+        )
+        det_hist = np.asarray(det_hist, dtype=np.float64)
+        gen_hist = np.asarray(gen_hist, dtype=np.float64)
         for epoch in range(self.epochs):
             if self.verbose:
                 print(f"\rEpoch {epoch} of {self.epochs}")
-            phase = schedule.next_phase()
-            if phase == AlternationSchedule.DETECTOR:
-                state, loss = kl_detector_epoch(state, x_dev, config)
-                detector_loss = float(loss)
-            elif phase == AlternationSchedule.GENERATOR:
-                state, loss = kl_generator_epoch(state, x_dev, config)
-                generator_loss = float(loss)
-            if self.verbose:
-                print(f"Average loss in the epoch Generator: {generator_loss}")
-                print(f"Average loss in the epoch Detector: {detector_loss}")
-            self.train_history["generator_loss"].append(generator_loss)
-            self.train_history["detector_loss"].append(detector_loss)
+                print(f"Average loss in the epoch Generator: {gen_hist[epoch]}")
+                print(f"Average loss in the epoch Detector: {det_hist[epoch]}")
+            self.train_history["generator_loss"].append(float(gen_hist[epoch]))
+            self.train_history["detector_loss"].append(float(det_hist[epoch]))
 
         self.generator_optimizer = "Adadelta"
         self.detector_optimizer = "Adadelta"
@@ -386,17 +379,18 @@ class VGAN_no_kl(_VGANCommon):
         self._config = config = self._make_config(ndims, self.batch_size)
         self._latent_size = config.latent_size
 
-        state = init_no_kl_state(config, jax.random.PRNGKey(self.seed))
         x_dev = jnp.asarray(X, dtype=jnp.float32)
-
+        # The whole fit is ONE compiled program: single dispatch, and a single
+        # device->host fetch for the loss history at the end.
+        state, losses = no_kl_fit_program(
+            x_dev, jax.random.PRNGKey(self.seed), config, self.epochs
+        )
+        losses = np.asarray(losses, dtype=np.float64)
         for epoch in range(self.epochs):
             if self.verbose:
                 print(f"\rEpoch {epoch} of {self.epochs}")
-            state, loss = no_kl_epoch(state, x_dev, config)
-            generator_loss = float(loss)
-            if self.verbose:
-                print(f"Average loss in the epoch: {generator_loss}")
-            self.train_history["generator_loss"].append(generator_loss)
+                print(f"Average loss in the epoch: {losses[epoch]}")
+            self.train_history["generator_loss"].append(float(losses[epoch]))
 
         self.generator_optimizer = "Adadelta"
         self.generator_params = state.params

@@ -8,8 +8,10 @@ from vgan_tpu.train.steps import (
     init_no_kl_state,
     init_kl_state,
     no_kl_epoch,
+    no_kl_fit_program,
     kl_detector_epoch,
     kl_generator_epoch,
+    kl_fit_program,
     AlternationSchedule,
 )
 
@@ -22,7 +24,9 @@ __all__ = [
     "init_no_kl_state",
     "init_kl_state",
     "no_kl_epoch",
+    "no_kl_fit_program",
     "kl_detector_epoch",
     "kl_generator_epoch",
+    "kl_fit_program",
     "AlternationSchedule",
 ]

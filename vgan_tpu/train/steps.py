@@ -64,6 +64,7 @@ class TrainConfig:
     seed: int = 777
     freeze_bandwidth: bool = True
     replicate_encoder_freeze: bool = True
+    elm: bool = False  # reference's private __elm flag: encoder frozen from epoch 0
     mmd_impl: str = "auto"
     init_scheme_kl: str = REFERENCE_NORMAL
     init_scheme_no_kl: str = TORCH_DEFAULT
@@ -138,14 +139,14 @@ def init_no_kl_state(config: TrainConfig, key: jax.Array) -> NoKLTrainState:
     )
 
 
-@partial(jax.jit, static_argnames=("config",))
-def no_kl_epoch(
+def _no_kl_epoch_body(
     state: NoKLTrainState, x: jax.Array, config: TrainConfig
 ) -> Tuple[NoKLTrainState, jax.Array]:
     """One full no-kl epoch (shuffle -> scan of per-batch Adadelta steps).
 
     Loss per batch: ``MMD(batch, U*batch, U) + 10 * coverage`` (vgan.py:615-616).
-    Returns ``(new_state, mean_epoch_loss)``.
+    Returns ``(new_state, mean_epoch_loss)``. Traceable (no jit) so it can be
+    nested inside the whole-fit program.
     """
     gen = config.generator_module(kl=False)
     opt = adadelta(config.lr_g, weight_decay=config.weight_decay)
@@ -188,6 +189,30 @@ def no_kl_epoch(
     return new_state, jnp.mean(losses)
 
 
+no_kl_epoch = partial(jax.jit, static_argnames=("config",))(_no_kl_epoch_body)
+
+
+@partial(jax.jit, static_argnames=("config", "epochs"))
+def no_kl_fit_program(
+    x: jax.Array, key: jax.Array, config: TrainConfig, epochs: int
+) -> Tuple[NoKLTrainState, jax.Array]:
+    """The ENTIRE no-kl fit as one XLA program: init + ``epochs`` epochs.
+
+    One dispatch, one compile; the host fetches the per-epoch loss vector
+    once at the end. This is the TPU-native restructuring of the reference's
+    eager fit loop (vgan.py:546-624) — no per-epoch host round-trips (which
+    cost 10s-100s of ms each over a TPU tunnel).
+    """
+    state = init_no_kl_state(config, key)
+
+    def epoch_body(state, _):
+        state, loss = _no_kl_epoch_body(state, x, config)
+        return state, loss
+
+    state, losses = jax.lax.scan(epoch_body, state, None, length=epochs)
+    return state, losses
+
+
 # ---------------------------------------------------------------------------
 # kl variant: adversarial generator vs encoder/decoder detector
 # (vgan.py:178-332)
@@ -209,7 +234,7 @@ def init_kl_state(config: TrainConfig, key: jax.Array) -> KLTrainState:
         det_opt=det_opt.init(det_params),
         bw_value=jnp.zeros((), jnp.float32),
         bw_is_set=jnp.zeros((), bool),
-        encoder_active=jnp.ones((), bool),
+        encoder_active=jnp.asarray(not config.elm),
         key=k_train,
     )
 
@@ -228,8 +253,7 @@ def _detector_active_mask(det_params, encoder_active):
     return {"params": mask_collection(det_params["params"])}
 
 
-@partial(jax.jit, static_argnames=("config",))
-def kl_detector_epoch(
+def _kl_detector_epoch_body(
     state: KLTrainState, x: jax.Array, config: TrainConfig
 ) -> Tuple[KLTrainState, jax.Array]:
     """One detector epoch: maximize MMD minus reconstruction penalties.
@@ -294,8 +318,7 @@ def kl_detector_epoch(
     return new_state, jnp.mean(losses)
 
 
-@partial(jax.jit, static_argnames=("config",))
-def kl_generator_epoch(
+def _kl_generator_epoch_body(
     state: KLTrainState, x: jax.Array, config: TrainConfig
 ) -> Tuple[KLTrainState, jax.Array]:
     """One generator epoch: minimize MMD in the detector's embedding.
@@ -354,6 +377,61 @@ def kl_generator_epoch(
     return new_state, jnp.mean(losses)
 
 
+kl_detector_epoch = partial(jax.jit, static_argnames=("config",))(
+    _kl_detector_epoch_body
+)
+kl_generator_epoch = partial(jax.jit, static_argnames=("config",))(
+    _kl_generator_epoch_body
+)
+
+PHASE_DETECTOR, PHASE_GENERATOR, PHASE_IDLE = 0, 1, 2
+
+
+@partial(jax.jit, static_argnames=("config",))
+def kl_fit_program(
+    x: jax.Array, key: jax.Array, phases: jax.Array, config: TrainConfig
+) -> Tuple[KLTrainState, jax.Array, jax.Array]:
+    """The ENTIRE kl fit as one XLA program.
+
+    ``phases`` is the precomputed epoch-phase vector (int32: 0 detector,
+    1 generator, 2 idle) from :class:`AlternationSchedule` — the reference's
+    host-side counters (vgan.py:229-332) become data, and the whole
+    alternating adversarial schedule compiles into a single ``lax.scan`` over
+    ``lax.switch``. Returns ``(final_state, detector_history,
+    generator_history)`` with the reference's history semantics: each epoch
+    records the *most recent* loss of each kind, NaN before the first epoch
+    of that kind (vgan.py:232-233, 336-337).
+    """
+    state = init_kl_state(config, key)
+    nan = jnp.asarray(jnp.nan, jnp.float32)
+
+    def epoch_body(carry, phase):
+        state, last_det, last_gen = carry
+
+        def det_branch(operand):
+            state, last_det, last_gen = operand
+            state, loss = _kl_detector_epoch_body(state, x, config)
+            return state, loss.astype(jnp.float32), last_gen
+
+        def gen_branch(operand):
+            state, last_det, last_gen = operand
+            state, loss = _kl_generator_epoch_body(state, x, config)
+            return state, last_det, loss.astype(jnp.float32)
+
+        def idle_branch(operand):
+            return operand
+
+        state, last_det, last_gen = jax.lax.switch(
+            phase, [det_branch, gen_branch, idle_branch], (state, last_det, last_gen)
+        )
+        return (state, last_det, last_gen), (last_det, last_gen)
+
+    (state, _, _), (det_hist, gen_hist) = jax.lax.scan(
+        epoch_body, (state, nan, nan), phases
+    )
+    return state, det_hist, gen_hist
+
+
 class AlternationSchedule:
     """Host-side replica of the reference's epoch-phase counters.
 
@@ -384,3 +462,13 @@ class AlternationSchedule:
                 self._d = 1
             return self.GENERATOR
         return self.IDLE
+
+    def phase_array(self, epochs: int):
+        """Phase codes for ``epochs`` epochs (input to kl_fit_program)."""
+        import numpy as np
+
+        codes = {self.DETECTOR: PHASE_DETECTOR, self.GENERATOR: PHASE_GENERATOR,
+                 self.IDLE: PHASE_IDLE}
+        return np.asarray(
+            [codes[self.next_phase()] for _ in range(epochs)], dtype=np.int32
+        )
