@@ -1,0 +1,130 @@
+"""Benchmark harness. Prints ONE JSON line to stdout:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: VGAN_no_kl train-step throughput on the reference demo
+config (n=2000, d=10, batch_size=500 -> 4 steps/epoch), measured steady-state
+on the whole-fit XLA program. The baseline denominator is the reference
+PyTorch implementation on CPU, measured on this machine (see BASELINE.md):
+11.28 steps/s for VGAN_no_kl (the same config; /root/reference/src/vgan.py
+run 2026-08-16, torch 2.x CPU, float32 input).
+
+Secondary metrics (stderr, recorded for tracking): fused Pallas MMD Gram
+TFLOP/s at the d>=10k stress config, and subspaces sampled/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_CPU_NO_KL_STEPS_PER_SEC = 11.28  # measured; see module docstring
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vgan_tpu.train.steps import TrainConfig, no_kl_fit_program
+
+    log(f"devices: {jax.devices()}")
+
+    rng = np.random.default_rng(0)
+    cov = np.eye(10)
+    for i, j in [(0, 8), (0, 9), (8, 9)]:
+        cov[i, j] = cov[j, i] = 0.95
+    x = jnp.asarray(
+        rng.multivariate_normal(np.zeros(10), cov, size=2000).astype(np.float32)
+    )
+
+    epochs = 50  # 4 steps each
+    config = TrainConfig(ndims=10, batch_size=500, lr_g=0.001, mmd_impl="auto")
+    key = jax.random.PRNGKey(777)
+
+    t0 = time.time()
+    state, losses = no_kl_fit_program(x, key, config, epochs)
+    losses.block_until_ready()
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    reps = 5
+    t0 = time.time()
+    for r in range(reps):
+        state, losses = no_kl_fit_program(x, jax.random.fold_in(key, r), config, epochs)
+    losses.block_until_ready()
+    dt = time.time() - t0
+    steps = reps * epochs * (2000 // 500)
+    steps_per_sec = steps / dt
+    log(f"train: {steps} steps in {dt:.3f}s -> {steps_per_sec:.0f} steps/s "
+        f"(final loss {float(np.asarray(losses)[-1]):.3f})")
+
+    # --- secondary: fused MMD Gram TFLOP/s at the stress config -------------
+    try:
+        from vgan_tpu.ops.mmd import mmd_loss_constrained_stateful
+
+        n, d = 500, 10240
+        xs = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        u = jnp.asarray(rng.uniform(size=(n, d)).astype(np.float32))
+
+        @jax.jit
+        def loss_grad(xs, u):
+            def f(u_):
+                loss, _ = mmd_loss_constrained_stateful(
+                    xs, u_ * xs, u_, 10.0,
+                    jnp.asarray(1000.0), jnp.asarray(True), impl="auto",
+                )
+                return loss
+            return jax.value_and_grad(f)(u)
+
+        r = loss_grad(xs, u)
+        jax.tree.map(lambda a: a.block_until_ready(), r)
+        t0 = time.time()
+        for _ in range(10):
+            r = loss_grad(xs, u)
+        jax.tree.map(lambda a: a.block_until_ready(), r)
+        dt = (time.time() - t0) / 10
+        flops = 2 * (2 * n) ** 2 * d * 2  # fwd + bwd Gram matmuls
+        log(f"MMD Gram fwd+bwd (n={n}, d={d}): {dt*1e3:.2f} ms "
+            f"-> {flops/dt/1e12:.1f} TFLOP/s")
+    except Exception as e:  # pragma: no cover
+        log(f"gram bench skipped: {e}")
+
+    # --- secondary: subspaces sampled/sec -----------------------------------
+    try:
+        from vgan_tpu.models.generator import GeneratorBig
+        from vgan_tpu.ops.activations import binarize_mask
+
+        d = 100
+        gen = GeneratorBig(out_features=d, latent_size=6)
+        params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 6)))
+        sample = jax.jit(
+            lambda p, z: binarize_mask(gen.apply(p, z), axis=-1)
+        )
+        nsubs = 1_000_000
+        z = jax.random.normal(jax.random.PRNGKey(1), (nsubs, 6))
+        sample(params, z).block_until_ready()
+        t0 = time.time()
+        for _ in range(5):
+            out = sample(params, z)
+        out.block_until_ready()
+        dt = (time.time() - t0) / 5
+        log(f"subspace sampling (d={d}): {nsubs/dt/1e6:.1f} M subspaces/s")
+    except Exception as e:  # pragma: no cover
+        log(f"sampling bench skipped: {e}")
+
+    print(json.dumps({
+        "metric": "VGAN_no_kl train steps/sec (n=2000, d=10, bs=500)",
+        "value": round(steps_per_sec, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / REFERENCE_CPU_NO_KL_STEPS_PER_SEC, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

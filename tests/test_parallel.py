@@ -1,0 +1,138 @@
+"""Sharded-MMD and data-parallel fit equivalence on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax import shard_map
+
+from vgan_tpu.ops import mmd as M
+from vgan_tpu.parallel.mesh import make_mesh
+from vgan_tpu.parallel.ring import (
+    mmd2_feature_sharded,
+    mmd2_ring_rowsharded,
+    mmd_loss_ring_rowsharded,
+)
+from vgan_tpu.train.steps import TrainConfig, no_kl_fit_program
+from vgan_tpu.parallel.dp import no_kl_fit_program_dp, kl_fit_program_dp
+from vgan_tpu.train.steps import AlternationSchedule
+
+
+def data_mesh(n=8):
+    return Mesh(np.asarray(jax.devices()[:n]).reshape(n), ("data",))
+
+
+def test_ring_mmd_matches_single_device(rng):
+    n, d = 64, 12  # 8 rows per device
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32) + 0.4)
+    ref, bw_ref = M.mmd2_biased_stateful(
+        x, y, jnp.zeros(()), jnp.asarray(False)
+    )
+
+    mesh = data_mesh()
+    fn = shard_map(
+        lambda xl, yl: mmd2_ring_rowsharded(
+            xl, yl, jnp.zeros(()), jnp.asarray(False), "data"
+        ),
+        mesh=mesh,
+        in_specs=(PartitionSpec("data", None), PartitionSpec("data", None)),
+        out_specs=(PartitionSpec(), PartitionSpec()),
+    )
+    ring, bw_ring = jax.jit(fn)(x, y)
+    np.testing.assert_allclose(float(ring), float(ref), rtol=1e-4)
+    np.testing.assert_allclose(float(bw_ring), float(bw_ref), rtol=1e-4)
+
+
+def test_ring_mmd_gradients_match(rng):
+    n, d = 32, 6
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32) + 0.4)
+    bw = jnp.asarray(2.5, jnp.float32)
+
+    g_ref = jax.grad(
+        lambda y_: M.mmd2_biased_stateful(x, y_, bw, jnp.asarray(True))[0]
+    )(y)
+
+    mesh = data_mesh()
+    fn = shard_map(
+        lambda xl, yl: mmd2_ring_rowsharded(xl, yl, bw, jnp.asarray(True), "data")[0],
+        mesh=mesh,
+        in_specs=(PartitionSpec("data", None), PartitionSpec("data", None)),
+        out_specs=PartitionSpec(),
+    )
+    g_ring = jax.grad(lambda y_: jax.jit(fn)(x, y_))(y)
+    np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_ref), rtol=1e-3, atol=1e-7)
+
+
+def test_ring_loss_coverage_penalty(rng):
+    n, d = 32, 10
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    u = jnp.asarray(rng.uniform(size=(n, d)).astype(np.float32))
+    y = u * x
+    loss_ref, _ = M.mmd_loss_constrained_stateful(
+        x, y, u, 10.0, jnp.zeros(()), jnp.asarray(False)
+    )
+    mesh = data_mesh()
+    fn = shard_map(
+        lambda xl, yl, ul: mmd_loss_ring_rowsharded(
+            xl, yl, ul, 10.0, jnp.zeros(()), jnp.asarray(False), "data"
+        ),
+        mesh=mesh,
+        in_specs=(PartitionSpec("data", None),) * 3,
+        out_specs=(PartitionSpec(), PartitionSpec()),
+        check_vma=False,  # outputs replicated via psum/all_gather
+    )
+    loss_ring, _ = jax.jit(fn)(x, y, u)
+    np.testing.assert_allclose(float(loss_ring), float(loss_ref), rtol=1e-4)
+
+
+def test_feature_sharded_mmd_matches(rng):
+    n, d = 24, 40  # 5 features per device over 8 devices
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32) + 0.2)
+    ref, bw_ref = M.mmd2_biased_stateful(x, y, jnp.zeros(()), jnp.asarray(False))
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("model",))
+    fn = shard_map(
+        lambda xl, yl: mmd2_feature_sharded(
+            xl, yl, jnp.zeros(()), jnp.asarray(False), "model"
+        ),
+        mesh=mesh,
+        in_specs=(PartitionSpec(None, "model"), PartitionSpec(None, "model")),
+        out_specs=(PartitionSpec(), PartitionSpec()),
+    )
+    fs, bw_fs = jax.jit(fn)(x, y)
+    np.testing.assert_allclose(float(fs), float(ref), rtol=1e-4)
+    np.testing.assert_allclose(float(bw_fs), float(bw_ref), rtol=1e-4)
+
+
+def test_dp_fit_matches_single_device(rng):
+    x = rng.normal(size=(128, 16)).astype(np.float32)
+    config = TrainConfig(ndims=16, batch_size=32, mmd_impl="jnp")
+    key = jax.random.PRNGKey(1)
+
+    state_ref, losses_ref = no_kl_fit_program(jnp.asarray(x), key, config, 3)
+
+    mesh = make_mesh(data=4, model=2)
+    state_dp, losses_dp = no_kl_fit_program_dp(x, key, config, 3, mesh)
+    np.testing.assert_allclose(
+        np.asarray(losses_dp), np.asarray(losses_ref), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_dp.params["params"]["Dense_3"]["kernel"]),
+        np.asarray(state_ref.params["params"]["Dense_3"]["kernel"]),
+        rtol=1e-3, atol=1e-6,
+    )
+
+
+def test_dp_kl_fit_runs(rng):
+    x = rng.normal(size=(128, 32)).astype(np.float32)
+    config = TrainConfig(ndims=32, batch_size=32, mmd_impl="jnp")
+    phases = AlternationSchedule(1, 5).phase_array(4)
+    mesh = make_mesh(data=8, model=1)
+    state, det_hist, gen_hist = kl_fit_program_dp(
+        x, jax.random.PRNGKey(2), phases, config, mesh, shard_features=False
+    )
+    assert np.isfinite(np.asarray(det_hist)[0])
+    assert np.isfinite(np.asarray(gen_hist)[-1])

@@ -59,7 +59,14 @@ def _round_up(a: int, b: int) -> int:
 
 
 def pallas_supported(x: jax.Array, y: jax.Array) -> bool:
-    """True when the fused TPU kernel handles these operands."""
+    """True when the fused TPU kernel should handle these operands.
+
+    Besides the platform/shape gates, this is a performance dispatch: the
+    kernel pads d up to TILE_D and m up to TILE_M, so for small problems the
+    padding waste loses to XLA's fused jnp path (measured crossover: the
+    kernel wins once the feature axis is at least a tile or the sample count
+    makes materializing the m^2 Gram traffic-bound).
+    """
     try:
         platform = jax.default_backend()
     except Exception:  # pragma: no cover - backend probing must never fail
@@ -69,7 +76,10 @@ def pallas_supported(x: jax.Array, y: jax.Array) -> bool:
     if x.ndim != 2 or y.ndim != 2:
         return False
     m = x.shape[0] + y.shape[0]
-    return m <= MAX_M_FOR_PALLAS
+    d = x.shape[1]
+    if m > MAX_M_FOR_PALLAS:
+        return False
+    return d >= TILE_D or m >= 4096
 
 
 # ---------------------------------------------------------------------------

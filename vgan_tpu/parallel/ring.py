@@ -1,0 +1,187 @@
+"""Sharded MMD: ring-ppermute over row shards, psum over feature shards.
+
+The reference materializes one (2n x 2n) Gram on one device
+(Mmd_loss_constrained.py:24-26, 43-49). Here the same biased MMD^2 is
+computed over *sharded* samples without any device holding the full sample
+set or the full Gram:
+
+- **row-sharded (ring)**: each device owns a row block (x_p, y_p). The
+  quadrant sums decompose over block pairs; a P-step ring (``ppermute`` of
+  the partner block around the 'data' axis) visits every (p, q) pair while
+  only ever holding two blocks, and one ``psum`` assembles the global sums.
+  This is the kernel-method analogue of ring attention: compute rides the
+  MXU, the block exchange rides ICI, and JAX differentiates through the
+  ``ppermute``/``psum`` chain so the same code serves training.
+- **feature-sharded (tensor-parallel analogue)**: squared distances are
+  additive over features, so d-sharded operands need exactly one ``psum``
+  of the partial (m x m) distance matrix; the cheap exp/reduce epilogue is
+  then computed redundantly per device.
+
+Both return values identical (up to reduction order) to the single-device
+:func:`vgan_tpu.ops.mmd.mmd2_biased_stateful` — verified by the 8-virtual-
+device equivalence tests.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from vgan_tpu.ops.mmd import bandwidth_multipliers, coverage_penalty
+
+
+def _block_gram_sum(
+    a: jax.Array, b: jax.Array, bw: jax.Array, mults: Tuple[float, ...]
+) -> jax.Array:
+    """sum_ij K(a_i, b_j) for one block pair (multi-bandwidth RBF)."""
+    an = jnp.sum(a * a, axis=-1)
+    bn = jnp.sum(b * b, axis=-1)
+    d2 = jnp.maximum(
+        an[:, None] + bn[None, :]
+        - 2.0 * jnp.dot(a, b.T, preferred_element_type=a.dtype),
+        0.0,
+    )
+    k = jnp.zeros_like(d2)
+    for mk in mults:
+        k = k + jnp.exp(-d2 / (bw * mk))
+    return jnp.sum(k)
+
+
+def _global_candidate_bandwidth(
+    x_loc: jax.Array, y_loc: jax.Array, axis_name: str
+) -> jax.Array:
+    """Closed-form reference bandwidth over the full (sharded) sample set.
+
+    sum_ij d2_ij = 2 m sum|z|^2 - 2 |sum z|^2 with both inner sums psum-ed
+    over shards; divided by m^2 - m (Mmd_loss_constrained.py:19; detached).
+    """
+    z_loc = jnp.concatenate([x_loc, y_loc], axis=0)
+    sq = lax.psum(jnp.sum(z_loc * z_loc), axis_name)
+    colsum = lax.psum(jnp.sum(z_loc, axis=0), axis_name)
+    m_loc = z_loc.shape[0]
+    m = m_loc * lax.axis_size(axis_name)
+    total = 2.0 * m * sq - 2.0 * jnp.sum(colsum * colsum)
+    return lax.stop_gradient(total / (m * m - m))
+
+
+def ring_quadrant_sums(
+    x_loc: jax.Array,
+    y_loc: jax.Array,
+    bw: jax.Array,
+    axis_name: str,
+    mults: Tuple[float, ...] = bandwidth_multipliers(),
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Global (sum Kxx, sum Kxy, sum Kyy) over row-sharded samples.
+
+    Must be called inside ``shard_map`` (or pmap) over ``axis_name`` with
+    ``x_loc``/``y_loc`` the local row blocks. P-1 ppermute steps + 1 psum.
+    """
+    p = lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % p) for i in range(p)]
+
+    def step(carry, _):
+        xb, yb, sxx, sxy, syy = carry
+        sxx = sxx + _block_gram_sum(x_loc, xb, bw, mults)
+        sxy = sxy + _block_gram_sum(x_loc, yb, bw, mults)
+        syy = syy + _block_gram_sum(y_loc, yb, bw, mults)
+        xb = lax.ppermute(xb, axis_name, perm)
+        yb = lax.ppermute(yb, axis_name, perm)
+        return (xb, yb, sxx, sxy, syy), None
+
+    # the accumulators are device-varying (each device accumulates its own
+    # row-block's sums); mark the initial zeros accordingly for shard_map's
+    # varying-manual-axes typing
+    zero = lax.pvary(jnp.zeros((), x_loc.dtype), (axis_name,))
+    (xb, yb, sxx, sxy, syy), _ = lax.scan(
+        step, (x_loc, y_loc, zero, zero, zero), None, length=p
+    )
+    sxx = lax.psum(sxx, axis_name)
+    sxy = lax.psum(sxy, axis_name)
+    syy = lax.psum(syy, axis_name)
+    return sxx, sxy, syy
+
+
+def mmd2_ring_rowsharded(
+    x_loc: jax.Array,
+    y_loc: jax.Array,
+    bw_value: jax.Array,
+    bw_is_set: jax.Array,
+    axis_name: str,
+    mults: Tuple[float, ...] = bandwidth_multipliers(),
+) -> Tuple[jax.Array, jax.Array]:
+    """Row-sharded stateful biased MMD^2; same contract as the local op."""
+    p = lax.axis_size(axis_name)
+    n1 = x_loc.shape[0] * p
+    n2 = y_loc.shape[0] * p
+    candidate = _global_candidate_bandwidth(x_loc, y_loc, axis_name)
+    bw = jnp.where(bw_is_set, bw_value, candidate).astype(x_loc.dtype)
+    sxx, sxy, syy = ring_quadrant_sums(x_loc, y_loc, bw, axis_name, mults)
+    mmd2 = sxx / (n1 * n1) - 2.0 * sxy / (n1 * n2) + syy / (n2 * n2)
+    return mmd2, bw
+
+
+def mmd_loss_ring_rowsharded(
+    x_loc: jax.Array,
+    y_loc: jax.Array,
+    u_loc: jax.Array,
+    weight: float,
+    bw_value: jax.Array,
+    bw_is_set: jax.Array,
+    axis_name: str,
+    mults: Tuple[float, ...] = bandwidth_multipliers(),
+) -> Tuple[jax.Array, jax.Array]:
+    """Row-sharded constrained MMD loss (+ global coverage penalty).
+
+    The coverage penalty's column max runs over ALL generated masks, so the
+    local column max is pmax-ed over the data axis (vgan parity:
+    Mmd_loss_constrained.py:50 computes it over the whole batch).
+    """
+    mmd2, bw = mmd2_ring_rowsharded(
+        x_loc, y_loc, bw_value, bw_is_set, axis_name, mults
+    )
+    # all_gather (differentiable) instead of pmax (no AD rule): the penalty
+    # is part of the generator loss, so gradients must flow to the argmax.
+    local_max = jnp.max(u_loc, axis=0)
+    col_max = jnp.max(lax.all_gather(local_max, axis_name), axis=0)
+    penalty = jnp.mean(1.0 - col_max)
+    return mmd2 + weight * penalty, bw
+
+
+def mmd2_feature_sharded(
+    x_loc: jax.Array,
+    y_loc: jax.Array,
+    bw_value: jax.Array,
+    bw_is_set: jax.Array,
+    axis_name: str,
+    mults: Tuple[float, ...] = bandwidth_multipliers(),
+) -> Tuple[jax.Array, jax.Array]:
+    """Feature-sharded stateful biased MMD^2 (one psum of partial d2).
+
+    ``x_loc``/``y_loc`` hold full rows but a feature slice; squared
+    distances add over feature shards. Candidate bandwidth uses the psum-ed
+    d2 directly (exact reference rule incl. the clamp).
+    """
+    n1, n2 = x_loc.shape[0], y_loc.shape[0]
+    z = jnp.concatenate([x_loc, y_loc], axis=0)
+    zn = jnp.sum(z * z, axis=-1)
+    partial = (
+        zn[:, None]
+        + zn[None, :]
+        - 2.0 * jnp.dot(z, z.T, preferred_element_type=z.dtype)
+    )
+    d2 = jnp.maximum(lax.psum(partial, axis_name), 0.0)
+    m = n1 + n2
+    candidate = lax.stop_gradient(jnp.sum(d2) / (m * m - m))
+    bw = jnp.where(bw_is_set, bw_value, candidate).astype(x_loc.dtype)
+    k = jnp.zeros_like(d2)
+    for mk in mults:
+        k = k + jnp.exp(-d2 / (bw * mk))
+    mmd2 = (
+        jnp.mean(k[:n1, :n1])
+        - 2.0 * jnp.mean(k[:n1, n1:])
+        + jnp.mean(k[n1:, n1:])
+    )
+    return mmd2, bw
