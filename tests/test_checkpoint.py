@@ -1,0 +1,76 @@
+"""Checkpoint/resume: full-train-state round-trip and exact continuation."""
+
+import numpy as np
+
+from vgan_tpu import VGAN, VGAN_no_kl
+
+
+def data(rng, n=96, d=10):
+    return rng.normal(size=(n, d)).astype(np.float32)
+
+
+def test_no_kl_checkpoint_roundtrip_exact_resume(tmp_path, rng):
+    x = data(rng)
+
+    # one uninterrupted 6-epoch run
+    m_full = VGAN_no_kl(batch_size=32, epochs=6, verbose=False)
+    m_full.fit(x)
+
+    # 3 epochs, checkpoint, restore into a fresh estimator, 3 more
+    m_a = VGAN_no_kl(batch_size=32, epochs=3, verbose=False)
+    m_a.fit(x)
+    m_a.save_checkpoint(tmp_path / "ckpt")
+
+    m_b = VGAN_no_kl(batch_size=32, epochs=3, verbose=False)
+    m_b.restore_checkpoint(tmp_path / "ckpt")
+    m_b.continue_fit(x, 3)
+
+    np.testing.assert_allclose(
+        m_b.train_history["generator_loss"],
+        m_full.train_history["generator_loss"],
+        rtol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        m_b.generate_subspaces(16), m_full.generate_subspaces(16)
+    )
+
+
+def test_kl_checkpoint_resume_across_phase_boundary(tmp_path, rng):
+    x = data(rng)
+    m_full = VGAN(batch_size=32, epochs=8, verbose=False)
+    m_full.fit(x)
+
+    # split mid-generator-phase (epoch 4 of the 1D+5G cycle)
+    m_a = VGAN(batch_size=32, epochs=4, verbose=False)
+    m_a.fit(x)
+    m_a.save_checkpoint(tmp_path / "ckpt")
+
+    m_b = VGAN(batch_size=32, epochs=4, verbose=False)
+    m_b.restore_checkpoint(tmp_path / "ckpt")
+    m_b.continue_fit(x, 4)
+
+    np.testing.assert_allclose(
+        m_b.train_history["generator_loss"],
+        m_full.train_history["generator_loss"],
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        m_b.train_history["detector_loss"],
+        m_full.train_history["detector_loss"],
+        rtol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        m_b.generate_subspaces(16), m_full.generate_subspaces(16)
+    )
+
+
+def test_checkpoint_class_mismatch_rejected(tmp_path, rng):
+    x = data(rng)
+    m = VGAN_no_kl(batch_size=32, epochs=1, verbose=False)
+    m.fit(x)
+    m.save_checkpoint(tmp_path / "ckpt")
+
+    import pytest
+
+    with pytest.raises(AssertionError, match="checkpoint is for"):
+        VGAN(verbose=False).restore_checkpoint(tmp_path / "ckpt")

@@ -190,6 +190,103 @@ class _VGANCommon(EstimatorBase):
             f"Loaded Model from {path_to_generator} with {ndims} dimensions in the latent space"
         )
 
+    # -- checkpoint / resume (capability beyond the reference) ---------------
+
+    def save_checkpoint(self, path):
+        """Persist the FULL train state (params + optimizer + bandwidth +
+        RNG key + schedule counters) for exact mid-training resume — the
+        reference can only save final generator weights (vgan.py:339-350).
+        """
+        from vgan_tpu.utils.checkpoint import save_train_state
+
+        assert getattr(self, "train_state", None) is not None, "fit first"
+        meta = {
+            "class": type(self).__name__,
+            "ndims": self._ndims,
+            "batch_size": self.batch_size,
+            "train_history": {k: list(v) for k, v in self.train_history.items()},
+            "bandwidth": self.bandwidth,
+            "schedule": self._schedule.get_state() if getattr(self, "_schedule", None) else None,
+        }
+        save_train_state(path, self.train_state, meta)
+
+    def restore_checkpoint(self, path):
+        """Restore a checkpoint written by :meth:`save_checkpoint`."""
+        import jax
+
+        from vgan_tpu.train.steps import (
+            AlternationSchedule,
+            init_kl_state,
+            init_no_kl_state,
+        )
+        from vgan_tpu.utils.checkpoint import load_meta, restore_train_state
+
+        meta = load_meta(path)
+        assert meta is not None, f"no checkpoint metadata at {path}"
+        assert meta["class"] == type(self).__name__, (
+            f"checkpoint is for {meta['class']}, not {type(self).__name__}"
+        )
+        self._ndims = meta["ndims"]
+        self.batch_size = meta["batch_size"]
+        self._config = self._make_config(self._ndims, self.batch_size)
+        self._latent_size = self._config.latent_size
+        init = init_kl_state if self._kl else init_no_kl_state
+        template = init(self._config, jax.random.PRNGKey(0))
+        self.train_state = restore_train_state(path, template)
+        self.train_history.clear()
+        for k, v in meta["train_history"].items():
+            self.train_history[k].extend(v)
+        self.bandwidth = meta["bandwidth"]
+        if self._kl:
+            self._schedule = AlternationSchedule(self.iternum_d, self.iternum_g)
+            if meta.get("schedule"):
+                self._schedule.set_state(meta["schedule"])
+            self.generator_params = self.train_state.gen_params
+            self.detector_params = self.train_state.det_params
+        else:
+            self.generator_params = self.train_state.params
+        self._sample_jit_cache = None
+        self.generator_optimizer = "Adadelta"
+        return self
+
+    def continue_fit(self, X, epochs: int):
+        """Run ``epochs`` more training epochs from the current state."""
+        import jax.numpy as jnp
+
+        from vgan_tpu.train.steps import kl_train_epochs, no_kl_train_epochs
+
+        x_dev = jnp.asarray(np.asarray(X), dtype=jnp.float32)
+        if self._kl:
+            phases = self._schedule.phase_array(epochs)
+            state, det_hist, gen_hist = kl_train_epochs(
+                self.train_state, x_dev, jnp.asarray(phases), self._config
+            )
+            # continue the last-seen-loss semantics across the resume point
+            det_hist = np.asarray(det_hist, dtype=np.float64)
+            gen_hist = np.asarray(gen_hist, dtype=np.float64)
+            prev_d = self.train_history["detector_loss"]
+            prev_g = self.train_history["generator_loss"]
+            if prev_d:
+                fix = np.isnan(det_hist)
+                det_hist[fix] = prev_d[-1]
+            if prev_g:
+                fix = np.isnan(gen_hist)
+                gen_hist[fix] = prev_g[-1]
+            prev_d.extend(float(v) for v in det_hist)
+            prev_g.extend(float(v) for v in gen_hist)
+            self.generator_params = state.gen_params
+            self.detector_params = state.det_params
+        else:
+            state, losses = no_kl_train_epochs(
+                self.train_state, x_dev, self._config, epochs
+            )
+            self.train_history["generator_loss"].extend(
+                float(v) for v in np.asarray(losses)
+            )
+            self.generator_params = state.params
+        self._finalize_fit(state, None)
+        return self
+
     # -- helpers ------------------------------------------------------------
 
     def _finalize_fit(self, state, x_shape):
@@ -284,9 +381,8 @@ class VGAN(_VGANCommon):
         self._latent_size = config.latent_size
 
         x_dev = jnp.asarray(X, dtype=jnp.float32)
-        phases = AlternationSchedule(self.iternum_d, self.iternum_g).phase_array(
-            self.epochs
-        )
+        self._schedule = AlternationSchedule(self.iternum_d, self.iternum_g)
+        phases = self._schedule.phase_array(self.epochs)
         # The whole fit is ONE compiled program: single dispatch, and a single
         # device->host fetch for the loss history at the end.
         state, det_hist, gen_hist = kl_fit_program(

@@ -1,0 +1,227 @@
+"""Subspace-ensemble outlier detection: vmap-batched scoring over masks.
+
+The reference's downstream capability (README.md:56-60 and the pyod/suod/
+sel_suod pins at requirements.txt:58,68,73): sample many subspace masks from
+a trained V-GAN, project the data through each, score with a base outlier
+detector, and aggregate — the "subspace-ensemble" workflow of the paper
+(arXiv:2504.07522). The reference drives pyod estimators in a Python loop
+per subspace; here the whole ensemble runs as ONE jitted program: masked
+distances are computed with the matmul identity
+
+    d2_m(a, b) = (a*a) @ m + (b*b) @ m - 2 (a .* m) @ b^T
+
+so each subspace's distance matrix is a batched MXU matmul, ``vmap`` batches
+over thousands of masks, and ``lax.map`` chunks the mask axis to bound
+memory. Base detectors implemented natively (KNN k-th-distance, KNN mean
+distance, LOF); a pyod adapter covers arbitrary CPU detectors for parity
+checks when pyod is installed (it is NOT a dependency).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _masked_sq_dists(a: jax.Array, b: jax.Array, mask: jax.Array) -> jax.Array:
+    """(nt, ntr) squared distances restricted to masked features."""
+    mask = mask.astype(a.dtype)
+    an = jnp.dot(a * a, mask)
+    bn = jnp.dot(b * b, mask)
+    cross = jnp.dot(a * mask[None, :], b.T, preferred_element_type=a.dtype)
+    return jnp.maximum(an[:, None] + bn[None, :] - 2.0 * cross, 0.0)
+
+
+def knn_scores_masked(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int
+) -> jax.Array:
+    """k-th nearest-neighbor distance in the masked space (pyod KNN
+    'largest' semantics)."""
+    d2 = _masked_sq_dists(x_test, x_train, mask)
+    neg_topk, _ = jax.lax.top_k(-d2, k)
+    return jnp.sqrt(-neg_topk[:, -1])
+
+
+def mean_dist_scores_masked(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int
+) -> jax.Array:
+    """Mean distance to the k nearest neighbors (pyod KNN 'mean')."""
+    d2 = _masked_sq_dists(x_test, x_train, mask)
+    neg_topk, _ = jax.lax.top_k(-d2, k)
+    return jnp.mean(jnp.sqrt(-neg_topk), axis=-1)
+
+
+def lof_scores_masked(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int
+) -> jax.Array:
+    """Local outlier factor in the masked space (novelty-style: test points
+    scored against the train set, matching sklearn/pyod LOF(novelty=True)).
+    """
+    eps = 1e-12
+    d2_tr = _masked_sq_dists(x_train, x_train, mask)
+    big = jnp.asarray(jnp.finfo(d2_tr.dtype).max)
+    n_tr = x_train.shape[0]
+    d2_tr = d2_tr.at[jnp.arange(n_tr), jnp.arange(n_tr)].set(big)  # no self
+    d_tr = jnp.sqrt(jnp.where(d2_tr >= big, big, d2_tr))
+
+    neg_knn_tr, nbr_tr = jax.lax.top_k(-d_tr, k)
+    knn_d_tr = -neg_knn_tr  # (ntr, k) ascending distances
+    kdist_tr = knn_d_tr[:, -1]
+
+    # lrd of train points
+    reach_tr = jnp.maximum(kdist_tr[nbr_tr], knn_d_tr)
+    lrd_tr = 1.0 / (jnp.mean(reach_tr, axis=-1) + eps)
+
+    # test points vs train set
+    d2_te = _masked_sq_dists(x_test, x_train, mask)
+    d_te = jnp.sqrt(d2_te)
+    neg_knn_te, nbr_te = jax.lax.top_k(-d_te, k)
+    knn_d_te = -neg_knn_te
+    reach_te = jnp.maximum(kdist_tr[nbr_te], knn_d_te)
+    lrd_te = 1.0 / (jnp.mean(reach_te, axis=-1) + eps)
+    return jnp.mean(lrd_tr[nbr_te], axis=-1) / (lrd_te + eps)
+
+
+_BASE_SCORERS = {
+    "knn": knn_scores_masked,
+    "knn_mean": mean_dist_scores_masked,
+    "lof": lof_scores_masked,
+}
+
+
+class SubspaceEnsemble:
+    """Ensemble outlier detector over V-GAN subspaces.
+
+    Parameters
+    ----------
+    subspaces, proba:
+        Either pass explicit masks (n_subspaces, d) + probabilities, or a
+        fitted ``VGAN``/``VGAN_no_kl`` via ``from_model``.
+    base:
+        'knn' (k-th NN distance), 'knn_mean', 'lof', or a pyod detector
+        instance (CPU fallback loop; pyod optional).
+    k:
+        neighborhood size for the native detectors.
+    aggregation:
+        'average' (probability-weighted mean of per-subspace scores) or
+        'max' (probability-ignoring maximum) — the two pyod combination
+        modes the reference experiments use.
+    normalize:
+        'zscore' standardizes each subspace's scores before aggregation
+        (suod-style), None aggregates raw scores.
+    chunk:
+        subspace-axis chunk size bounding the (chunk, nt, ntr) distance
+        block in memory.
+    """
+
+    def __init__(
+        self,
+        subspaces: np.ndarray,
+        proba: np.ndarray,
+        base="knn",
+        k: int = 10,
+        aggregation: str = "average",
+        normalize: Optional[str] = "zscore",
+        chunk: int = 128,
+    ):
+        self.subspaces = np.asarray(subspaces, dtype=bool)
+        proba = np.asarray(proba, dtype=np.float32)
+        self.proba = proba / proba.sum()
+        self.base = base
+        self.k = k
+        self.aggregation = aggregation
+        self.normalize = normalize
+        self.chunk = chunk
+        self._x_train = None
+
+    @classmethod
+    def from_model(cls, model, subspace_count: int = 500, **kwargs):
+        """Build from a fitted estimator via ``approx_subspace_dist``."""
+        model.approx_subspace_dist(subspace_count)
+        return cls(model.subspaces, model.proba, **kwargs)
+
+    def fit(self, x_train: np.ndarray):
+        self._x_train = jnp.asarray(np.asarray(x_train), dtype=jnp.float32)
+        return self
+
+    def decision_function(self, x_test: np.ndarray) -> np.ndarray:
+        """Aggregated outlier scores (higher = more outlying)."""
+        assert self._x_train is not None, "call fit(X_train) first"
+        if not isinstance(self.base, str):
+            return self._pyod_decision_function(x_test)
+
+        scorer = _BASE_SCORERS[self.base]
+        x_test = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
+
+        masks = jnp.asarray(self.subspaces)
+        proba = jnp.asarray(self.proba)
+        pad = (-len(self.subspaces)) % self.chunk
+        if pad:
+            masks = jnp.concatenate([masks, jnp.zeros((pad, masks.shape[1]), bool)])
+            proba = jnp.concatenate([proba, jnp.zeros((pad,), proba.dtype)])
+        n_chunks = masks.shape[0] // self.chunk
+        masks = masks.reshape(n_chunks, self.chunk, -1)
+        proba = proba.reshape(n_chunks, self.chunk)
+
+        scores = _ensemble_scores(
+            x_test,
+            self._x_train,
+            masks,
+            proba,
+            scorer=scorer,
+            k=self.k,
+            aggregation=self.aggregation,
+            normalize=self.normalize,
+        )
+        return np.asarray(scores)
+
+    def _pyod_decision_function(self, x_test) -> np.ndarray:
+        """CPU loop over subspaces with a pyod-style detector (clone per
+        subspace). Used for parity checks; requires the detector to expose
+        sklearn-style get_params/fit/decision_function."""
+        x_train = np.asarray(self._x_train)
+        x_test = np.asarray(x_test)
+        all_scores = []
+        for mask in self.subspaces:
+            det = self.base.__class__(**self.base.get_params())
+            det.fit(x_train[:, mask])
+            all_scores.append(det.decision_function(x_test[:, mask]))
+        scores = np.stack(all_scores)  # (n_subspaces, nt)
+        if self.normalize == "zscore":
+            mu = scores.mean(axis=1, keepdims=True)
+            sd = scores.std(axis=1, keepdims=True) + 1e-12
+            scores = (scores - mu) / sd
+        if self.aggregation == "max":
+            return scores.max(axis=0)
+        return (self.proba[:, None] * scores).sum(axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scorer", "k", "aggregation", "normalize")
+)
+def _ensemble_scores(
+    x_test, x_train, masks, proba, *, scorer, k, aggregation, normalize
+):
+    """One compiled program: lax.map over chunks, vmap over masks inside."""
+
+    def chunk_scores(args):
+        mask_chunk, proba_chunk = args
+        s = jax.vmap(lambda mk: scorer(x_test, x_train, mk, k))(mask_chunk)
+        if normalize == "zscore":
+            mu = jnp.mean(s, axis=1, keepdims=True)
+            sd = jnp.std(s, axis=1, keepdims=True) + 1e-12
+            s = (s - mu) / sd
+        if aggregation == "max":
+            # masked-out padding rows must not win the max
+            s = jnp.where(proba_chunk[:, None] > 0, s, -jnp.inf)
+            return jnp.max(s, axis=0), jnp.zeros(())
+        return jnp.sum(proba_chunk[:, None] * s, axis=0), jnp.zeros(())
+
+    per_chunk, _ = jax.lax.map(chunk_scores, (masks, proba))
+    if aggregation == "max":
+        return jnp.max(per_chunk, axis=0)
+    return jnp.sum(per_chunk, axis=0)

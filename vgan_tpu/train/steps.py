@@ -193,6 +193,19 @@ no_kl_epoch = partial(jax.jit, static_argnames=("config",))(_no_kl_epoch_body)
 
 
 @partial(jax.jit, static_argnames=("config", "epochs"))
+def no_kl_train_epochs(
+    state: NoKLTrainState, x: jax.Array, config: TrainConfig, epochs: int
+) -> Tuple[NoKLTrainState, jax.Array]:
+    """``epochs`` no-kl epochs from an existing state (resume-friendly)."""
+
+    def epoch_body(state, _):
+        state, loss = _no_kl_epoch_body(state, x, config)
+        return state, loss
+
+    return jax.lax.scan(epoch_body, state, None, length=epochs)
+
+
+@partial(jax.jit, static_argnames=("config", "epochs"))
 def no_kl_fit_program(
     x: jax.Array, key: jax.Array, config: TrainConfig, epochs: int
 ) -> Tuple[NoKLTrainState, jax.Array]:
@@ -204,13 +217,7 @@ def no_kl_fit_program(
     cost 10s-100s of ms each over a TPU tunnel).
     """
     state = init_no_kl_state(config, key)
-
-    def epoch_body(state, _):
-        state, loss = _no_kl_epoch_body(state, x, config)
-        return state, loss
-
-    state, losses = jax.lax.scan(epoch_body, state, None, length=epochs)
-    return state, losses
+    return no_kl_train_epochs(state, x, config, epochs)
 
 
 # ---------------------------------------------------------------------------
@@ -388,10 +395,10 @@ PHASE_DETECTOR, PHASE_GENERATOR, PHASE_IDLE = 0, 1, 2
 
 
 @partial(jax.jit, static_argnames=("config",))
-def kl_fit_program(
-    x: jax.Array, key: jax.Array, phases: jax.Array, config: TrainConfig
+def kl_train_epochs(
+    state: KLTrainState, x: jax.Array, phases: jax.Array, config: TrainConfig
 ) -> Tuple[KLTrainState, jax.Array, jax.Array]:
-    """The ENTIRE kl fit as one XLA program.
+    """Run the epochs described by ``phases`` from an existing state.
 
     ``phases`` is the precomputed epoch-phase vector (int32: 0 detector,
     1 generator, 2 idle) from :class:`AlternationSchedule` — the reference's
@@ -402,7 +409,6 @@ def kl_fit_program(
     records the *most recent* loss of each kind, NaN before the first epoch
     of that kind (vgan.py:232-233, 336-337).
     """
-    state = init_kl_state(config, key)
     nan = jnp.asarray(jnp.nan, jnp.float32)
 
     def epoch_body(carry, phase):
@@ -430,6 +436,15 @@ def kl_fit_program(
         epoch_body, (state, nan, nan), phases
     )
     return state, det_hist, gen_hist
+
+
+@partial(jax.jit, static_argnames=("config",))
+def kl_fit_program(
+    x: jax.Array, key: jax.Array, phases: jax.Array, config: TrainConfig
+) -> Tuple[KLTrainState, jax.Array, jax.Array]:
+    """The ENTIRE kl fit as one XLA program: init + the phased epochs."""
+    state = init_kl_state(config, key)
+    return kl_train_epochs(state, x, phases, config)
 
 
 class AlternationSchedule:
@@ -472,3 +487,11 @@ class AlternationSchedule:
         return np.asarray(
             [codes[self.next_phase()] for _ in range(epochs)], dtype=np.int32
         )
+
+    def get_state(self):
+        """Counter snapshot for checkpoint metadata."""
+        return {"d": self._d, "g": self._g}
+
+    def set_state(self, state):
+        self._d = state["d"]
+        self._g = state["g"]
