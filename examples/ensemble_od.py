@@ -1,0 +1,48 @@
+"""Subspace-ensemble outlier detection (BASELINE config #4): train V-GAN,
+sample the operator distribution, score test points with a vmap-batched base
+detector across all subspaces in one compiled program.
+
+Run: python examples/ensemble_od.py [--base knn|knn_mean|lof]
+"""
+
+import argparse
+
+import numpy as np
+
+from vgan_tpu import VGAN_no_kl
+from vgan_tpu.data import correlated_gaussian
+from vgan_tpu.ensemble import SubspaceEnsemble
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="knn", choices=["knn", "knn_mean", "lof"])
+    ap.add_argument("--epochs", type=int, default=20)
+    args = ap.parse_args()
+
+    d = 20
+    x_train = correlated_gaussian(n=1000, d=d, coupled=(0, 5, 6), seed=0)
+    rng = np.random.default_rng(1)
+    inliers = correlated_gaussian(n=180, d=d, coupled=(0, 5, 6), seed=2)
+    outliers = rng.normal(size=(20, d))
+    outliers[:, :5] += 5.0
+    x_test = np.vstack([inliers, outliers])
+    y_true = np.r_[np.zeros(180), np.ones(20)]
+
+    model = VGAN_no_kl(epochs=args.epochs, batch_size=250, verbose=False)
+    model.fit(x_train)
+
+    ens = SubspaceEnsemble.from_model(
+        model, subspace_count=1000, base=args.base, k=15
+    ).fit(x_train)
+    scores = ens.decision_function(x_test)
+
+    order = np.argsort(-scores)
+    top20 = set(order[:20])
+    hits = len(top20 & set(np.where(y_true == 1)[0]))
+    print(f"{len(ens.subspaces)} unique subspaces; base={args.base}")
+    print(f"precision@20: {hits / 20:.2f}")
+
+
+if __name__ == "__main__":
+    main()

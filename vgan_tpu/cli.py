@@ -1,0 +1,142 @@
+"""Command-line interface.
+
+The reference is configured purely through constructor kwargs
+(vgan.py:28, 442); this CLI exposes the same hyperparameters (same names,
+same defaults) plus the rebuild's extras, per SURVEY.md section 5's config
+plan. Subcommands:
+
+    python -m vgan_tpu fit         --data X.npy --variant kl --epochs 2000 ...
+    python -m vgan_tpu sample      --generator g.msgpack --ndims 32 --nsubs 500
+    python -m vgan_tpu check-myopic --data X.npy --generator g.msgpack ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_common_hyperparams(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--batch-size", type=int, default=500)
+    p.add_argument("--epochs", type=int, default=2000)
+    p.add_argument("--seed", type=int, default=777)
+    p.add_argument("--weight-decay", type=float, default=0.04)
+    p.add_argument("--momentum", type=float, default=0.99)
+    p.add_argument("--mmd-impl", choices=["auto", "jnp", "pallas"], default="auto")
+    p.add_argument("--no-quirks", action="store_true",
+                   help="disable reference-quirk replication")
+    p.add_argument("--quiet", action="store_true")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="vgan_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    fit = sub.add_parser("fit", help="train a subspace generator")
+    fit.add_argument("--data", required=True,
+                     help=".npy/.npz/.csv file, or sklearn:<name> (e.g. sklearn:digits)")
+    fit.add_argument("--variant", choices=["kl", "no_kl"], default="no_kl")
+    fit.add_argument("--out", default=None, help="artifact directory "
+                     "(models/, train_history/, params.csv, loss PDF)")
+    fit.add_argument("--lr", type=float, default=0.007)
+    fit.add_argument("--lr-d", type=float, default=0.007)
+    fit.add_argument("--temperature", type=float, default=0.0)
+    fit.add_argument("--iternum-d", type=int, default=1)
+    fit.add_argument("--iternum-g", type=int, default=5)
+    fit.add_argument("--checkpoint", default=None,
+                     help="directory for a full-train-state checkpoint")
+    _add_common_hyperparams(fit)
+
+    sample = sub.add_parser("sample", help="sample subspace masks")
+    sample.add_argument("--generator", required=True,
+                        help=".msgpack or reference .pt checkpoint")
+    sample.add_argument("--ndims", type=int, required=True)
+    sample.add_argument("--nsubs", type=int, default=500)
+    sample.add_argument("--seed", type=int, default=777)
+    sample.add_argument("--out", default=None, help="write masks to .npy")
+    sample.add_argument("--dist", action="store_true",
+                        help="print the unique-mask distribution")
+
+    myopic = sub.add_parser("check-myopic", help="MMD GoF test")
+    myopic.add_argument("--data", required=True)
+    myopic.add_argument("--generator", required=True)
+    myopic.add_argument("--bandwidth", type=float, nargs="+", default=[0.01])
+    myopic.add_argument("--count", type=int, default=500)
+    myopic.add_argument("--seed", type=int, default=777)
+
+    return parser
+
+
+def _load_data(spec: str):
+    from vgan_tpu.data import load_tabular, sklearn_dataset
+
+    if spec.startswith("sklearn:"):
+        x, _ = sklearn_dataset(spec.split(":", 1)[1])
+        return x
+    return load_tabular(spec)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from vgan_tpu import VGAN, VGAN_no_kl
+
+    if args.cmd == "fit":
+        x = _load_data(args.data)
+        common = dict(
+            batch_size=args.batch_size,
+            epochs=args.epochs,
+            momentum=args.momentum,
+            seed=args.seed,
+            weight_decay=args.weight_decay,
+            path_to_directory=args.out,
+            mmd_impl=args.mmd_impl,
+            replicate_reference_quirks=not args.no_quirks,
+            verbose=not args.quiet,
+        )
+        if args.variant == "kl":
+            model = VGAN(
+                temperature=args.temperature,
+                lr_G=args.lr,
+                lr_D=args.lr_d,
+                iternum_d=args.iternum_d,
+                iternum_g=args.iternum_g,
+                **common,
+            )
+        else:
+            model = VGAN_no_kl(lr=args.lr, **common)
+        model.fit(x)
+        print(f"final loss: {model.train_history['generator_loss'][-1]}")
+        if args.checkpoint:
+            model.save_checkpoint(args.checkpoint)
+            print(f"checkpoint written to {args.checkpoint}")
+        return 0
+
+    if args.cmd == "sample":
+        model = VGAN_no_kl(seed=args.seed, verbose=False)
+        model.load_models(args.generator, ndims=args.ndims)
+        u = model.generate_subspaces(args.nsubs)
+        if args.out:
+            import numpy as np
+
+            np.save(args.out, u)
+            print(f"{u.shape} masks -> {args.out}")
+        if args.dist or not args.out:
+            import pandas as pd
+
+            model.approx_subspace_dist(args.nsubs)
+            print(pd.DataFrame(model.subspaces, model.proba))
+        return 0
+
+    if args.cmd == "check-myopic":
+        x = _load_data(args.data)
+        model = VGAN_no_kl(seed=args.seed, verbose=False)
+        model.load_models(args.generator, ndims=x.shape[1])
+        print(model.check_if_myopic(x, bandwidth=list(args.bandwidth), count=args.count))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -63,10 +63,12 @@ def lof_scores_masked(
     """
     eps = 1e-12
     d2_tr = _masked_sq_dists(x_train, x_train, mask)
-    big = jnp.asarray(jnp.finfo(d2_tr.dtype).max)
     n_tr = x_train.shape[0]
-    d2_tr = d2_tr.at[jnp.arange(n_tr), jnp.arange(n_tr)].set(big)  # no self
-    d_tr = jnp.sqrt(jnp.where(d2_tr >= big, big, d2_tr))
+    big = jnp.asarray(jnp.finfo(d2_tr.dtype).max / 4)
+    # exclude self-pairs via an iota mask (TPU-friendly; no scatter)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_tr, n_tr), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_tr, n_tr), 1)
+    d_tr = jnp.where(rows == cols, big, jnp.sqrt(d2_tr))
 
     neg_knn_tr, nbr_tr = jax.lax.top_k(-d_tr, k)
     knn_d_tr = -neg_knn_tr  # (ntr, k) ascending distances
