@@ -44,25 +44,33 @@ def main() -> None:
         rng.multivariate_normal(np.zeros(10), cov, size=2000).astype(np.float32)
     )
 
-    epochs = 50  # 4 steps each
+    # Methodology note: on tunneled TPUs both dispatch and block_until_ready
+    # exhibit RPC jitter from ~1ms to ~900ms, so short runs are unmeasurable.
+    # We time ONE large compiled program (5000 epochs = 20000 steps) from
+    # dispatch through an actual value fetch — compute dominates the RPC
+    # overheads and the number is a conservative end-to-end throughput.
+    epochs = 5000  # 4 steps each
     config = TrainConfig(ndims=10, batch_size=500, lr_g=0.001, mmd_impl="auto")
     key = jax.random.PRNGKey(777)
 
     t0 = time.time()
     state, losses = no_kl_fit_program(x, key, config, epochs)
-    losses.block_until_ready()
-    log(f"compile+first run: {time.time() - t0:.1f}s")
+    final = float(losses[-1])
+    log(f"compile+first run: {time.time() - t0:.1f}s (final loss {final:.3f})")
 
-    reps = 5
-    t0 = time.time()
-    for r in range(reps):
-        state, losses = no_kl_fit_program(x, jax.random.fold_in(key, r), config, epochs)
-    losses.block_until_ready()
-    dt = time.time() - t0
-    steps = reps * epochs * (2000 // 500)
+    times = []
+    for r in range(3):
+        t0 = time.time()
+        state, losses = no_kl_fit_program(
+            x, jax.random.fold_in(key, r), config, epochs
+        )
+        float(losses[-1])  # real completion barrier (value fetch)
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
+    steps = epochs * (2000 // 500)
     steps_per_sec = steps / dt
-    log(f"train: {steps} steps in {dt:.3f}s -> {steps_per_sec:.0f} steps/s "
-        f"(final loss {float(np.asarray(losses)[-1]):.3f})")
+    log(f"train: {steps} steps in median {dt:.3f}s (runs: "
+        f"{', '.join(f'{t:.2f}' for t in times)}) -> {steps_per_sec:.0f} steps/s")
 
     # --- secondary: fused MMD Gram TFLOP/s at the stress config -------------
     try:

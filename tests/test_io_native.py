@@ -1,0 +1,80 @@
+"""Native CSV ingest engine: parity with numpy.loadtxt and speed sanity."""
+
+import time
+
+import numpy as np
+import pytest
+
+from vgan_tpu.io_native import load_csv, native_available
+
+
+@pytest.fixture(scope="module")
+def csv_files(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    d = tmp_path_factory.mktemp("csv")
+    plain = rng.normal(size=(200, 7))
+    p1 = d / "plain.csv"
+    np.savetxt(p1, plain, delimiter=",")
+
+    p2 = d / "header.csv"
+    with open(p2, "w") as fh:
+        fh.write(",".join(f"col{i}" for i in range(7)) + "\n")
+        np.savetxt(fh, plain, delimiter=",")
+
+    return {"plain": (p1, plain), "header": (p2, plain)}
+
+
+def test_native_library_builds():
+    assert native_available(), "libvgan_io.so failed to build/load"
+
+
+@pytest.mark.parametrize("kind", ["plain", "header"])
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_csv_parity(csv_files, kind, dtype):
+    path, expected = csv_files[kind]
+    got = load_csv(path, dtype=dtype)
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected.astype(dtype), rtol=1e-6)
+
+
+def test_csv_no_trailing_newline(tmp_path):
+    p = tmp_path / "nnl.csv"
+    p.write_text("1.0,2.0\n3.5,4.5")
+    got = load_csv(p)
+    np.testing.assert_allclose(got, [[1.0, 2.0], [3.5, 4.5]])
+
+
+def test_csv_scientific_and_negative(tmp_path):
+    p = tmp_path / "sci.csv"
+    p.write_text("-1.5e-3,2E4\n+0.5,-7\n")
+    got = load_csv(p)
+    np.testing.assert_allclose(got, [[-1.5e-3, 2e4], [0.5, -7.0]])
+
+
+def test_csv_malformed_rejected(tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("1.0,2.0\n3.0,oops\n")
+    if native_available():
+        with pytest.raises(ValueError):
+            load_csv(p)
+
+
+def test_large_csv_speed(tmp_path):
+    if not native_available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(1)
+    data = rng.normal(size=(20000, 50))
+    p = tmp_path / "big.csv"
+    np.savetxt(p, data, delimiter=",")
+
+    t0 = time.time()
+    got = load_csv(p, dtype=np.float64)
+    t_native = time.time() - t0
+    np.testing.assert_allclose(got, data, rtol=1e-10)
+
+    t0 = time.time()
+    ref = np.loadtxt(p, delimiter=",")
+    t_numpy = time.time() - t0
+    print(f"native {t_native:.3f}s vs numpy {t_numpy:.3f}s")
+    # generous bound: native must not be slower than numpy
+    assert t_native < t_numpy * 1.5

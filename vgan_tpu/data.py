@@ -62,18 +62,10 @@ def load_tabular(path) -> np.ndarray:
         z = np.load(path)
         return z[list(z.keys())[0]]
     if path.suffix == ".csv":
-        return np.loadtxt(path, delimiter=",", skiprows=_csv_header_rows(path))
+        from vgan_tpu.io_native import load_csv
+
+        return load_csv(path)
     raise ValueError(f"unsupported data format: {path.suffix}")
-
-
-def _csv_header_rows(path) -> int:
-    with open(path) as fh:
-        first = fh.readline()
-    try:
-        [float(v) for v in first.strip().split(",")]
-        return 0
-    except ValueError:
-        return 1
 
 
 def sklearn_dataset(name: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:

@@ -1,0 +1,120 @@
+"""ctypes binding for the native tabular ingest engine (native/libvgan_io.so).
+
+Builds the shared library on first use if the C++ toolchain is available
+(``make -C native``); every entry point falls back to numpy when the native
+path is unavailable, so the framework has no hard native dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libvgan_io.so"
+_lib = None
+_lib_failed = False
+
+
+def _load_library() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    try:
+        if not _LIB_PATH.exists():
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.vgan_csv_dims.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.vgan_csv_dims.restype = ctypes.c_int
+        for name, ptr_t in (
+            ("vgan_csv_read_f32", ctypes.POINTER(ctypes.c_float)),
+            ("vgan_csv_read_f64", ctypes.POINTER(ctypes.c_double)),
+        ):
+            fn = getattr(lib, name)
+            fn.argtypes = [
+                ctypes.c_char_p,
+                ptr_t,
+                ctypes.c_long,
+                ctypes.c_long,
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+            fn.restype = ctypes.c_int
+        _lib = lib
+    except Exception:
+        _lib_failed = True
+        _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return _load_library() is not None
+
+
+def load_csv(
+    path,
+    dtype=np.float64,
+    nthreads: Optional[int] = None,
+) -> np.ndarray:
+    """Parse a numeric CSV into an (n, d) array.
+
+    Native path: mmap + row-aligned multithreaded strtod. Falls back to
+    ``numpy.loadtxt`` when the shared library can't be built/loaded.
+    """
+    path = str(path)
+    lib = _load_library()
+    dtype = np.dtype(dtype)
+    if lib is None:
+        return _numpy_fallback(path, dtype)
+
+    rows = ctypes.c_long()
+    cols = ctypes.c_long()
+    header = ctypes.c_int()
+    rc = lib.vgan_csv_dims(path.encode(), ctypes.byref(rows),
+                           ctypes.byref(cols), ctypes.byref(header))
+    if rc != 0:
+        raise OSError(f"native CSV dims failed for {path} (rc={rc})")
+    out = np.empty((rows.value, cols.value), dtype=dtype)
+    if rows.value == 0:
+        return out
+    if nthreads is None:
+        nthreads = min(os.cpu_count() or 1, 16)
+    if dtype == np.float32:
+        fn = lib.vgan_csv_read_f32
+        ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    elif dtype == np.float64:
+        fn = lib.vgan_csv_read_f64
+        ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    else:
+        return _numpy_fallback(path, dtype)
+    rc = fn(path.encode(), ptr, rows.value, cols.value, header.value, nthreads)
+    if rc != 0:
+        raise ValueError(f"native CSV parse failed for {path} (rc={rc})")
+    return out
+
+
+def _numpy_fallback(path: str, dtype) -> np.ndarray:
+    with open(path) as fh:
+        first = fh.readline()
+    try:
+        [float(v) for v in first.strip().split(",")]
+        skip = 0
+    except ValueError:
+        skip = 1
+    arr = np.loadtxt(path, delimiter=",", skiprows=skip, dtype=dtype)
+    return np.atleast_2d(arr)
