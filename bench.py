@@ -72,6 +72,31 @@ def main() -> None:
     log(f"train: {steps} steps in median {dt:.3f}s (runs: "
         f"{', '.join(f'{t:.2f}' for t in times)}) -> {steps_per_sec:.0f} steps/s")
 
+    # --- secondary: kl (adversarial) variant throughput ---------------------
+    try:
+        from vgan_tpu.train.steps import AlternationSchedule, kl_fit_program
+
+        kl_epochs = 2000
+        kl_config = TrainConfig(ndims=10, batch_size=500, mmd_impl="auto")
+        phases = AlternationSchedule(1, 5).phase_array(kl_epochs)
+        t0 = time.time()
+        _, det_hist, _ = kl_fit_program(
+            x, jax.random.PRNGKey(7), jnp.asarray(phases), kl_config
+        )
+        float(det_hist[-1])
+        log(f"kl compile+first: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        _, det_hist, _ = kl_fit_program(
+            x, jax.random.PRNGKey(8), jnp.asarray(phases), kl_config
+        )
+        float(det_hist[-1])
+        dt_kl = time.time() - t0
+        kl_steps = kl_epochs * (2000 // 500)
+        log(f"kl train: {kl_steps} steps in {dt_kl:.3f}s -> "
+            f"{kl_steps/dt_kl:.0f} steps/s (ref CPU: 18.7)")
+    except Exception as e:  # pragma: no cover
+        log(f"kl bench skipped: {e}")
+
     # --- secondary: fused MMD Gram TFLOP/s at the stress config -------------
     try:
         from vgan_tpu.ops.mmd import mmd_loss_constrained_stateful

@@ -136,6 +136,23 @@ def test_coverage_penalty(rng):
     np.testing.assert_allclose(ours, expected, rtol=1e-6)
 
 
+def test_bf16_matmul_option_close_to_f32(rng):
+    x = rng.normal(size=(40, 32)).astype(np.float32)
+    y = (rng.normal(size=(40, 32)) + 0.3).astype(np.float32)
+    u = rng.uniform(size=(40, 32)).astype(np.float32)
+    bw = jnp.asarray(5.0, jnp.float32)
+    from vgan_tpu.ops.mmd import mmd_loss_constrained_stateful
+
+    f32, _ = mmd_loss_constrained_stateful(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(u), 1.0, bw, jnp.asarray(True)
+    )
+    bf16, _ = mmd_loss_constrained_stateful(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(u), 1.0, bw, jnp.asarray(True),
+        matmul_dtype="bfloat16",
+    )
+    np.testing.assert_allclose(float(bf16), float(f32), rtol=5e-2)
+
+
 def test_mmd_identical_samples_near_zero(rng):
     x = rng.normal(size=(15, 4)).astype(np.float32)
     mmd2, _ = mmd2_biased(jnp.asarray(x), jnp.asarray(x))

@@ -126,6 +126,29 @@ def test_dp_fit_matches_single_device(rng):
     )
 
 
+def test_estimator_api_with_mesh(rng):
+    """Passing mesh= to the estimator runs the fit data-parallel and matches
+    the single-device fit exactly (same program, sharded placement)."""
+    from vgan_tpu import VGAN_no_kl
+
+    x = rng.normal(size=(128, 16)).astype(np.float32)
+    m_ref = VGAN_no_kl(batch_size=32, epochs=3, verbose=False)
+    m_ref.fit(x)
+
+    mesh = make_mesh(data=4, model=2)
+    m_dp = VGAN_no_kl(batch_size=32, epochs=3, verbose=False, mesh=mesh)
+    m_dp.fit(x)
+
+    np.testing.assert_allclose(
+        m_dp.train_history["generator_loss"],
+        m_ref.train_history["generator_loss"],
+        rtol=1e-4,
+    )
+    np.testing.assert_array_equal(
+        m_dp.generate_subspaces(16), m_ref.generate_subspaces(16)
+    )
+
+
 def test_dp_kl_fit_runs(rng):
     x = rng.normal(size=(128, 32)).astype(np.float32)
     config = TrainConfig(ndims=32, batch_size=32, mmd_impl="jnp")

@@ -109,6 +109,27 @@ class EstimatorBase:
         plt.savefig(Path(path_to_directory) / "train_history.pdf", format="pdf", dpi=1200)
         plt.close(fig)
 
+    def _log_metrics_jsonl(self, wall_seconds: float) -> None:
+        """Structured JSONL metrics next to the CSV artifacts (see
+        vgan_tpu.utils.metrics); written when an artifact directory is set."""
+        if self.path_to_directory is None:
+            return
+        from vgan_tpu.utils.metrics import MetricsLogger
+
+        path = Path(self.path_to_directory) / "metrics.jsonl"
+        with MetricsLogger(path) as ml:
+            ml.log(
+                "fit",
+                estimator=type(self).__name__,
+                wall_seconds=wall_seconds,
+                epochs=len(self.train_history["generator_loss"]),
+                params={k: str(v) for k, v in self.get_params().items()},
+            )
+            keys = [k for k, v in self.train_history.items() if v]
+            for i in range(len(self.train_history["generator_loss"])):
+                ml.log("epoch", epoch=i,
+                       **{k: self.train_history[k][i] for k in keys})
+
     # -- weight persistence -------------------------------------------------
 
     def _save_generator(self, models_dir: Path, run_number: int, params) -> Path:

@@ -322,9 +322,13 @@ class VGAN(_VGANCommon):
         replicate_reference_quirks: bool = True,
         elm: bool = False,
         verbose: bool = True,
+        mesh=None,
+        shard_features: bool = False,
     ):
         super().__init__(path_to_directory)
         self._kl = True
+        self.mesh = mesh
+        self.shard_features = shard_features
         self.batch_size = batch_size
         self.temperature = temperature
         self.epochs = epochs
@@ -373,6 +377,9 @@ class VGAN(_VGANCommon):
 
     def fit(self, X):
         """Adversarially train generator and detector on dataset X."""
+        import time as _time
+
+        t_start = _time.time()
         X = np.asarray(X)
         n, ndims = X.shape[0], X.shape[1]
         self.batch_size = min(self.batch_size, n)
@@ -384,10 +391,20 @@ class VGAN(_VGANCommon):
         self._schedule = AlternationSchedule(self.iternum_d, self.iternum_g)
         phases = self._schedule.phase_array(self.epochs)
         # The whole fit is ONE compiled program: single dispatch, and a single
-        # device->host fetch for the loss history at the end.
-        state, det_hist, gen_hist = kl_fit_program(
-            x_dev, jax.random.PRNGKey(self.seed), jnp.asarray(phases), config
-        )
+        # device->host fetch for the loss history at the end. With a mesh the
+        # same program runs data-parallel (rows over 'data', optionally
+        # features over 'model'); XLA inserts the ICI collectives.
+        if self.mesh is not None:
+            from vgan_tpu.parallel.dp import kl_fit_program_dp
+
+            state, det_hist, gen_hist = kl_fit_program_dp(
+                x_dev, jax.random.PRNGKey(self.seed), jnp.asarray(phases),
+                config, self.mesh, shard_features=self.shard_features,
+            )
+        else:
+            state, det_hist, gen_hist = kl_fit_program(
+                x_dev, jax.random.PRNGKey(self.seed), jnp.asarray(phases), config
+            )
         det_hist = np.asarray(det_hist, dtype=np.float64)
         gen_hist = np.asarray(gen_hist, dtype=np.float64)
         for epoch in range(self.epochs):
@@ -403,6 +420,7 @@ class VGAN(_VGANCommon):
         self.generator_params = state.gen_params
         self.detector_params = state.det_params
         self._finalize_fit(state, X.shape)
+        self._log_metrics_jsonl(_time.time() - t_start)
 
         if self.path_to_directory is not None:
             path = Path(self.path_to_directory)
@@ -433,9 +451,13 @@ class VGAN_no_kl(_VGANCommon):
         mmd_impl: str = "auto",
         replicate_reference_quirks: bool = True,
         verbose: bool = True,
+        mesh=None,
+        shard_features: bool = False,
     ):
         super().__init__(path_to_directory)
         self._kl = False
+        self.mesh = mesh
+        self.shard_features = shard_features
         self.batch_size = batch_size
         self.epochs = epochs
         self.lr = lr
@@ -468,6 +490,9 @@ class VGAN_no_kl(_VGANCommon):
 
     def fit(self, X):
         """Train the generator on dataset X (no kernel learning)."""
+        import time as _time
+
+        t_start = _time.time()
         X = np.asarray(X)
         n, ndims = X.shape[0], X.shape[1]
         self.batch_size = min(self.batch_size, n)
@@ -477,10 +502,19 @@ class VGAN_no_kl(_VGANCommon):
 
         x_dev = jnp.asarray(X, dtype=jnp.float32)
         # The whole fit is ONE compiled program: single dispatch, and a single
-        # device->host fetch for the loss history at the end.
-        state, losses = no_kl_fit_program(
-            x_dev, jax.random.PRNGKey(self.seed), config, self.epochs
-        )
+        # device->host fetch for the loss history at the end. With a mesh the
+        # same program runs data-parallel over it.
+        if self.mesh is not None:
+            from vgan_tpu.parallel.dp import no_kl_fit_program_dp
+
+            state, losses = no_kl_fit_program_dp(
+                x_dev, jax.random.PRNGKey(self.seed), config, self.epochs,
+                self.mesh, shard_features=self.shard_features,
+            )
+        else:
+            state, losses = no_kl_fit_program(
+                x_dev, jax.random.PRNGKey(self.seed), config, self.epochs
+            )
         losses = np.asarray(losses, dtype=np.float64)
         for epoch in range(self.epochs):
             if self.verbose:
@@ -491,6 +525,7 @@ class VGAN_no_kl(_VGANCommon):
         self.generator_optimizer = "Adadelta"
         self.generator_params = state.params
         self._finalize_fit(state, X.shape)
+        self._log_metrics_jsonl(_time.time() - t_start)
 
         if self.path_to_directory is not None:
             path = Path(self.path_to_directory)

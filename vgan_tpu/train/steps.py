@@ -66,6 +66,9 @@ class TrainConfig:
     replicate_encoder_freeze: bool = True
     elm: bool = False  # reference's private __elm flag: encoder frozen from epoch 0
     mmd_impl: str = "auto"
+    # 'bfloat16' runs the Gram matmul in bf16 w/ f32 accumulation (~4x MXU
+    # rate); opt-in since it perturbs the loss at bf16 resolution
+    gram_matmul_dtype: str = None
     init_scheme_kl: str = REFERENCE_NORMAL
     init_scheme_no_kl: str = TORCH_DEFAULT
 
@@ -172,6 +175,7 @@ def _no_kl_epoch_body(
                 bw_value=bw_value,
                 bw_is_set=bw_is_set,
                 impl=config.mmd_impl,
+                matmul_dtype=config.gram_matmul_dtype,
             )
             return loss, bw
 
@@ -299,6 +303,7 @@ def _kl_detector_epoch_body(
                 bw_value=bw_value,
                 bw_is_set=bw_is_set,
                 impl=config.mmd_impl,
+                matmul_dtype=config.gram_matmul_dtype,
             )
             return -(mmd - 0.1 * l2_x - 0.1 * l2_ux), bw
 
@@ -360,6 +365,7 @@ def _kl_generator_epoch_body(
                 bw_value=bw_value,
                 bw_is_set=bw_is_set,
                 impl=config.mmd_impl,
+                matmul_dtype=config.gram_matmul_dtype,
             )
             return loss, bw
 
