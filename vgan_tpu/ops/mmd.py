@@ -87,6 +87,45 @@ def reference_bandwidth(d2: jax.Array) -> jax.Array:
     return jax.lax.stop_gradient(jnp.sum(d2) / (m * m - m))
 
 
+def ladder_exponents(mults: Tuple[float, ...]):
+    """Integer-power structure of a geometric bandwidth ladder.
+
+    For the reference's ladder {1/4, 1/2, 1, 2, 4} every kernel is an integer
+    power of the widest one: with ``t = exp(-d2 / (bw * max_mult))``,
+    ``exp(-d2/(bw*mk)) = t^(max_mult/mk)`` — powers {1, 2, 4, 8, 16}. One
+    transcendental + a few VPU multiplies replaces 5 transcendentals, which
+    is the dominant per-step cost of the MMD at small d (the exp ladder is
+    VPU-throughput-bound). Returns ``(base_mult, ints)`` aligned with
+    ``mults``, or None when the ladder is not integer-structured.
+    """
+    base = max(mults)
+    ints = []
+    for mk in mults:
+        r = base / mk
+        i = int(round(r))
+        if abs(r - i) > 1e-9 or i > 64:
+            return None
+        ints.append(i)
+    return base, tuple(ints)
+
+
+def integer_powers(t: jax.Array, ints: Tuple[int, ...]):
+    """``[t**i for i in ints]`` via a shared square-and-multiply chain."""
+    cache = {1: t}
+
+    def power(i: int) -> jax.Array:
+        if i in cache:
+            return cache[i]
+        half = power(i // 2)
+        r = half * half
+        if i % 2:
+            r = r * t
+        cache[i] = r
+        return r
+
+    return [power(i) for i in ints]
+
+
 def multi_rbf_gram(
     d2: jax.Array,
     bandwidth: jax.Array,
@@ -95,9 +134,18 @@ def multi_rbf_gram(
     """Sum of RBF Grams over the bandwidth ladder.
 
     ``K = sum_k exp(-d2 / (bandwidth * mults[k]))`` (Mmd_loss_constrained.py:24-26).
-    Python loop over the (static, small) ladder so XLA fuses the exps without
-    materializing a (k, m, m) intermediate.
+    Geometric ladders use the single-exp integer-power form (see
+    :func:`ladder_exponents`) — identical in exact arithmetic, ~1 ulp of fp
+    difference per squaring, 5x fewer transcendentals.
     """
+    ladder = ladder_exponents(mults)
+    if ladder is not None:
+        base, ints = ladder
+        t = jnp.exp(-d2 / (bandwidth * base))
+        k = jnp.zeros_like(d2)
+        for p in integer_powers(t, ints):
+            k = k + p
+        return k
     k = jnp.zeros_like(d2)
     for mk in mults:
         k = k + jnp.exp(-d2 / (bandwidth * mk))

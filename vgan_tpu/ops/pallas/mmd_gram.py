@@ -126,9 +126,17 @@ def _fwd_kernel(
         d2_out_ref[:] = d2
 
         bw = bw_ref[0, 0]
-        k = jnp.zeros_like(d2)
-        for mk in mults:
-            k = k + jnp.exp(-d2 / (bw * mk))
+        ladder = _mmd.ladder_exponents(mults)
+        if ladder is not None:
+            base, ints = ladder
+            t = jnp.exp(-d2 / (bw * base))
+            k = jnp.zeros_like(d2)
+            for pw in _mmd.integer_powers(t, ints):
+                k = k + pw
+        else:
+            k = jnp.zeros_like(d2)
+            for mk in mults:
+                k = k + jnp.exp(-d2 / (bw * mk))
 
         rows = i * TILE_M + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
         cols = j * TILE_M + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
@@ -232,10 +240,18 @@ def _bwd_kernel(
 
     bw = bw_ref[0, 0]
     d2 = d2_ref[:]
-    # K'(d2) = -sum_k exp(-d2/(bw mk)) / (bw mk)
+    # K'(d2) = -sum_k exp(-d2/(bw mk)) / (bw mk); geometric ladders use the
+    # single-exp integer-power form (see ops.mmd.ladder_exponents)
+    ladder = _mmd.ladder_exponents(mults)
     kprime = jnp.zeros_like(d2)
-    for mk in mults:
-        kprime = kprime - jnp.exp(-d2 / (bw * mk)) / (bw * mk)
+    if ladder is not None:
+        base, ints = ladder
+        t = jnp.exp(-d2 / (bw * base))
+        for mk, pw in zip(mults, _mmd.integer_powers(t, ints)):
+            kprime = kprime - pw / (bw * mk)
+    else:
+        for mk in mults:
+            kprime = kprime - jnp.exp(-d2 / (bw * mk)) / (bw * mk)
 
     rows = i * TILE_M + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
     cols = j * TILE_M + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from vgan_tpu.ops.mmd import bandwidth_multipliers, coverage_penalty
+from vgan_tpu.ops.mmd import bandwidth_multipliers, coverage_penalty, multi_rbf_gram
 
 
 def _block_gram_sum(
@@ -44,10 +44,7 @@ def _block_gram_sum(
         - 2.0 * jnp.dot(a, b.T, preferred_element_type=a.dtype),
         0.0,
     )
-    k = jnp.zeros_like(d2)
-    for mk in mults:
-        k = k + jnp.exp(-d2 / (bw * mk))
-    return jnp.sum(k)
+    return jnp.sum(multi_rbf_gram(d2, bw, mults))
 
 
 def _global_candidate_bandwidth(
@@ -176,9 +173,7 @@ def mmd2_feature_sharded(
     m = n1 + n2
     candidate = lax.stop_gradient(jnp.sum(d2) / (m * m - m))
     bw = jnp.where(bw_is_set, bw_value, candidate).astype(x_loc.dtype)
-    k = jnp.zeros_like(d2)
-    for mk in mults:
-        k = k + jnp.exp(-d2 / (bw * mk))
+    k = multi_rbf_gram(d2, bw, mults)
     mmd2 = (
         jnp.mean(k[:n1, :n1])
         - 2.0 * jnp.mean(k[:n1, n1:])
