@@ -6,6 +6,11 @@ distribution, project data, and run the myopicity GoF test.
 Run: python examples/demo.py [--epochs 15]
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import argparse
 
 import numpy as np

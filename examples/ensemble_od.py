@@ -5,6 +5,11 @@ detector across all subspaces in one compiled program.
 Run: python examples/ensemble_od.py [--base knn|knn_mean|lof]
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import argparse
 
 import numpy as np

@@ -8,6 +8,11 @@ move together distributionally.
 Run: python examples/pixel_subspaces.py [--epochs 50] [--out masks.png]
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import argparse
 
 import numpy as np

@@ -28,6 +28,11 @@ import pytest
 assert jax.default_backend() == "cpu"
 assert len(jax.devices()) == 8, "virtual 8-device CPU mesh not active"
 
+# Opt-in NaN tripwire for CI runs (SURVEY.md section 5): VGAN_TPU_DEBUG_NANS=1
+# makes any NaN-producing primitive raise immediately.
+if os.environ.get("VGAN_TPU_DEBUG_NANS") == "1":
+    jax.config.update("jax_debug_nans", True)
+
 
 @pytest.fixture
 def rng():

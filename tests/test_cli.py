@@ -1,0 +1,62 @@
+"""CLI workflow tests: fit -> artifacts -> sample -> check-myopic."""
+
+import numpy as np
+import pytest
+
+from vgan_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def data_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    path = d / "x.npy"
+    np.save(path, np.random.default_rng(0).normal(size=(96, 16)))
+    return path
+
+
+def test_fit_sample_myopic_roundtrip(data_file, tmp_path, capsys):
+    out = tmp_path / "run"
+    rc = main([
+        "fit", "--data", str(data_file), "--variant", "no_kl",
+        "--epochs", "2", "--batch-size", "32", "--quiet",
+        "--out", str(out), "--checkpoint", str(tmp_path / "ck"),
+    ])
+    assert rc == 0
+    gen = out / "models" / "generator_0.msgpack"
+    assert gen.is_file()
+    assert (out / "params.csv").is_file()
+    assert (out / "metrics.jsonl").is_file()
+    assert (tmp_path / "ck" / "meta.json").is_file()
+
+    rc = main(["sample", "--generator", str(gen), "--ndims", "16",
+               "--nsubs", "32", "--out", str(tmp_path / "u.npy")])
+    assert rc == 0
+    u = np.load(tmp_path / "u.npy")
+    assert u.shape == (32, 16) and u.dtype == bool
+
+    rc = main(["check-myopic", "--data", str(data_file),
+               "--generator", str(gen), "--count", "64"])
+    assert rc == 0
+    assert "recommended bandwidth" in capsys.readouterr().out
+
+
+def test_fit_kl_variant(data_file, tmp_path):
+    rc = main([
+        "fit", "--data", str(data_file), "--variant", "kl",
+        "--epochs", "2", "--batch-size", "32", "--quiet",
+    ])
+    assert rc == 0
+
+
+def test_fit_csv_input(tmp_path):
+    x = np.random.default_rng(1).normal(size=(64, 8))
+    csv = tmp_path / "x.csv"
+    np.savetxt(csv, x, delimiter=",")
+    rc = main(["fit", "--data", str(csv), "--variant", "no_kl",
+               "--epochs", "1", "--batch-size", "32", "--quiet"])
+    assert rc == 0
+
+
+def test_unknown_subcommand_fails():
+    with pytest.raises(SystemExit):
+        main(["frobnicate"])

@@ -63,6 +63,24 @@ def test_closed_form_bandwidth_matches_quadratic(rng):
     np.testing.assert_allclose(cf, ref, rtol=1e-3)
 
 
+def test_random_shapes_forward_parity(rng):
+    """Property-style sweep: random (n1, n2, d) shapes agree with the jnp
+    reference (SURVEY.md section 4: kernel-vs-jnp equivalence on random
+    shapes)."""
+    for _ in range(4):
+        n1 = int(rng.integers(2, 48))
+        n2 = int(rng.integers(2, 48))
+        d = int(rng.integers(1, 70))
+        x = jnp.asarray(rng.normal(size=(n1, d)).astype(np.float32))
+        y = jnp.asarray(rng.normal(size=(n2, d)).astype(np.float32) + 0.2)
+        ref, _ = M.mmd2_biased(x, y, bandwidth=jnp.asarray(2.0, jnp.float32))
+        pal, _ = mmd2_biased_pallas(x, y, bandwidth=jnp.asarray(2.0, jnp.float32))
+        np.testing.assert_allclose(
+            float(pal), float(ref), rtol=5e-4,
+            err_msg=f"shape ({n1},{n2},{d})",
+        )
+
+
 def test_pallas_supported_gates():
     x = jnp.zeros((10, 4))
     y = jnp.zeros((10, 4))
