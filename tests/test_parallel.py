@@ -149,6 +149,43 @@ def test_estimator_api_with_mesh(rng):
     )
 
 
+def test_shard_dataset_single_host(rng):
+    from vgan_tpu.parallel.input import process_row_range, shard_dataset
+
+    mesh = make_mesh(data=4, model=2)
+    x = rng.normal(size=(32, 8)).astype(np.float32)
+    xs = shard_dataset(x, mesh, shard_features=True)
+    assert xs.shape == (32, 8)
+    np.testing.assert_allclose(np.asarray(xs), x)
+    assert process_row_range(100) == (0, 100)  # single process owns all rows
+
+
+def test_elm_flag_freezes_encoder_from_start(rng):
+    """The reference's private __elm flag (vgan.py:45, 248-250): with it on,
+    the encoder never trains, from epoch 0."""
+    from vgan_tpu import VGAN
+
+    x = rng.normal(size=(96, 10)).astype(np.float32)
+    m = VGAN(batch_size=32, epochs=2, verbose=False, elm=True)
+    m.fit(x)
+    from vgan_tpu.train.steps import TrainConfig, init_kl_state
+    import jax as _jax
+
+    init = init_kl_state(m._config, _jax.random.PRNGKey(m.seed))
+    # rtol 1e-6: the fit initializes inside jit, where the normal-transform
+    # fuses differently than the eager init here (~1e-7 fp variance); an
+    # actually-trained encoder moves by orders of magnitude more
+    np.testing.assert_allclose(
+        np.asarray(init.det_params["params"]["encoder"]["Dense_0"]["kernel"]),
+        np.asarray(m.detector_params["params"]["encoder"]["Dense_0"]["kernel"]),
+        rtol=1e-5, atol=1e-8,
+    )
+    assert not np.allclose(
+        np.asarray(init.det_params["params"]["decoder"]["Dense_0"]["kernel"]),
+        np.asarray(m.detector_params["params"]["decoder"]["Dense_0"]["kernel"]),
+    )
+
+
 def test_dp_kl_fit_runs(rng):
     x = rng.normal(size=(128, 32)).astype(np.float32)
     config = TrainConfig(ndims=32, batch_size=32, mmd_impl="jnp")

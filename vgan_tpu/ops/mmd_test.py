@@ -32,12 +32,16 @@ import jax.numpy as jnp
 from vgan_tpu.ops.mmd import pairwise_sq_dists
 
 
-def alpha_gram(z: jax.Array, alphas: Sequence[float]) -> jax.Array:
-    """Pooled Gram matrix ``sum_a exp(-a d2)`` over the stacked samples."""
+def alpha_gram(z: jax.Array, alphas: jax.Array) -> jax.Array:
+    """Pooled Gram matrix ``sum_a exp(-a d2)`` over the stacked samples.
+
+    ``alphas`` is a traced (k,) vector — only its LENGTH is compile-time
+    static, so sweeping bandwidth values reuses one compiled program.
+    """
     d2 = pairwise_sq_dists(z)
     k = jnp.zeros_like(d2)
-    for a in alphas:
-        k = k + jnp.exp(-a * d2)
+    for i in range(alphas.shape[0]):
+        k = k + jnp.exp(-alphas[i] * d2)
     return k
 
 
@@ -66,14 +70,14 @@ def _stat_from_indicators(k: jax.Array, a: jax.Array, n1: int, n2: int) -> jax.A
     )
 
 
-@partial(jax.jit, static_argnames=("n1", "n2", "n_permutations", "alphas"))
+@partial(jax.jit, static_argnames=("n1", "n2", "n_permutations"))
 def _test_impl(
     z: jax.Array,
     key: jax.Array,
     n1: int,
     n2: int,
     n_permutations: int,
-    alphas: Tuple[float, ...],
+    alphas: jax.Array,
 ) -> Tuple[jax.Array, jax.Array]:
     m = n1 + n2
     k = alpha_gram(z, alphas)
@@ -103,5 +107,5 @@ def mmd_permutation_test(
         n1=int(x.shape[0]),
         n2=int(y.shape[0]),
         n_permutations=int(n_permutations),
-        alphas=tuple(float(a) for a in alphas),
+        alphas=jnp.asarray([float(a) for a in alphas], dtype=z.dtype),
     )

@@ -23,6 +23,7 @@ from vgan_tpu.parallel.ring import (
     mmd2_feature_sharded,
 )
 from vgan_tpu.parallel.dp import no_kl_fit_program_dp, kl_fit_program_dp
+from vgan_tpu.parallel.input import shard_dataset, process_row_range
 
 __all__ = [
     "make_mesh",
@@ -33,4 +34,6 @@ __all__ = [
     "mmd2_feature_sharded",
     "no_kl_fit_program_dp",
     "kl_fit_program_dp",
+    "shard_dataset",
+    "process_row_range",
 ]

@@ -1,0 +1,43 @@
+"""Multi-host input pipeline: build mesh-sharded global arrays from
+per-process data.
+
+Single-host: a plain ``device_put`` with the mesh sharding. Multi-host
+(after ``jax.distributed.initialize``): each process loads only its row
+shard (e.g. via the native CSV engine on its slice of files) and
+``jax.make_array_from_process_local_data`` assembles the global array —
+batches never transit DCN; only the Gram's ring exchange rides ICI
+(SURVEY.md section 7, hard part 6).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+
+def shard_dataset(
+    x_local: np.ndarray,
+    mesh: Mesh,
+    shard_features: bool = False,
+) -> jax.Array:
+    """Assemble the global, mesh-sharded dataset from process-local rows.
+
+    ``x_local`` is this process's row block (the full array on single-host).
+    Rows shard over 'data'; features optionally over 'model'.
+    """
+    spec = PartitionSpec("data", "model" if shard_features else None)
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(np.asarray(x_local), sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x_local))
+
+
+def process_row_range(n_total: int) -> tuple[int, int]:
+    """[start, end) row range this process should load (contiguous split)."""
+    p = jax.process_count()
+    i = jax.process_index()
+    per = -(-n_total // p)
+    return i * per, min((i + 1) * per, n_total)
