@@ -220,10 +220,10 @@ def _ensemble_scores(
         if aggregation == "max":
             # masked-out padding rows must not win the max
             s = jnp.where(proba_chunk[:, None] > 0, s, -jnp.inf)
-            return jnp.max(s, axis=0), jnp.zeros(())
-        return jnp.sum(proba_chunk[:, None] * s, axis=0), jnp.zeros(())
+            return jnp.max(s, axis=0)
+        return jnp.sum(proba_chunk[:, None] * s, axis=0)
 
-    per_chunk, _ = jax.lax.map(chunk_scores, (masks, proba))
+    per_chunk = jax.lax.map(chunk_scores, (masks, proba))
     if aggregation == "max":
         return jnp.max(per_chunk, axis=0)
     return jnp.sum(per_chunk, axis=0)

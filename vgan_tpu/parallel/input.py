@@ -11,8 +11,6 @@ batches never transit DCN; only the Gram's ring exchange rides ICI
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from vgan_tpu.ops.mmd import bandwidth_multipliers, coverage_penalty, multi_rbf_gram
+from vgan_tpu.ops.mmd import bandwidth_multipliers, multi_rbf_gram
 
 
 def _block_gram_sum(
