@@ -178,6 +178,22 @@ def test_kl_fit_program_equals_epoch_loop():
     )
 
 
+def test_fit_deterministic_per_seed():
+    """Two runs with the same seed produce bit-identical histories and
+    parameters (determinism guarantee the reference can't make across
+    devices; SURVEY.md section 4 property test)."""
+    x = jnp.asarray(correlated_gaussian(n=96, d=10))
+    config = TrainConfig(ndims=10, batch_size=32, mmd_impl="jnp")
+    key = jax.random.PRNGKey(9)
+    s1, l1 = no_kl_fit_program(x, key, config, 3)
+    s2, l2 = no_kl_fit_program(x, key, config, 3)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        s1.params, s2.params,
+    )
+
+
 def test_no_kl_training_mask_distribution_collapses():
     """End-to-end dynamics check (mini version of test.ipynb cells 2-12).
 
