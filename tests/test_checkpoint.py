@@ -64,6 +64,48 @@ def test_kl_checkpoint_resume_across_phase_boundary(tmp_path, rng):
     )
 
 
+def test_auto_checkpointing_fit(tmp_path, rng):
+    """checkpoint_every triggers periodic full-state saves during fit, and
+    chunked execution matches the single-program fit exactly."""
+    x = data(rng)
+    ck = tmp_path / "auto"
+    m = VGAN_no_kl(batch_size=32, epochs=6, verbose=False,
+                   checkpoint_dir=ck, checkpoint_every=2)
+    m.fit(x)
+    assert (ck / "meta.json").is_file()
+
+    m_ref = VGAN_no_kl(batch_size=32, epochs=6, verbose=False)
+    m_ref.fit(x)
+    np.testing.assert_allclose(
+        m.train_history["generator_loss"],
+        m_ref.train_history["generator_loss"],
+        rtol=1e-6,
+    )
+
+    # the checkpoint on disk is the final state: restoring reproduces sampling
+    m2 = VGAN_no_kl(batch_size=32, verbose=False).restore_checkpoint(ck)
+    np.testing.assert_array_equal(
+        m2.generate_subspaces(8), m.generate_subspaces(8)
+    )
+
+
+def test_kl_auto_checkpointing_chunks_match(tmp_path, rng):
+    x = data(rng)
+    m = VGAN(batch_size=32, epochs=8, verbose=False,
+             checkpoint_dir=tmp_path / "klauto", checkpoint_every=3)
+    m.fit(x)
+    m_ref = VGAN(batch_size=32, epochs=8, verbose=False)
+    m_ref.fit(x)
+    np.testing.assert_allclose(
+        m.train_history["detector_loss"], m_ref.train_history["detector_loss"],
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        m.train_history["generator_loss"], m_ref.train_history["generator_loss"],
+        rtol=1e-5,
+    )
+
+
 def test_checkpoint_class_mismatch_rejected(tmp_path, rng):
     x = data(rng)
     m = VGAN_no_kl(batch_size=32, epochs=1, verbose=False)

@@ -48,8 +48,6 @@ from vgan_tpu.ops.mmd_test import mmd_permutation_test
 from vgan_tpu.train.steps import (
     AlternationSchedule,
     TrainConfig,
-    kl_fit_program,
-    no_kl_fit_program,
 )
 
 
@@ -324,11 +322,15 @@ class VGAN(_VGANCommon):
         verbose: bool = True,
         mesh=None,
         shard_features: bool = False,
+        checkpoint_dir=None,
+        checkpoint_every: int = None,
     ):
         super().__init__(path_to_directory)
         self._kl = True
         self.mesh = mesh
         self.shard_features = shard_features
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
         self.batch_size = batch_size
         self.temperature = temperature
         self.epochs = epochs
@@ -388,32 +390,47 @@ class VGAN(_VGANCommon):
         self._latent_size = config.latent_size
 
         x_dev = jnp.asarray(X, dtype=jnp.float32)
-        self._schedule = AlternationSchedule(self.iternum_d, self.iternum_g)
-        phases = self._schedule.phase_array(self.epochs)
-        # The whole fit is ONE compiled program: single dispatch, and a single
-        # device->host fetch for the loss history at the end. With a mesh the
-        # same program runs data-parallel (rows over 'data', optionally
-        # features over 'model'); XLA inserts the ICI collectives.
         if self.mesh is not None:
-            from vgan_tpu.parallel.dp import kl_fit_program_dp
+            from vgan_tpu.parallel.input import shard_dataset
 
-            state, det_hist, gen_hist = kl_fit_program_dp(
-                x_dev, jax.random.PRNGKey(self.seed), jnp.asarray(phases),
-                config, self.mesh, shard_features=self.shard_features,
+            x_dev = shard_dataset(X.astype(np.float32), self.mesh,
+                                  shard_features=self.shard_features)
+        self._schedule = AlternationSchedule(self.iternum_d, self.iternum_g)
+        # The whole fit is ONE compiled program per chunk: a single dispatch
+        # and a single device->host fetch of the loss history. Without
+        # checkpoint_every there is exactly one chunk. Under a mesh the same
+        # program runs data-parallel (XLA inserts the ICI collectives).
+        from vgan_tpu.train.steps import init_kl_state, kl_train_epochs
+
+        state = init_kl_state(config, jax.random.PRNGKey(self.seed))
+        done = 0
+        last_d, last_g = float("nan"), float("nan")
+        while done < self.epochs:
+            chunk = min(self.checkpoint_every or self.epochs, self.epochs - done)
+            phases = self._schedule.phase_array(chunk)
+            state, det_hist, gen_hist = kl_train_epochs(
+                state, x_dev, jnp.asarray(phases), config
             )
-        else:
-            state, det_hist, gen_hist = kl_fit_program(
-                x_dev, jax.random.PRNGKey(self.seed), jnp.asarray(phases), config
-            )
-        det_hist = np.asarray(det_hist, dtype=np.float64)
-        gen_hist = np.asarray(gen_hist, dtype=np.float64)
-        for epoch in range(self.epochs):
-            if self.verbose:
-                print(f"\rEpoch {epoch} of {self.epochs}")
-                print(f"Average loss in the epoch Generator: {gen_hist[epoch]}")
-                print(f"Average loss in the epoch Detector: {det_hist[epoch]}")
-            self.train_history["generator_loss"].append(float(gen_hist[epoch]))
-            self.train_history["detector_loss"].append(float(det_hist[epoch]))
+            det_hist = np.asarray(det_hist, dtype=np.float64)
+            gen_hist = np.asarray(gen_hist, dtype=np.float64)
+            # carry last-seen-loss semantics across chunk boundaries
+            det_hist[np.isnan(det_hist)] = last_d
+            gen_hist[np.isnan(gen_hist)] = last_g
+            for i in range(chunk):
+                epoch = done + i
+                if self.verbose:
+                    print(f"\rEpoch {epoch} of {self.epochs}")
+                    print(f"Average loss in the epoch Generator: {gen_hist[i]}")
+                    print(f"Average loss in the epoch Detector: {det_hist[i]}")
+                self.train_history["generator_loss"].append(float(gen_hist[i]))
+                self.train_history["detector_loss"].append(float(det_hist[i]))
+            last_d, last_g = det_hist[-1], gen_hist[-1]
+            done += chunk
+            if self.checkpoint_dir is not None:
+                self.train_state = state
+                self.generator_params = state.gen_params
+                self.detector_params = state.det_params
+                self.save_checkpoint(self.checkpoint_dir)
 
         self.generator_optimizer = "Adadelta"
         self.detector_optimizer = "Adadelta"
@@ -453,11 +470,15 @@ class VGAN_no_kl(_VGANCommon):
         verbose: bool = True,
         mesh=None,
         shard_features: bool = False,
+        checkpoint_dir=None,
+        checkpoint_every: int = None,
     ):
         super().__init__(path_to_directory)
         self._kl = False
         self.mesh = mesh
         self.shard_features = shard_features
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
         self.batch_size = batch_size
         self.epochs = epochs
         self.lr = lr
@@ -501,26 +522,33 @@ class VGAN_no_kl(_VGANCommon):
         self._latent_size = config.latent_size
 
         x_dev = jnp.asarray(X, dtype=jnp.float32)
-        # The whole fit is ONE compiled program: single dispatch, and a single
-        # device->host fetch for the loss history at the end. With a mesh the
-        # same program runs data-parallel over it.
         if self.mesh is not None:
-            from vgan_tpu.parallel.dp import no_kl_fit_program_dp
+            from vgan_tpu.parallel.input import shard_dataset
 
-            state, losses = no_kl_fit_program_dp(
-                x_dev, jax.random.PRNGKey(self.seed), config, self.epochs,
-                self.mesh, shard_features=self.shard_features,
-            )
-        else:
-            state, losses = no_kl_fit_program(
-                x_dev, jax.random.PRNGKey(self.seed), config, self.epochs
-            )
-        losses = np.asarray(losses, dtype=np.float64)
-        for epoch in range(self.epochs):
-            if self.verbose:
-                print(f"\rEpoch {epoch} of {self.epochs}")
-                print(f"Average loss in the epoch: {losses[epoch]}")
-            self.train_history["generator_loss"].append(float(losses[epoch]))
+            x_dev = shard_dataset(X.astype(np.float32), self.mesh,
+                                  shard_features=self.shard_features)
+        # The whole fit is ONE compiled program per chunk: a single dispatch
+        # and a single device->host fetch of the loss history. Without
+        # checkpoint_every there is exactly one chunk.
+        from vgan_tpu.train.steps import init_no_kl_state, no_kl_train_epochs
+
+        state = init_no_kl_state(config, jax.random.PRNGKey(self.seed))
+        done = 0
+        while done < self.epochs:
+            chunk = min(self.checkpoint_every or self.epochs, self.epochs - done)
+            state, losses = no_kl_train_epochs(state, x_dev, config, chunk)
+            losses = np.asarray(losses, dtype=np.float64)
+            for i in range(chunk):
+                epoch = done + i
+                if self.verbose:
+                    print(f"\rEpoch {epoch} of {self.epochs}")
+                    print(f"Average loss in the epoch: {losses[i]}")
+                self.train_history["generator_loss"].append(float(losses[i]))
+            done += chunk
+            if self.checkpoint_dir is not None:
+                self.train_state = state
+                self.generator_params = state.params
+                self.save_checkpoint(self.checkpoint_dir)
 
         self.generator_optimizer = "Adadelta"
         self.generator_params = state.params

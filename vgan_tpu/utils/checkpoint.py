@@ -27,7 +27,8 @@ def save_train_state(path, state, meta: Optional[dict] = None) -> None:
     path = Path(path).absolute()
     path.parent.mkdir(parents=True, exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path / "state", state)
+        # force: periodic auto-checkpointing overwrites the previous save
+        ckptr.save(path / "state", state, force=True)
         ckptr.wait_until_finished()
     if meta is not None:
         (path / "meta.json").write_text(json.dumps(meta))
