@@ -57,6 +57,23 @@ def test_pvalue_power_under_shift(rng):
     assert float(pval) < 0.01
 
 
+def test_sweep_matches_single_alpha_stats(rng):
+    from vgan_tpu.ops.mmd_test import mmd_permutation_test_sweep
+
+    x = rng.normal(size=(30, 3))
+    y = rng.normal(size=(30, 3)) + 0.5
+    alphas = [0.1, 1.0, 10.0]
+    stats, pvals = mmd_permutation_test_sweep(
+        x, y, alphas, key=jax.random.PRNGKey(0), n_permutations=100
+    )
+    assert stats.shape == (3,) and pvals.shape == (3,)
+    for i, a in enumerate(alphas):
+        np.testing.assert_allclose(
+            float(stats[i]), naive_unbiased_mmd(x, y, [a]), rtol=1e-6
+        )
+    assert np.all((0 <= np.asarray(pvals)) & (np.asarray(pvals) <= 1))
+
+
 def test_unequal_sample_sizes(rng):
     x = rng.normal(size=(30, 2))
     y = rng.normal(size=(50, 2))

@@ -44,7 +44,7 @@ from vgan_tpu.api.base import EstimatorBase
 from vgan_tpu.models.generator import GeneratorBig, latent_size_for
 from vgan_tpu.ops.activations import binarize_mask
 from vgan_tpu.ops.mmd import mmd2_biased
-from vgan_tpu.ops.mmd_test import mmd_permutation_test
+from vgan_tpu.ops.mmd_test import mmd_permutation_test_sweep
 from vgan_tpu.train.steps import (
     AlternationSchedule,
     TrainConfig,
@@ -150,17 +150,17 @@ class _VGANCommon(EstimatorBase):
         bandwidth = [float(b) for b in np.asarray(bandwidth).ravel()]
         bandwidth.sort()
 
-        results = []
         key = jax.random.PRNGKey(self.seed if self.seed is not None else 0)
-        for i, bw in enumerate(bandwidth + [float(self.bandwidth)]):
-            _, pval = mmd_permutation_test(
-                x_sample,
-                ux_sample,
-                alphas=[bw],
-                key=jax.random.fold_in(key, i),
-                n_permutations=n_permutations,
-            )
-            results.append(float(pval))
+        # all bandwidths (incl. recommended) in ONE compiled dispatch: the d2
+        # matrix and the permutation set are shared across the sweep
+        _, pvals = mmd_permutation_test_sweep(
+            x_sample,
+            ux_sample,
+            alphas=bandwidth + [float(self.bandwidth)],
+            key=key,
+            n_permutations=n_permutations,
+        )
+        results = [float(p) for p in np.asarray(pvals)]
 
         columns = bandwidth + ["recommended bandwidth"]
         return pd.DataFrame([results], columns=columns, index=["p-val"])

@@ -92,6 +92,63 @@ def _test_impl(
     return observed, pval
 
 
+@partial(jax.jit, static_argnames=("n1", "n2", "n_permutations"))
+def _test_impl_multi(
+    z: jax.Array,
+    key: jax.Array,
+    n1: int,
+    n2: int,
+    n_permutations: int,
+    alphas: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched single-alpha tests: one dispatch for a whole bandwidth sweep.
+
+    The squared-distance matrix and the permutation set are computed once
+    and shared across bandwidths (each bandwidth's kernel is an elementwise
+    exp of the same d2); the statistic batch is a vmapped matmul stack.
+    """
+    from vgan_tpu.ops.mmd import pairwise_sq_dists
+
+    d2 = pairwise_sq_dists(z)
+    m = n1 + n2
+    base = jnp.concatenate(
+        [jnp.ones((n1,), dtype=d2.dtype), jnp.zeros((n2,), dtype=d2.dtype)]
+    )
+    perm_keys = jax.random.split(key, n_permutations)
+    perms = jax.vmap(lambda kk: jax.random.permutation(kk, base))(perm_keys)
+
+    def per_alpha(a):
+        k = jnp.exp(-a * d2)
+        observed = _stat_from_indicators(k, base[None, :], n1, n2)[0]
+        perm_stats = _stat_from_indicators(k, perms, n1, n2)
+        pval = jnp.mean((perm_stats >= observed).astype(k.dtype))
+        return observed, pval
+
+    return jax.vmap(per_alpha)(alphas)
+
+
+def mmd_permutation_test_sweep(
+    x: jax.Array,
+    y: jax.Array,
+    alphas: Sequence[float],
+    key: jax.Array,
+    n_permutations: int = 1000,
+) -> Tuple[jax.Array, jax.Array]:
+    """Single-alpha tests for each alpha, batched into ONE compiled dispatch.
+
+    Returns ``(statistics, p_values)``, each shape (len(alphas),).
+    """
+    z = jnp.concatenate([jnp.asarray(x), jnp.asarray(y)], axis=0)
+    return _test_impl_multi(
+        z,
+        key,
+        n1=int(x.shape[0]),
+        n2=int(y.shape[0]),
+        n_permutations=int(n_permutations),
+        alphas=jnp.asarray([float(a) for a in alphas], dtype=z.dtype),
+    )
+
+
 def mmd_permutation_test(
     x: jax.Array,
     y: jax.Array,
