@@ -108,6 +108,9 @@ class EstimatorBase:
         ax.legend(loc="upper right")
         plt.savefig(Path(path_to_directory) / "train_history.pdf", format="pdf", dpi=1200)
         plt.close(fig)
+        if show:
+            # reference parity (vgan.py:98-99, message quoted verbatim)
+            print("The show option has been depricated due to lack of utility")
 
     def _log_metrics_jsonl(self, wall_seconds: float) -> None:
         """Structured JSONL metrics next to the CSV artifacts (see

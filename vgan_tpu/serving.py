@@ -1,0 +1,58 @@
+"""Serving export: AOT-serialized subspace sampler (StableHLO artifact).
+
+Production-deployment story the reference lacks: the trained generator's
+sampling path (noise -> linear stack -> upper-softmax -> binarize) is
+exported with ``jax.export`` into a self-contained serialized artifact
+(StableHLO + embedded weights) that a serving process can load and run
+WITHOUT the model code — only jax itself. The artifact is
+platform-checked at export (export on the platform you serve on, e.g. 'tpu'
+or 'cpu').
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vgan_tpu.ops.activations import binarize_mask
+
+
+def export_sampler(model, path, max_batch: int = 4096) -> None:
+    """Serialize the fitted model's mask sampler to ``path``.
+
+    The exported function maps noise ``z (b, latent)`` (b <= max_batch via
+    symbolic batch dimension) to boolean masks ``(b, d)``. Weights are
+    embedded as constants.
+    """
+    module = model._generator_module()
+    params = model.generator_params
+
+    def sample(z):
+        return binarize_mask(module.apply(params, z), axis=-1)
+
+    batch = jax.export.symbolic_shape("b")[0]
+    z_spec = jax.ShapeDtypeStruct((batch, model._latent_size), jnp.float32)
+    exported = jax.export.export(jax.jit(sample))(z_spec)
+    Path(path).write_bytes(exported.serialize())
+
+
+def load_sampler(path):
+    """Load a serialized sampler; returns ``fn(z) -> bool masks``."""
+    exported = jax.export.deserialize(Path(path).read_bytes())
+
+    def fn(z):
+        return exported.call(jnp.asarray(z, jnp.float32))
+
+    return fn
+
+
+def sample_masks(sampler_fn, nsubs: int, latent_size: int, seed: int = 777):
+    """Reference-sampling semantics against a loaded sampler: re-seeded
+    noise -> deterministic masks per (seed, nsubs)."""
+    z = jax.random.normal(
+        jax.random.PRNGKey(seed), (nsubs, latent_size), jnp.float32
+    )
+    return np.asarray(sampler_fn(z))
