@@ -109,9 +109,13 @@ def test_kl_encoder_freeze_quirk():
     assert not np.allclose(dec1, dec2)
 
 
-def test_kl_generator_epoch_only_updates_generator():
+def test_kl_generator_epoch_trains_generator_when_detach_off():
+    """With replicate_generator_detach=False (the paper's intended GAN), the
+    generator epoch updates ONLY generator params."""
     x = jnp.asarray(correlated_gaussian(n=96, d=10))
-    config = TrainConfig(ndims=10, batch_size=32, mmd_impl="jnp")
+    config = TrainConfig(
+        ndims=10, batch_size=32, mmd_impl="jnp", replicate_generator_detach=False
+    )
     state = init_kl_state(config, jax.random.PRNGKey(2))
     det_before = jax.tree.map(np.asarray, state.det_params)
     gen_before = np.asarray(state.gen_params["params"]["Dense_0"]["kernel"])
@@ -122,6 +126,28 @@ def test_kl_generator_epoch_only_updates_generator():
         np.testing.assert_array_equal, det_before, jax.tree.map(np.asarray, state.det_params)
     )
     assert not np.allclose(gen_before, np.asarray(state.gen_params["params"]["Dense_0"]["kernel"]))
+
+
+def test_kl_generator_detach_quirk_freezes_generator():
+    """Reference-exact default: torch 2.x Variable() DETACHES, so the
+    reference's kl generator never trains (vgan.py:308-309; verified by
+    running the reference — identical mask distributions at 15 and 200
+    epochs). The generator epoch must leave generator params and optimizer
+    state untouched while still evaluating the loss and advancing the
+    bandwidth state."""
+    x = jnp.asarray(correlated_gaussian(n=96, d=10))
+    config = TrainConfig(ndims=10, batch_size=32, mmd_impl="jnp")
+    assert config.replicate_generator_detach  # the default
+    state = init_kl_state(config, jax.random.PRNGKey(2))
+    gen_before = jax.tree.map(np.asarray, state.gen_params)
+
+    state, loss = kl_generator_epoch(state, x, config)
+    assert np.isfinite(float(loss))
+    jax.tree.map(
+        np.testing.assert_array_equal, gen_before,
+        jax.tree.map(np.asarray, state.gen_params),
+    )
+    assert bool(state.bw_is_set)
 
 
 def test_no_kl_fit_program_equals_epoch_loop():

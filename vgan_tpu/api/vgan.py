@@ -18,6 +18,14 @@ Replicated quirks (all switchable via ``replicate_reference_quirks``):
   and all learned masks are halved;
 - ``check_if_myopic`` passes the divisor-style "recommended bandwidth"
   directly as the multiplier-style kernel ``alpha`` (vgan.py:424-428);
+- **the kl generator never trains in the reference**: torch 2.x
+  ``Variable(tensor)`` detaches, and vgan.py:308-309 wraps
+  ``generator(noise)`` in ``Variable`` before the generator loss — so the
+  reference's generator receives no gradients and its "learned" kl mask
+  distribution is the init-time geometry (verified empirically: the
+  reference produces identical mask distributions after 15 and 200 epochs).
+  Replicated by default; ``replicate_reference_quirks=False`` trains the
+  generator as the paper intends;
 - bandwidth freeze + encoder freeze: see :mod:`vgan_tpu.train.steps`.
 
 Known reference *bugs* fixed rather than replicated (documented in
@@ -365,6 +373,7 @@ class VGAN(_VGANCommon):
             seed=self.seed,
             freeze_bandwidth=True,
             replicate_encoder_freeze=self.replicate_reference_quirks,
+            replicate_generator_detach=self.replicate_reference_quirks,
             elm=self.elm,
             mmd_impl=self.mmd_impl,
         )

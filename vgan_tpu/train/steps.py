@@ -64,6 +64,14 @@ class TrainConfig:
     seed: int = 777
     freeze_bandwidth: bool = True
     replicate_encoder_freeze: bool = True
+    # Reference-exact kl-generator semantics: torch 2.x `Variable(tensor)`
+    # DETACHES (vgan.py:308-309 wraps generator(noise) in Variable), so the
+    # reference's kernel-learning generator receives NO gradients and never
+    # trains — its "learned" kl mask distribution is the init-time geometry
+    # (verified by running the reference: identical masks at 15 and 200
+    # epochs). True replicates that (loss still evaluated for history /
+    # bandwidth; no update); False trains the generator as the paper intends.
+    replicate_generator_detach: bool = True
     elm: bool = False  # reference's private __elm flag: encoder frozen from epoch 0
     mmd_impl: str = "auto"
     # 'bfloat16' runs the Gram matmul in bf16 w/ f32 accumulation (~4x MXU
@@ -343,9 +351,16 @@ def _kl_generator_epoch_body(
 ) -> Tuple[KLTrainState, jax.Array]:
     """One generator epoch: minimize MMD in the detector's embedding.
 
-    Per batch (vgan.py:295-329): U = G(z) (grad ON); detector params frozen;
-    loss_G = ``MMD(enc x, enc Ux, U) + temperature * coverage``. After this
-    epoch the encoder becomes inactive (reference freeze leak).
+    Per batch (vgan.py:295-329): U = G(z); detector params frozen; loss_G =
+    ``MMD(enc x, enc Ux, U) + temperature * coverage``. After this epoch the
+    encoder becomes inactive (reference freeze leak).
+
+    With ``config.replicate_generator_detach`` (default, reference-exact):
+    the reference wraps ``generator(noise)`` in torch's ``Variable`` which
+    DETACHES in torch 2.x, so its generator receives no gradients and this
+    phase only evaluates the loss (and advances the bandwidth state) —
+    parameters and optimizer state are untouched. With the flag off, the
+    generator trains as the paper describes.
     """
     gen = config.generator_module(kl=True)
     det = config.detector_module()
@@ -377,9 +392,15 @@ def _kl_generator_epoch_body(
             )
             return loss, bw
 
-        (loss, bw_used), grads = jax.value_and_grad(loss_fn, has_aux=True)(gen_params)
-        updates, new_opt = gen_opt.update(grads, gen_opt_state, gen_params)
-        new_params = jax.tree.map(lambda p, u_: p + u_, gen_params, updates)
+        if config.replicate_generator_detach:
+            loss, bw_used = loss_fn(gen_params)
+            new_params, new_opt = gen_params, gen_opt_state
+        else:
+            (loss, bw_used), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                gen_params
+            )
+            updates, new_opt = gen_opt.update(grads, gen_opt_state, gen_params)
+            new_params = jax.tree.map(lambda p, u_: p + u_, gen_params, updates)
         new_is_set = bw_is_set | bool(config.freeze_bandwidth)
         return (new_params, new_opt, bw_used, new_is_set), loss
 
