@@ -21,6 +21,11 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # Allow float64 in precision-parity tests (explicit fp32 arrays stay fp32).
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: test time is dominated by recompiles of the
+# same fit/epoch programs across runs.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest
