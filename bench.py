@@ -151,6 +151,27 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         log(f"sampling bench skipped: {e}")
 
+    # --- secondary: subspace-ensemble OD scoring throughput -----------------
+    try:
+        from vgan_tpu.ensemble import SubspaceEnsemble
+
+        d = 100
+        xtr = rng.normal(size=(1000, d)).astype(np.float32)
+        xte = rng.normal(size=(500, d)).astype(np.float32)
+        subs = rng.uniform(size=(1024, d)) < 0.3
+        subs[~subs.any(axis=1), 0] = True
+        ens = SubspaceEnsemble(subs, np.full(1024, 1 / 1024), base="knn", k=10)
+        ens.fit(xtr)
+        ens.decision_function(xte)  # compile
+        t0 = time.time()
+        for _ in range(3):
+            scores = ens.decision_function(xte)
+        dt = (time.time() - t0) / 3
+        log(f"ensemble OD (KNN, 1024 masks, 1000 train x 500 test, d=100): "
+            f"{dt*1e3:.0f} ms -> {1024/dt:.0f} subspace-scorings/s")
+    except Exception as e:  # pragma: no cover
+        log(f"ensemble bench skipped: {e}")
+
     print(json.dumps({
         "metric": "VGAN_no_kl train steps/sec (n=2000, d=10, bs=500)",
         "value": round(steps_per_sec, 1),

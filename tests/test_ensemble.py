@@ -80,6 +80,38 @@ def test_ensemble_max_aggregation_with_padding(rng):
     np.testing.assert_allclose(scores, per.max(axis=0), rtol=1e-5)
 
 
+def test_copod_dim_scores_match_numpy(rng):
+    from vgan_tpu.ensemble.od import copod_dim_scores
+
+    xtr = rng.normal(size=(80, 5)).astype(np.float32)
+    xte = rng.normal(size=(20, 5)).astype(np.float32)
+    ours = np.asarray(copod_dim_scores(jnp.asarray(xte), jnp.asarray(xtr)))
+    n = len(xtr)
+    left = (xte[:, None, :] >= xtr[None, :, :]).sum(1) / n
+    right = (xte[:, None, :] <= xtr[None, :, :]).sum(1) / n
+    expected = np.maximum(
+        -np.log(np.maximum(left, 1 / n)), -np.log(np.maximum(right, 1 / n))
+    )
+    np.testing.assert_allclose(ours, expected, rtol=1e-5)
+
+
+def test_copod_ensemble_weighted_sum(rng):
+    from vgan_tpu.ensemble.od import copod_dim_scores
+
+    xtr = rng.normal(size=(60, 6)).astype(np.float32)
+    xte = rng.normal(size=(15, 6)).astype(np.float32)
+    subs = np.asarray([[1, 1, 0, 0, 0, 0], [0, 0, 1, 1, 1, 0]], bool)
+    proba = np.asarray([0.6, 0.4])
+
+    ens = SubspaceEnsemble(subs, proba, base="copod", normalize=None)
+    ens.fit(xtr)
+    scores = ens.decision_function(xte)
+
+    dim = np.asarray(copod_dim_scores(jnp.asarray(xte), jnp.asarray(xtr)))
+    expected = 0.6 * dim[:, subs[0]].sum(1) + 0.4 * dim[:, subs[1]].sum(1)
+    np.testing.assert_allclose(scores, expected, rtol=1e-5)
+
+
 def test_ensemble_detects_planted_outliers(rng):
     """End-to-end: ensemble scores rank planted outliers above inliers."""
     d = 12
@@ -93,7 +125,7 @@ def test_ensemble_detects_planted_outliers(rng):
     subs[~subs.any(axis=1), 0] = True  # no empty masks
     proba = np.full(32, 1 / 32)
 
-    for base in ("knn", "knn_mean", "lof"):
+    for base in ("knn", "knn_mean", "lof", "copod"):
         ens = SubspaceEnsemble(subs, proba, base=base, k=8).fit(xtr)
         scores = ens.decision_function(xte)
         auc_ok = scores[50:].mean() > scores[:50].mean()

@@ -88,6 +88,30 @@ def lof_scores_masked(
     return jnp.mean(lrd_tr[nbr_te], axis=-1) / (lrd_te + eps)
 
 
+def copod_dim_scores(x_test: jax.Array, x_train: jax.Array) -> jax.Array:
+    """Per-dimension two-sided ECDF tail scores, COPOD-style.
+
+    ``O[i, j] = max(-log F_left(x_ij), -log F_right(x_ij))`` with the
+    empirical CDFs of the train column (smoothed to 1/n at the tails).
+    Simplification vs pyod's COPOD: no skewness correction. The per-dim
+    structure makes the whole subspace ensemble ONE matmul:
+    ``scores = O @ masks.T`` — every mask's score is a masked sum.
+    """
+    n_tr = x_train.shape[0]
+    sorted_cols = jnp.sort(x_train, axis=0)  # (ntr, d)
+
+    def per_dim(col_sorted, queries):
+        left = jnp.searchsorted(col_sorted, queries, side="right") / n_tr
+        right = 1.0 - jnp.searchsorted(col_sorted, queries, side="left") / n_tr
+        floor = 1.0 / n_tr
+        return jnp.maximum(
+            -jnp.log(jnp.maximum(left, floor)),
+            -jnp.log(jnp.maximum(right, floor)),
+        )
+
+    return jax.vmap(per_dim, in_axes=(1, 1), out_axes=1)(sorted_cols, x_test)
+
+
 _BASE_SCORERS = {
     "knn": knn_scores_masked,
     "knn_mean": mean_dist_scores_masked,
@@ -155,6 +179,8 @@ class SubspaceEnsemble:
         assert self._x_train is not None, "call fit(X_train) first"
         if not isinstance(self.base, str):
             return self._pyod_decision_function(x_test)
+        if self.base == "copod":
+            return self._copod_decision_function(x_test)
 
         scorer = _BASE_SCORERS[self.base]
         x_test = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
@@ -180,6 +206,29 @@ class SubspaceEnsemble:
             normalize=self.normalize,
         )
         return np.asarray(scores)
+
+    def _copod_decision_function(self, x_test) -> np.ndarray:
+        """COPOD-style path: per-dim tail scores shared across ALL masks, the
+        whole ensemble is one (nt, d) @ (d, n_masks) matmul."""
+        x_test = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
+        masks = jnp.asarray(self.subspaces, dtype=jnp.float32)
+        proba = jnp.asarray(self.proba)
+
+        @jax.jit
+        def run(x_test, x_train, masks, proba):
+            dim_scores = copod_dim_scores(x_test, x_train)  # (nt, d)
+            s = jnp.dot(dim_scores, masks.T,
+                        preferred_element_type=jnp.float32)  # (nt, n_masks)
+            s = s.T  # (n_masks, nt)
+            if self.normalize == "zscore":
+                mu = jnp.mean(s, axis=1, keepdims=True)
+                sd = jnp.std(s, axis=1, keepdims=True) + 1e-12
+                s = (s - mu) / sd
+            if self.aggregation == "max":
+                return jnp.max(s, axis=0)
+            return jnp.sum(proba[:, None] * s, axis=0)
+
+        return np.asarray(run(x_test, self._x_train, masks, proba))
 
     def _pyod_decision_function(self, x_test) -> np.ndarray:
         """CPU loop over subspaces with a pyod-style detector (clone per
