@@ -23,7 +23,13 @@ Public API mirrors the reference estimators (see /root/reference/src/vgan.py):
 
 __version__ = "0.1.0"
 
-__all__ = ["VGAN", "VGAN_no_kl", "__version__"]
+__all__ = [
+    "VGAN",
+    "VGAN_no_kl",
+    "SubspaceEnsemble",
+    "TrainConfig",
+    "__version__",
+]
 
 
 def __getattr__(name):
@@ -33,4 +39,12 @@ def __getattr__(name):
         from vgan_tpu.api import vgan as _vgan
 
         return getattr(_vgan, name)
+    if name == "SubspaceEnsemble":
+        from vgan_tpu.ensemble import SubspaceEnsemble
+
+        return SubspaceEnsemble
+    if name == "TrainConfig":
+        from vgan_tpu.train.steps import TrainConfig
+
+        return TrainConfig
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
