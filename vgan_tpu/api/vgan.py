@@ -334,6 +334,13 @@ class VGAN(_VGANCommon):
         checkpoint_every: int = None,
     ):
         super().__init__(path_to_directory)
+        # reference parity: constructor args stashed as `storage` (vgan.py:29)
+        self.storage = dict(
+            batch_size=batch_size, temperature=temperature, epochs=epochs,
+            lr_G=lr_G, lr_D=lr_D, iternum_d=iternum_d, iternum_g=iternum_g,
+            momentum=momentum, seed=seed, weight_decay=weight_decay,
+            path_to_directory=path_to_directory,
+        )
         self._kl = True
         self.mesh = mesh
         self.shard_features = shard_features
@@ -483,6 +490,12 @@ class VGAN_no_kl(_VGANCommon):
         checkpoint_every: int = None,
     ):
         super().__init__(path_to_directory)
+        # reference parity: constructor args stashed as `storage` (vgan.py:443)
+        self.storage = dict(
+            batch_size=batch_size, epochs=epochs, lr=lr, momentum=momentum,
+            seed=seed, weight_decay=weight_decay,
+            path_to_directory=path_to_directory,
+        )
         self._kl = False
         self.mesh = mesh
         self.shard_features = shard_features
