@@ -106,6 +106,30 @@ def test_kl_auto_checkpointing_chunks_match(tmp_path, rng):
     )
 
 
+def test_continue_fit_rejects_too_small_dataset(tmp_path, rng):
+    """Review finding: drop-last batching would silently train zero batches."""
+    x = data(rng, n=96)
+    m = VGAN_no_kl(batch_size=64, epochs=1, verbose=False)
+    m.fit(x)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="zero batches"):
+        m.continue_fit(x[:32], 1)
+
+
+def test_periodic_checkpoint_preserves_bandwidth(tmp_path, rng):
+    """Review finding: mid-fit saves stored bandwidth=None in metadata."""
+    x = data(rng)
+    ck = tmp_path / "bw"
+    m = VGAN_no_kl(batch_size=32, epochs=4, verbose=False,
+                   checkpoint_dir=ck, checkpoint_every=2)
+    m.fit(x)
+    m2 = VGAN_no_kl(batch_size=32, verbose=False).restore_checkpoint(ck)
+    assert m2.bandwidth is not None and m2.bandwidth > 0
+    np.testing.assert_allclose(m2.bandwidth, m.bandwidth, rtol=1e-6)
+
+
 def test_checkpoint_class_mismatch_rejected(tmp_path, rng):
     x = data(rng)
     m = VGAN_no_kl(batch_size=32, epochs=1, verbose=False)

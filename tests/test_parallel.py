@@ -186,6 +186,25 @@ def test_elm_flag_freezes_encoder_from_start(rng):
     )
 
 
+def test_elm_independent_of_quirks_flag(rng):
+    """elm must freeze the encoder even with replicate_reference_quirks off
+    (review finding: the OR re-enabled it)."""
+    from vgan_tpu import VGAN
+    from vgan_tpu.train.steps import init_kl_state
+    import jax as _jax
+
+    x = rng.normal(size=(96, 10)).astype(np.float32)
+    m = VGAN(batch_size=32, epochs=2, verbose=False, elm=True,
+             replicate_reference_quirks=False)
+    m.fit(x)
+    init = init_kl_state(m._config, _jax.random.PRNGKey(m.seed))
+    np.testing.assert_allclose(
+        np.asarray(init.det_params["params"]["encoder"]["Dense_0"]["kernel"]),
+        np.asarray(m.detector_params["params"]["encoder"]["Dense_0"]["kernel"]),
+        rtol=1e-5, atol=1e-8,
+    )
+
+
 def test_dp_kl_fit_runs(rng):
     x = rng.normal(size=(128, 32)).astype(np.float32)
     config = TrainConfig(ndims=32, batch_size=32, mmd_impl="jnp")

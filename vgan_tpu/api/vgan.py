@@ -206,12 +206,16 @@ class _VGANCommon(EstimatorBase):
         from vgan_tpu.utils.checkpoint import save_train_state
 
         assert getattr(self, "train_state", None) is not None, "fit first"
+        bandwidth = self.bandwidth
+        if bandwidth is None and bool(self.train_state.bw_is_set):
+            # mid-fit periodic save: the frozen bandwidth lives in the state
+            bandwidth = float(self.train_state.bw_value)
         meta = {
             "class": type(self).__name__,
             "ndims": self._ndims,
             "batch_size": self.batch_size,
             "train_history": {k: list(v) for k, v in self.train_history.items()},
-            "bandwidth": self.bandwidth,
+            "bandwidth": bandwidth,
             "schedule": self._schedule.get_state() if getattr(self, "_schedule", None) else None,
         }
         save_train_state(path, self.train_state, meta)
@@ -261,7 +265,14 @@ class _VGANCommon(EstimatorBase):
 
         from vgan_tpu.train.steps import kl_train_epochs, no_kl_train_epochs
 
-        x_dev = jnp.asarray(np.asarray(X), dtype=jnp.float32)
+        X = np.asarray(X)
+        if X.shape[0] < self._config.batch_size:
+            raise ValueError(
+                f"continue_fit dataset has {X.shape[0]} rows but the "
+                f"checkpointed batch_size is {self._config.batch_size}; "
+                "drop-last batching would train zero batches"
+            )
+        x_dev = jnp.asarray(X, dtype=jnp.float32)
         if self._kl:
             phases = self._schedule.phase_array(epochs)
             state, det_hist, gen_hist = kl_train_epochs(
@@ -405,12 +416,13 @@ class VGAN(_VGANCommon):
         self._config = config = self._make_config(ndims, self.batch_size)
         self._latent_size = config.latent_size
 
-        x_dev = jnp.asarray(X, dtype=jnp.float32)
         if self.mesh is not None:
             from vgan_tpu.parallel.input import shard_dataset
 
             x_dev = shard_dataset(X.astype(np.float32), self.mesh,
                                   shard_features=self.shard_features)
+        else:
+            x_dev = jnp.asarray(X, dtype=jnp.float32)
         self._schedule = AlternationSchedule(self.iternum_d, self.iternum_g)
         # The whole fit is ONE compiled program per chunk: a single dispatch
         # and a single device->host fetch of the loss history. Without
@@ -543,12 +555,13 @@ class VGAN_no_kl(_VGANCommon):
         self._config = config = self._make_config(ndims, self.batch_size)
         self._latent_size = config.latent_size
 
-        x_dev = jnp.asarray(X, dtype=jnp.float32)
         if self.mesh is not None:
             from vgan_tpu.parallel.input import shard_dataset
 
             x_dev = shard_dataset(X.astype(np.float32), self.mesh,
                                   shard_features=self.shard_features)
+        else:
+            x_dev = jnp.asarray(X, dtype=jnp.float32)
         # The whole fit is ONE compiled program per chunk: a single dispatch
         # and a single device->host fetch of the loss history. Without
         # checkpoint_every there is exactly one chunk.

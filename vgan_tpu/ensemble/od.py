@@ -213,22 +213,12 @@ class SubspaceEnsemble:
         x_test = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
         masks = jnp.asarray(self.subspaces, dtype=jnp.float32)
         proba = jnp.asarray(self.proba)
-
-        @jax.jit
-        def run(x_test, x_train, masks, proba):
-            dim_scores = copod_dim_scores(x_test, x_train)  # (nt, d)
-            s = jnp.dot(dim_scores, masks.T,
-                        preferred_element_type=jnp.float32)  # (nt, n_masks)
-            s = s.T  # (n_masks, nt)
-            if self.normalize == "zscore":
-                mu = jnp.mean(s, axis=1, keepdims=True)
-                sd = jnp.std(s, axis=1, keepdims=True) + 1e-12
-                s = (s - mu) / sd
-            if self.aggregation == "max":
-                return jnp.max(s, axis=0)
-            return jnp.sum(proba[:, None] * s, axis=0)
-
-        return np.asarray(run(x_test, self._x_train, masks, proba))
+        return np.asarray(
+            _copod_ensemble_scores(
+                x_test, self._x_train, masks, proba,
+                aggregation=self.aggregation, normalize=self.normalize,
+            )
+        )
 
     def _pyod_decision_function(self, x_test) -> np.ndarray:
         """CPU loop over subspaces with a pyod-style detector (clone per
@@ -249,6 +239,19 @@ class SubspaceEnsemble:
         if self.aggregation == "max":
             return scores.max(axis=0)
         return (self.proba[:, None] * scores).sum(axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("aggregation", "normalize"))
+def _copod_ensemble_scores(x_test, x_train, masks, proba, *, aggregation, normalize):
+    dim_scores = copod_dim_scores(x_test, x_train)  # (nt, d)
+    s = jnp.dot(dim_scores, masks.T, preferred_element_type=jnp.float32).T
+    if normalize == "zscore":
+        mu = jnp.mean(s, axis=1, keepdims=True)
+        sd = jnp.std(s, axis=1, keepdims=True) + 1e-12
+        s = (s - mu) / sd
+    if aggregation == "max":
+        return jnp.max(s, axis=0)
+    return jnp.sum(proba[:, None] * s, axis=0)
 
 
 @functools.partial(

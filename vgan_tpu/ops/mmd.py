@@ -165,15 +165,13 @@ def mmd2_biased(
     returned so callers can freeze it, mirroring the reference's first-batch
     bandwidth cache at Mmd_loss_constrained.py:16-22).
     """
-    n1 = x.shape[0]
-    z = jnp.concatenate([x, y], axis=0)
-    d2 = pairwise_sq_dists(z)
-    bw = reference_bandwidth(d2) if bandwidth is None else bandwidth
-    k = multi_rbf_gram(d2, bw, mults)
-    kxx = jnp.mean(k[:n1, :n1])
-    kxy = jnp.mean(k[:n1, n1:])
-    kyy = jnp.mean(k[n1:, n1:])
-    return kxx - 2.0 * kxy + kyy, bw
+    if bandwidth is None:
+        return mmd2_biased_stateful(
+            x, y, jnp.zeros((), x.dtype), jnp.asarray(False), mults
+        )
+    return mmd2_biased_stateful(
+        x, y, jnp.asarray(bandwidth, x.dtype), jnp.asarray(True), mults
+    )
 
 
 def coverage_penalty(u: jax.Array) -> jax.Array:
@@ -209,6 +207,12 @@ def mmd2_biased_stateful(
             pallas_supported,
         )
 
+        if impl == "pallas" and matmul_dtype is not None:
+            raise ValueError(
+                "impl='pallas' does not support matmul_dtype; the fused "
+                "kernel computes distances in f32 (use impl='auto'/'jnp' "
+                "for the bf16 matmul option)"
+            )
         if matmul_dtype is None and (
             impl == "pallas" or (impl == "auto" and pallas_supported(x, y))
         ):

@@ -80,20 +80,21 @@ def ring_quadrant_sums(
     perm = [(i, (i + 1) % p) for i in range(p)]
 
     def step(carry, _):
+        # permute first, then accumulate: exactly p-1 exchanges for p blocks
+        # (the local pair is accumulated before the scan)
         xb, yb, sxx, sxy, syy = carry
+        xb = lax.ppermute(xb, axis_name, perm)
+        yb = lax.ppermute(yb, axis_name, perm)
         sxx = sxx + _block_gram_sum(x_loc, xb, bw, mults)
         sxy = sxy + _block_gram_sum(x_loc, yb, bw, mults)
         syy = syy + _block_gram_sum(y_loc, yb, bw, mults)
-        xb = lax.ppermute(xb, axis_name, perm)
-        yb = lax.ppermute(yb, axis_name, perm)
         return (xb, yb, sxx, sxy, syy), None
 
-    # the accumulators are device-varying (each device accumulates its own
-    # row-block's sums); mark the initial zeros accordingly for shard_map's
-    # varying-manual-axes typing
-    zero = lax.pvary(jnp.zeros((), x_loc.dtype), (axis_name,))
+    sxx0 = _block_gram_sum(x_loc, x_loc, bw, mults)
+    sxy0 = _block_gram_sum(x_loc, y_loc, bw, mults)
+    syy0 = _block_gram_sum(y_loc, y_loc, bw, mults)
     (xb, yb, sxx, sxy, syy), _ = lax.scan(
-        step, (x_loc, y_loc, zero, zero, zero), None, length=p
+        step, (x_loc, y_loc, sxx0, sxy0, syy0), None, length=p - 1
     )
     sxx = lax.psum(sxx, axis_name)
     sxy = lax.psum(sxy, axis_name)

@@ -298,6 +298,10 @@ def _kl_detector_epoch_body(
     noise_keys = jax.random.split(noise_key, batches.shape[0])
 
     encoder_active = state.encoder_active | (not config.replicate_encoder_freeze)
+    if config.elm:
+        # __elm freezes the encoder unconditionally (vgan.py:248-250) — it is
+        # independent of the encoder-freeze-leak quirk flag
+        encoder_active = jnp.zeros((), bool)
 
     def batch_step(carry, inp):
         det_params, det_opt_state, bw_value, bw_is_set = carry
