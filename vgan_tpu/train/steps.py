@@ -173,12 +173,14 @@ def _no_kl_epoch_body(
     perm_key, noise_key = jax.random.split(epoch_key)
     batches = _epoch_batches(x, perm_key, config.batch_size)
     nb = batches.shape[0]
-    noise_keys = jax.random.split(noise_key, nb)
+    # one RNG call for the whole epoch's noise (vs one per batch)
+    noise = jax.random.normal(
+        noise_key, (nb, config.batch_size, config.latent_size), x.dtype
+    )
 
     def batch_step(carry, inp):
         params, opt_state, bw_value, bw_is_set = carry
-        batch, nkey = inp
-        z = jax.random.normal(nkey, (config.batch_size, config.latent_size), x.dtype)
+        batch, z = inp
 
         def loss_fn(p):
             u = gen.apply(p, z)
@@ -202,7 +204,7 @@ def _no_kl_epoch_body(
 
     carry0 = (state.params, state.opt_state, state.bw_value, state.bw_is_set)
     (params, opt_state, bw_value, bw_is_set), losses = jax.lax.scan(
-        batch_step, carry0, (batches, noise_keys), unroll=config._unroll(nb)
+        batch_step, carry0, (batches, noise), unroll=config._unroll(nb)
     )
     new_state = NoKLTrainState(params, opt_state, bw_value, bw_is_set, next_key)
     return new_state, jnp.mean(losses)
@@ -295,7 +297,11 @@ def _kl_detector_epoch_body(
     epoch_key, next_key = jax.random.split(state.key)
     perm_key, noise_key = jax.random.split(epoch_key)
     batches = _epoch_batches(x, perm_key, config.batch_size)
-    noise_keys = jax.random.split(noise_key, batches.shape[0])
+    noise = jax.random.normal(
+        noise_key,
+        (batches.shape[0], config.batch_size, config.latent_size),
+        x.dtype,
+    )
 
     encoder_active = state.encoder_active | (not config.replicate_encoder_freeze)
     if config.elm:
@@ -305,8 +311,7 @@ def _kl_detector_epoch_body(
 
     def batch_step(carry, inp):
         det_params, det_opt_state, bw_value, bw_is_set = carry
-        batch, nkey = inp
-        z = jax.random.normal(nkey, (config.batch_size, config.latent_size), x.dtype)
+        batch, z = inp
         u = jax.lax.stop_gradient(gen.apply(state.gen_params, z))
 
         def loss_fn(p):
@@ -337,7 +342,7 @@ def _kl_detector_epoch_body(
 
     carry0 = (state.det_params, state.det_opt, state.bw_value, state.bw_is_set)
     (det_params, det_opt_state, bw_value, bw_is_set), losses = jax.lax.scan(
-        batch_step, carry0, (batches, noise_keys),
+        batch_step, carry0, (batches, noise),
         unroll=config._unroll(batches.shape[0]),
     )
     new_state = state._replace(
@@ -373,12 +378,15 @@ def _kl_generator_epoch_body(
     epoch_key, next_key = jax.random.split(state.key)
     perm_key, noise_key = jax.random.split(epoch_key)
     batches = _epoch_batches(x, perm_key, config.batch_size)
-    noise_keys = jax.random.split(noise_key, batches.shape[0])
+    noise = jax.random.normal(
+        noise_key,
+        (batches.shape[0], config.batch_size, config.latent_size),
+        x.dtype,
+    )
 
     def batch_step(carry, inp):
         gen_params, gen_opt_state, bw_value, bw_is_set = carry
-        batch, nkey = inp
-        z = jax.random.normal(nkey, (config.batch_size, config.latent_size), x.dtype)
+        batch, z = inp
 
         def loss_fn(p):
             u = gen.apply(p, z)
@@ -410,7 +418,7 @@ def _kl_generator_epoch_body(
 
     carry0 = (state.gen_params, state.gen_opt, state.bw_value, state.bw_is_set)
     (gen_params, gen_opt_state, bw_value, bw_is_set), losses = jax.lax.scan(
-        batch_step, carry0, (batches, noise_keys),
+        batch_step, carry0, (batches, noise),
         unroll=config._unroll(batches.shape[0]),
     )
     new_state = state._replace(
