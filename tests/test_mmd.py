@@ -153,6 +153,31 @@ def test_bf16_matmul_option_close_to_f32(rng):
     np.testing.assert_allclose(float(bf16), float(f32), rtol=5e-2)
 
 
+def test_chunked_matches_jnp_values_and_grads(rng):
+    """Row-blocked remat path == full-matrix path (values and gradients),
+    including non-multiple-of-block sizes."""
+    from vgan_tpu.ops.mmd import mmd2_biased_chunked, mmd2_biased_stateful
+
+    x = jnp.asarray(rng.normal(size=(37, 6)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(29, 6)).astype(np.float32) + 0.4)
+    bw0 = jnp.zeros((), jnp.float32)
+    unset = jnp.asarray(False)
+
+    ref, bw_ref = mmd2_biased_stateful(x, y, bw0, unset)
+    chk, bw_chk = mmd2_biased_chunked(x, y, bw0, unset, row_block=16)
+    np.testing.assert_allclose(float(chk), float(ref), rtol=2e-4)
+    np.testing.assert_allclose(float(bw_chk), float(bw_ref), rtol=1e-3)
+
+    bw = jnp.asarray(3.0, jnp.float32)
+    g_ref = jax.grad(
+        lambda y_: mmd2_biased_stateful(x, y_, bw, jnp.asarray(True))[0]
+    )(y)
+    g_chk = jax.grad(
+        lambda y_: mmd2_biased_chunked(x, y_, bw, jnp.asarray(True), row_block=16)[0]
+    )(y)
+    np.testing.assert_allclose(np.asarray(g_chk), np.asarray(g_ref), rtol=1e-3, atol=1e-7)
+
+
 def test_mmd_identical_samples_near_zero(rng):
     x = rng.normal(size=(15, 4)).astype(np.float32)
     mmd2, _ = mmd2_biased(jnp.asarray(x), jnp.asarray(x))

@@ -201,12 +201,18 @@ def mmd2_biased_stateful(
     ``bandwidth_used`` back into its state (with ``is_set=True``) to freeze.
     ``bw_is_set`` may be a traced bool, so the freeze lives inside jit.
     """
+    if impl == "chunked":
+        return mmd2_biased_chunked(x, y, bw_value, bw_is_set, mults)
     if impl != "jnp":
         from vgan_tpu.ops.pallas.mmd_gram import (
             mmd2_biased_stateful_pallas,
             pallas_supported,
         )
 
+        if impl == "auto" and x.shape[0] + y.shape[0] > 16384:
+            # beyond the Pallas residual cap the m x m matrix must never
+            # materialize: row-blocked remat path
+            return mmd2_biased_chunked(x, y, bw_value, bw_is_set, mults)
         if impl == "pallas" and matmul_dtype is not None:
             raise ValueError(
                 "impl='pallas' does not support matmul_dtype; the fused "
@@ -227,6 +233,68 @@ def mmd2_biased_stateful(
     kxy = jnp.mean(k[:n1, n1:])
     kyy = jnp.mean(k[n1:, n1:])
     return kxx - 2.0 * kxy + kyy, bw
+
+
+def mmd2_biased_chunked(
+    x: jax.Array,
+    y: jax.Array,
+    bw_value: jax.Array,
+    bw_is_set: jax.Array,
+    mults: Tuple[float, ...] = bandwidth_multipliers(),
+    row_block: int = 2048,
+) -> Tuple[jax.Array, jax.Array]:
+    """Unbounded-n biased MMD^2: row-blocked quadrant sums, O(block x m)
+    memory, rematerialized backward.
+
+    For sample counts where the (m x m) distance matrix cannot exist
+    (m = n1 + n2 beyond the Pallas residual cap), the Gram is reduced one
+    row-block at a time via ``lax.map`` with ``jax.checkpoint`` around the
+    block body — the backward pass recomputes each block's distances instead
+    of saving them, so peak memory is O(row_block * m) regardless of n.
+    Candidate bandwidth via the O(md) closed form (clamp divergence noted in
+    ops.pallas.mmd_gram).
+    """
+    n1, n2 = x.shape[0], y.shape[0]
+    m = n1 + n2
+    z = jnp.concatenate([x, y], axis=0)
+
+    total = 2.0 * m * jnp.sum(z * z) - 2.0 * jnp.sum(jnp.sum(z, axis=0) ** 2)
+    candidate = jax.lax.stop_gradient(total / (m * m - m))
+    bw = jnp.where(bw_is_set, bw_value, candidate).astype(z.dtype)
+
+    pad = (-m) % row_block
+    z_pad = jnp.concatenate([z, jnp.zeros((pad, z.shape[1]), z.dtype)])
+    n_blocks = z_pad.shape[0] // row_block
+    zn = jnp.sum(z * z, axis=-1)
+
+    @jax.checkpoint
+    def block_sums(block_idx):
+        start = block_idx * row_block
+        rows = jax.lax.dynamic_slice_in_dim(z_pad, start, row_block, axis=0)
+        rn = jnp.sum(rows * rows, axis=-1)
+        d2 = jnp.maximum(
+            rn[:, None] + zn[None, :]
+            - 2.0 * jnp.dot(rows, z.T, preferred_element_type=z.dtype),
+            0.0,
+        )
+        k = multi_rbf_gram(d2, bw, mults)
+        row_ids = start + jnp.arange(row_block)
+        col_x = jnp.arange(m) < n1
+        row_x = row_ids < n1
+        row_ok = row_ids < m
+        kf = jnp.where(row_ok[:, None], k, 0.0)
+        sxx = jnp.sum(jnp.where(row_x[:, None] & col_x[None, :], kf, 0.0))
+        sxy = jnp.sum(jnp.where(row_x[:, None] & ~col_x[None, :], kf, 0.0))
+        syy = jnp.sum(jnp.where(~row_x[:, None] & ~col_x[None, :], kf, 0.0))
+        return sxx, sxy, syy
+
+    sxx, sxy, syy = jax.lax.map(block_sums, jnp.arange(n_blocks))
+    mmd2 = (
+        jnp.sum(sxx) / (n1 * n1)
+        - 2.0 * jnp.sum(sxy) / (n1 * n2)
+        + jnp.sum(syy) / (n2 * n2)
+    )
+    return mmd2, bw
 
 
 def mmd_loss_constrained_stateful(
