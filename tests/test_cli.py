@@ -57,6 +57,24 @@ def test_fit_csv_input(tmp_path):
     assert rc == 0
 
 
+def test_score_subcommand(data_file, tmp_path):
+    out = tmp_path / "m"
+    rc = main(["fit", "--data", str(data_file), "--variant", "no_kl",
+               "--epochs", "1", "--batch-size", "32", "--quiet",
+               "--out", str(out)])
+    assert rc == 0
+    gen = out / "models" / "generator_0.msgpack"
+
+    scores_path = tmp_path / "scores.npy"
+    rc = main(["score", "--train", str(data_file), "--generator", str(gen),
+               "--base", "copod", "--subspaces", "64",
+               "--out", str(scores_path)])
+    assert rc == 0
+    scores = np.load(scores_path)
+    assert scores.shape == (96,)
+    assert np.all(np.isfinite(scores))
+
+
 def test_unknown_subcommand_fails():
     with pytest.raises(SystemExit):
         main(["frobnicate"])

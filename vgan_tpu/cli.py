@@ -64,6 +64,22 @@ def build_parser() -> argparse.ArgumentParser:
     myopic.add_argument("--count", type=int, default=500)
     myopic.add_argument("--seed", type=int, default=777)
 
+    score = sub.add_parser(
+        "score", help="subspace-ensemble outlier scores for a test set"
+    )
+    score.add_argument("--train", required=True, help="training data file")
+    score.add_argument("--test", default=None,
+                       help="data to score (defaults to --train)")
+    score.add_argument("--generator", required=True)
+    score.add_argument("--base", choices=["knn", "knn_mean", "lof", "copod"],
+                       default="knn")
+    score.add_argument("--k", type=int, default=10)
+    score.add_argument("--subspaces", type=int, default=500)
+    score.add_argument("--aggregation", choices=["average", "max"],
+                       default="average")
+    score.add_argument("--seed", type=int, default=777)
+    score.add_argument("--out", default=None, help="write scores to .npy")
+
     return parser
 
 
@@ -126,6 +142,27 @@ def main(argv=None) -> int:
 
             model.approx_subspace_dist(args.nsubs)
             print(pd.DataFrame(model.subspaces, model.proba))
+        return 0
+
+    if args.cmd == "score":
+        import numpy as np
+
+        from vgan_tpu.ensemble import SubspaceEnsemble
+
+        x_train = _load_data(args.train)
+        x_test = _load_data(args.test) if args.test else x_train
+        model = VGAN_no_kl(seed=args.seed, verbose=False)
+        model.load_models(args.generator, ndims=x_train.shape[1])
+        ens = SubspaceEnsemble.from_model(
+            model, subspace_count=args.subspaces,
+            base=args.base, k=args.k, aggregation=args.aggregation,
+        ).fit(x_train)
+        scores = ens.decision_function(x_test)
+        if args.out:
+            np.save(args.out, scores)
+            print(f"{scores.shape} scores -> {args.out}")
+        else:
+            print(scores)
         return 0
 
     if args.cmd == "check-myopic":
