@@ -215,3 +215,30 @@ def test_dp_kl_fit_runs(rng):
     )
     assert np.isfinite(np.asarray(det_hist)[0])
     assert np.isfinite(np.asarray(gen_hist)[-1])
+
+
+def test_sharded_ensemble_matches_single_device(rng):
+    """Mask-sharded SubspaceEnsemble (mesh=) == single-device ensemble
+    (SURVEY.md section 2b ensemble axis; VERDICT round-1 missing #4)."""
+    from vgan_tpu.ensemble import SubspaceEnsemble
+
+    d = 12
+    xtr = rng.normal(size=(60, d)).astype(np.float32)
+    xte = rng.normal(size=(20, d)).astype(np.float32)
+    n_masks = 13  # deliberately not a multiple of chunk * n_devices
+    masks = rng.random(size=(n_masks, d)) < 0.5
+    masks[:, 0] |= ~masks.any(axis=1)  # no empty masks
+    proba = rng.random(size=(n_masks,)).astype(np.float32)
+    proba /= proba.sum()
+
+    mesh = data_mesh()
+    for base in ("knn", "lof"):
+        for agg in ("average", "max"):
+            single = SubspaceEnsemble(
+                masks, proba, base=base, k=5, aggregation=agg, chunk=2
+            ).fit(xtr).decision_function(xte)
+            sharded = SubspaceEnsemble(
+                masks, proba, base=base, k=5, aggregation=agg, chunk=2,
+                mesh=mesh,
+            ).fit(xtr).decision_function(xte)
+            np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)

@@ -25,6 +25,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 
 def _masked_sq_dists(a: jax.Array, b: jax.Array, mask: jax.Array) -> jax.Array:
@@ -142,6 +143,12 @@ class SubspaceEnsemble:
     chunk:
         subspace-axis chunk size bounding the (chunk, nt, ntr) distance
         block in memory.
+    mesh:
+        optional ``jax.sharding.Mesh`` with a 'data' axis: the mask-chunk
+        axis (embarrassingly parallel) shards over it via ``shard_map``,
+        each device scoring its local subspaces and the aggregation
+        combining with a single ``psum``/``pmax`` (SURVEY.md section 2b,
+        ensemble/subspace parallel axis).
     """
 
     def __init__(
@@ -153,6 +160,7 @@ class SubspaceEnsemble:
         aggregation: str = "average",
         normalize: Optional[str] = "zscore",
         chunk: int = 128,
+        mesh: Optional[Mesh] = None,
     ):
         self.subspaces = np.asarray(subspaces, dtype=bool)
         proba = np.asarray(proba, dtype=np.float32)
@@ -162,6 +170,7 @@ class SubspaceEnsemble:
         self.aggregation = aggregation
         self.normalize = normalize
         self.chunk = chunk
+        self.mesh = mesh
         self._x_train = None
 
     @classmethod
@@ -185,26 +194,50 @@ class SubspaceEnsemble:
         scorer = _BASE_SCORERS[self.base]
         x_test = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
 
-        masks = jnp.asarray(self.subspaces)
-        proba = jnp.asarray(self.proba)
-        pad = (-len(self.subspaces)) % self.chunk
+        n_shards = self.mesh.shape["data"] if self.mesh is not None else 1
+        masks_np = np.asarray(self.subspaces, dtype=bool)
+        proba_np = np.asarray(self.proba, dtype=np.float32)
+        # pad the subspace axis so it splits into whole chunks, and the
+        # chunk axis into whole per-device shards
+        pad = (-len(masks_np)) % (self.chunk * n_shards)
         if pad:
-            masks = jnp.concatenate([masks, jnp.zeros((pad, masks.shape[1]), bool)])
-            proba = jnp.concatenate([proba, jnp.zeros((pad,), proba.dtype)])
-        n_chunks = masks.shape[0] // self.chunk
-        masks = masks.reshape(n_chunks, self.chunk, -1)
-        proba = proba.reshape(n_chunks, self.chunk)
+            masks_np = np.concatenate(
+                [masks_np, np.zeros((pad, masks_np.shape[1]), bool)]
+            )
+            proba_np = np.concatenate([proba_np, np.zeros((pad,), np.float32)])
+        n_chunks = masks_np.shape[0] // self.chunk
+        masks_np = masks_np.reshape(n_chunks, self.chunk, -1)
+        proba_np = proba_np.reshape(n_chunks, self.chunk)
 
-        scores = _ensemble_scores(
-            x_test,
-            self._x_train,
-            masks,
-            proba,
-            scorer=scorer,
-            k=self.k,
-            aggregation=self.aggregation,
-            normalize=self.normalize,
-        )
+        if self.mesh is None:
+            scores = _ensemble_scores(
+                x_test,
+                self._x_train,
+                jnp.asarray(masks_np),
+                jnp.asarray(proba_np),
+                scorer=scorer,
+                k=self.k,
+                aggregation=self.aggregation,
+                normalize=self.normalize,
+            )
+        else:
+            sharded_fn = _sharded_ensemble_fn(
+                self.mesh, scorer, self.k, self.aggregation, self.normalize
+            )
+            chunk_spec = PartitionSpec("data", None, None)
+            masks_sh = jax.device_put(
+                masks_np, NamedSharding(self.mesh, chunk_spec)
+            )
+            proba_sh = jax.device_put(
+                proba_np, NamedSharding(self.mesh, PartitionSpec("data", None))
+            )
+            repl = NamedSharding(self.mesh, PartitionSpec())
+            scores = sharded_fn(
+                jax.device_put(x_test, repl),
+                jax.device_put(self._x_train, repl),
+                masks_sh,
+                proba_sh,
+            )
         return np.asarray(scores)
 
     def _copod_decision_function(self, x_test) -> np.ndarray:
@@ -254,13 +287,15 @@ def _copod_ensemble_scores(x_test, x_train, masks, proba, *, aggregation, normal
     return jnp.sum(proba[:, None] * s, axis=0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("scorer", "k", "aggregation", "normalize")
-)
-def _ensemble_scores(
+def _local_chunked_scores(
     x_test, x_train, masks, proba, *, scorer, k, aggregation, normalize
 ):
-    """One compiled program: lax.map over chunks, vmap over masks inside."""
+    """lax.map over mask chunks, vmap over masks inside; reduce over chunks.
+
+    Padding rows (proba == 0) are neutralized: -inf for 'max', weight 0 for
+    'average'. zscore normalization is per-subspace (axis=1) so padding rows
+    never contaminate real rows.
+    """
 
     def chunk_scores(args):
         mask_chunk, proba_chunk = args
@@ -279,3 +314,48 @@ def _ensemble_scores(
     if aggregation == "max":
         return jnp.max(per_chunk, axis=0)
     return jnp.sum(per_chunk, axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scorer", "k", "aggregation", "normalize")
+)
+def _ensemble_scores(
+    x_test, x_train, masks, proba, *, scorer, k, aggregation, normalize
+):
+    """One compiled program over all mask chunks (single device)."""
+    return _local_chunked_scores(
+        x_test, x_train, masks, proba,
+        scorer=scorer, k=k, aggregation=aggregation, normalize=normalize,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_ensemble_fn(mesh, scorer, k, aggregation, normalize):
+    """shard_map program: each device scores its local mask chunks, then one
+    collective (psum for 'average', pmax for 'max') combines. The mask axis
+    is embarrassingly parallel, so this scales linearly over 'data'."""
+    from jax import lax, shard_map
+
+    def local(x_test, x_train, masks_loc, proba_loc):
+        s = _local_chunked_scores(
+            x_test, x_train, masks_loc, proba_loc,
+            scorer=scorer, k=k, aggregation=aggregation, normalize=normalize,
+        )
+        if aggregation == "max":
+            return lax.pmax(s, "data")
+        return lax.psum(s, "data")
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                PartitionSpec(),
+                PartitionSpec(),
+                PartitionSpec("data", None, None),
+                PartitionSpec("data", None),
+            ),
+            out_specs=PartitionSpec(),
+            check_vma=False,
+        )
+    )

@@ -23,9 +23,16 @@ from vgan_tpu.train.steps import (
 )
 
 
-def _shard_x(x: jax.Array, mesh: Mesh, shard_features: bool) -> jax.Array:
+def _shard_x(x, mesh: Mesh, shard_features: bool) -> jax.Array:
+    """Place x on the mesh. Accepts numpy or jax arrays; numpy goes straight
+    through device_put (no eager jnp.asarray, which would land on the
+    process default device — possibly a different backend than the mesh)."""
     spec = PartitionSpec("data", "model" if shard_features else None)
-    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+    if not isinstance(x, jax.Array):
+        import numpy as np
+
+        x = np.asarray(x)
+    return jax.device_put(x, NamedSharding(mesh, spec))
 
 
 def no_kl_fit_program_dp(
