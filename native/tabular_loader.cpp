@@ -31,9 +31,17 @@ namespace {
 
 struct MappedFile {
   const char* data = nullptr;
-  size_t size = 0;
+  size_t size = 0;      // file size (bytes of real content)
+  size_t map_len = 0;   // mapped length = size + 1 guard byte
   int fd = -1;
 
+  // Maps the file with a guaranteed NUL guard byte at data[size], so the
+  // strtod/strtof token parsers can never read past the mapping even when
+  // the file lacks a trailing newline and its size is an exact multiple of
+  // the page size. Technique: reserve size+1 anonymous zero bytes, then
+  // MAP_FIXED the file over the front. Whichever way the page boundaries
+  // fall, byte [size] reads as 0 (either the file mapping's zero-filled
+  // partial last page, or the surviving anonymous page).
   bool open(const char* path) {
     fd = ::open(path, O_RDONLY);
     if (fd < 0) return false;
@@ -44,15 +52,23 @@ struct MappedFile {
       data = nullptr;
       return true;
     }
-    void* p = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
-    if (p == MAP_FAILED) return false;
+    map_len = size + 1;
+    void* reserve =
+        mmap(nullptr, map_len, PROT_READ, MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+    if (reserve == MAP_FAILED) return false;
+    void* p = mmap(reserve, size, PROT_READ, MAP_PRIVATE | MAP_FIXED, fd, 0);
+    if (p == MAP_FAILED) {
+      munmap(reserve, map_len);
+      map_len = 0;
+      return false;
+    }
     madvise(p, size, MADV_SEQUENTIAL);
     data = static_cast<const char*>(p);
     return true;
   }
 
   ~MappedFile() {
-    if (data) munmap(const_cast<char*>(data), size);
+    if (data) munmap(const_cast<char*>(data), map_len);
     if (fd >= 0) close(fd);
   }
 };
@@ -85,10 +101,31 @@ const char* next_line(const char* p, const char* end) {
   return p < end ? p + 1 : end;
 }
 
+// Count lines with non-whitespace content in [p, end). Blank/whitespace-only
+// lines (interior or trailing) are not data rows.
+long count_content_lines(const char* p, const char* end) {
+  long lines = 0;
+  bool content = false;
+  for (; p < end; ++p) {
+    if (*p == '\n') {
+      if (content) ++lines;
+      content = false;
+    } else if (!isspace(static_cast<unsigned char>(*p))) {
+      content = true;
+    }
+  }
+  if (content) ++lines;  // last line without trailing newline
+  return lines;
+}
+
 template <typename T>
 int parse_rows(const char* p, const char* end, T* out, long cols,
                long row_begin, long row_end_idx) {
   for (long r = row_begin; r < row_end_idx && p < end; ++r) {
+    // skip blank/whitespace-only lines (they are not counted as rows)
+    while (p < end &&
+           (*p == '\n' || *p == '\r' || *p == ' ' || *p == '\t')) ++p;
+    if (p >= end) break;
     T* row_out = out + r * cols;
     for (long c = 0; c < cols; ++c) {
       char* parse_end = nullptr;
@@ -114,7 +151,11 @@ int csv_read(const char* path, T* out, long rows, long cols, int skip_header,
   if (!mf.open(path)) return 1;
   const char* p = mf.data;
   const char* end = mf.data + mf.size;
-  if (skip_header) p = next_line(p, end);
+  if (skip_header) {
+    while (p < end && (*p == '\n' || *p == '\r' || *p == ' ' || *p == '\t'))
+      ++p;  // match dims(): leading blank lines precede the header
+    p = next_line(p, end);
+  }
 
   // Row-aligned chunk boundaries: stride through the data by byte-size,
   // snapping each boundary to the next newline; record the row index at
@@ -138,12 +179,11 @@ int csv_read(const char* path, T* out, long rows, long cols, int skip_header,
       start_rows.push_back(-1);  // filled below
     }
   }
-  // count rows per chunk to fix start_rows
+  // count data rows (content lines) per chunk to fix start_rows; chunk
+  // boundaries snap to just-after-newline so no line spans two chunks
   for (size_t i = 1; i < starts.size(); ++i) {
-    long cnt = 0;
-    for (const char* q = starts[i - 1]; q < starts[i]; ++q)
-      if (*q == '\n') ++cnt;
-    start_rows[i] = start_rows[i - 1] + cnt;
+    start_rows[i] =
+        start_rows[i - 1] + count_content_lines(starts[i - 1], starts[i]);
   }
 
   std::vector<int> rcs(starts.size(), 0);
@@ -178,22 +218,14 @@ int vgan_csv_dims(const char* path, long* rows, long* cols, int* has_header) {
   }
   const char* p = mf.data;
   const char* end = mf.data + mf.size;
+  while (p < end && (*p == '\n' || *p == '\r' || *p == ' ' || *p == '\t'))
+    ++p;  // leading blank lines are not the header
   const char* first_end = p;
   while (first_end < end && *first_end != '\n') ++first_end;
   *has_header = line_is_numeric(p, first_end) ? 0 : 1;
   *cols = count_cols(p, first_end);
 
-  long lines = 0;
-  bool last_has_content = false;
-  for (const char* q = p; q < end; ++q) {
-    if (*q == '\n') {
-      ++lines;
-      last_has_content = false;
-    } else if (!isspace(static_cast<unsigned char>(*q))) {
-      last_has_content = true;
-    }
-  }
-  if (last_has_content) ++lines;  // no trailing newline
+  long lines = count_content_lines(p, end);
   *rows = lines - (*has_header ? 1 : 0);
   return 0;
 }

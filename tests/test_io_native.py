@@ -79,3 +79,79 @@ def test_large_csv_speed(tmp_path):
     # pathology bound only: wall-clock on shared CI hosts is too noisy for a
     # tight perf assertion (typical uncontended ratio is ~2-10x faster)
     assert t_native < t_numpy * 5.0
+
+
+def test_no_trailing_newline_page_boundary(tmp_path):
+    """File without trailing newline whose size is an exact page multiple:
+    the parser must not read past the mapping (guard-byte regression)."""
+    import numpy as np
+    from vgan_tpu import io_native
+
+    if not io_native.native_available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    page = 4096
+    # 511 full 8-byte rows + one 8-byte final line WITHOUT newline
+    # = exactly one page, last token flush against the mapping end
+    row = "1.5,2.5\n"
+    text = row * (page // len(row) - 1) + "9.25,3.5"
+    assert not text.endswith("\n")
+    assert len(text) % page == 0
+    f = tmp_path / "page.csv"
+    f.write_text(text)
+    arr = io_native.load_csv(f, dtype=np.float64)
+    # last (truncated) line "1.5,2.5"[:partial] — compute expected via numpy
+    import io
+    exp = np.loadtxt(io.StringIO(text), delimiter=",")
+    np.testing.assert_allclose(arr, np.atleast_2d(exp))
+
+
+def test_blank_lines_skipped(tmp_path):
+    """Interior and trailing blank lines are not data rows, and the parse
+    still succeeds natively (no fallback-to-error)."""
+    import numpy as np
+    from vgan_tpu import io_native
+
+    f = tmp_path / "blanks.csv"
+    f.write_text("a,b\n1,2\n\n3,4\n   \n5,6\n\n\n")
+    arr = io_native.load_csv(f, dtype=np.float32)
+    np.testing.assert_allclose(arr, [[1, 2], [3, 4], [5, 6]])
+
+
+def test_malformed_falls_back_to_numpy(tmp_path):
+    """A row the native parser rejects degrades to the numpy path (which may
+    itself raise, but uniformly) rather than a hard native ValueError."""
+    import numpy as np
+    import pytest
+    from vgan_tpu import io_native
+
+    f = tmp_path / "bad.csv"
+    f.write_text("1,2\n3,oops\n")
+    with pytest.raises(ValueError):
+        # numpy.loadtxt raises ValueError on 'oops' — proving we reached
+        # the fallback instead of the native rc!=0 error
+        io_native.load_csv(f, dtype=np.float64)
+
+
+def test_blank_lines_multithreaded(tmp_path):
+    """Blank lines must not desynchronize chunk row offsets in the
+    multithreaded parse path."""
+    import numpy as np
+    from vgan_tpu import io_native
+
+    if not io_native.native_available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    rows = []
+    expected = []
+    for i in range(4000):
+        vals = rng.integers(0, 100, size=3)
+        rows.append(",".join(map(str, vals)))
+        expected.append(vals)
+        if i % 37 == 0:
+            rows.append("")  # interior blank line
+    f = tmp_path / "big.csv"
+    f.write_text("\n".join(rows) + "\n")
+    arr = io_native.load_csv(f, dtype=np.float64, nthreads=8)
+    np.testing.assert_allclose(arr, np.asarray(expected, dtype=np.float64))

@@ -82,9 +82,67 @@ def test_random_shapes_forward_parity(rng):
 
 
 def test_pallas_supported_gates():
+    from vgan_tpu.ops.pallas.mmd_gram import shape_supported
+
     x = jnp.zeros((10, 4))
     y = jnp.zeros((10, 4))
-    # on CPU the fused kernel is not auto-selected
-    assert pallas_supported(x, y) == (jax.default_backend() in ("tpu", "axon"))
-    big = jnp.zeros((20000, 4))
-    assert not pallas_supported(big, big)  # residual cap
+    # on CPU the fused kernel is never auto-selected
+    assert not pallas_supported(x, y)
+    # small d: flash backward lifts the sample-count cap entirely
+    assert shape_supported(20000, 20000, 4)
+    assert shape_supported(100000, 100000, 2048)
+    # large d: capped by the S-matrix buffer
+    assert shape_supported(8000, 8000, 10240)
+    assert not shape_supported(9000, 9000, 10240)
+
+
+def test_forced_pallas_unsupported_shape_raises():
+    """impl='pallas' with an unsupported (m, d) raises instead of silently
+    materializing a >1 GiB buffer (round-1 advisor finding)."""
+    x = jnp.zeros((10000, 4096), jnp.float32)
+    y = jnp.zeros((10000, 4096), jnp.float32)
+    with pytest.raises(ValueError, match="chunked"):
+        M.mmd2_biased_stateful(
+            x, y, jnp.zeros(()), jnp.asarray(False), impl="pallas"
+        )
+
+
+def test_gradients_match_jnp_large_d(rng):
+    """d past FLASH_D_MAX exercises the S-materializing backward path."""
+    n1, n2, d = 10, 8, 2100
+    x = jnp.asarray(rng.normal(size=(n1, d)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(n2, d)).astype(np.float32) + 0.1)
+    bw = jnp.asarray(float(d), jnp.float32)
+
+    ref, _ = M.mmd2_biased(x, y, bandwidth=bw)
+    pal, _ = mmd2_biased_pallas(x, y, bandwidth=bw)
+    np.testing.assert_allclose(float(pal), float(ref), rtol=2e-4)
+
+    g_ref = jax.grad(lambda y_: M.mmd2_biased(x, y_, bandwidth=bw)[0])(y)
+    g_pal = jax.grad(lambda y_: mmd2_biased_pallas(x, y_, bandwidth=bw)[0])(y)
+    np.testing.assert_allclose(
+        np.asarray(g_pal), np.asarray(g_ref), rtol=2e-3, atol=1e-8
+    )
+
+
+def test_bf16_matmul_dtype_close_to_f32(rng):
+    """The bf16 MXU fast path agrees with f32 at bf16 resolution, forward
+    and gradient, and matches the jnp path's own bf16 option closely."""
+    n1, n2, d = 24, 24, 40
+    x = jnp.asarray(rng.normal(size=(n1, d)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(n2, d)).astype(np.float32) + 0.3)
+    bw = jnp.asarray(20.0, jnp.float32)
+
+    f32, _ = mmd2_biased_pallas(x, y, bandwidth=bw)
+    b16, _ = mmd2_biased_pallas(x, y, bandwidth=bw, matmul_dtype="bfloat16")
+    np.testing.assert_allclose(float(b16), float(f32), rtol=2e-2, atol=1e-4)
+
+    g32 = jax.grad(lambda y_: mmd2_biased_pallas(x, y_, bandwidth=bw)[0])(y)
+    g16 = jax.grad(
+        lambda y_: mmd2_biased_pallas(
+            x, y_, bandwidth=bw, matmul_dtype="bfloat16"
+        )[0]
+    )(y)
+    np.testing.assert_allclose(
+        np.asarray(g16), np.asarray(g32), rtol=5e-2, atol=2e-4
+    )

@@ -104,7 +104,9 @@ def load_csv(
         return _numpy_fallback(path, dtype)
     rc = fn(path.encode(), ptr, rows.value, cols.value, header.value, nthreads)
     if rc != 0:
-        raise ValueError(f"native CSV parse failed for {path} (rc={rc})")
+        # a file the native fast path can't parse (ragged rows, exotic
+        # formats) may still be loadable by numpy — degrade, don't fail
+        return _numpy_fallback(path, dtype)
     return out
 
 

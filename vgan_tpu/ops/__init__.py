@@ -9,6 +9,7 @@ from vgan_tpu.ops.activations import (
 from vgan_tpu.ops.mmd import (
     bandwidth_multipliers,
     pairwise_sq_dists,
+    candidate_bandwidth,
     reference_bandwidth,
     multi_rbf_gram,
     mmd2_biased,
@@ -24,6 +25,7 @@ __all__ = [
     "binarize_mask",
     "bandwidth_multipliers",
     "pairwise_sq_dists",
+    "candidate_bandwidth",
     "reference_bandwidth",
     "multi_rbf_gram",
     "mmd2_biased",

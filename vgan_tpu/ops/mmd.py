@@ -87,6 +87,28 @@ def reference_bandwidth(d2: jax.Array) -> jax.Array:
     return jax.lax.stop_gradient(jnp.sum(d2) / (m * m - m))
 
 
+def candidate_bandwidth(z: jax.Array) -> jax.Array:
+    """The impl-shared data-driven bandwidth: ``sum_ij d2_ij / (m^2 - m)``
+    via the centered closed form ``sum_ij |z_i - z_j|^2 = 2 m sum_i
+    |z_i - mean(z)|^2`` — O(md), translation-invariant (no cancellation for
+    off-center data), and exactly equal to the pairwise sum in real
+    arithmetic.
+
+    Every impl (jnp / pallas / chunked / ring) computes freeze-time
+    candidates with THIS rule, so the frozen bandwidth of a run never
+    depends on which kernel evaluated the first batch. Divergence from the
+    reference's rule (sum of clamped ``cdist**2`` entries,
+    Mmd_loss_constrained.py:19): the clamp only fires on ~1e-6-relative
+    negative fp residuals from the matmul expansion, i.e. data with
+    near-duplicate rows, where the two rules differ below training noise.
+    Detached, matching the reference's ``.data``.
+    """
+    m = z.shape[0]
+    zc = z - jnp.mean(z, axis=0, keepdims=True)
+    total = 2.0 * m * jnp.sum(zc * zc)
+    return jax.lax.stop_gradient(total / (m * m - m))
+
+
 def ladder_exponents(mults: Tuple[float, ...]):
     """Integer-power structure of a geometric bandwidth ladder.
 
@@ -205,28 +227,33 @@ def mmd2_biased_stateful(
         return mmd2_biased_chunked(x, y, bw_value, bw_is_set, mults)
     if impl != "jnp":
         from vgan_tpu.ops.pallas.mmd_gram import (
+            MAX_M_FOR_PALLAS,
             mmd2_biased_stateful_pallas,
             pallas_supported,
+            shape_supported,
         )
 
-        if impl == "auto" and x.shape[0] + y.shape[0] > 16384:
-            # beyond the Pallas residual cap the m x m matrix must never
-            # materialize: row-blocked remat path
-            return mmd2_biased_chunked(x, y, bw_value, bw_is_set, mults)
-        if impl == "pallas" and matmul_dtype is not None:
-            raise ValueError(
-                "impl='pallas' does not support matmul_dtype; the fused "
-                "kernel computes distances in f32 (use impl='auto'/'jnp' "
-                "for the bf16 matmul option)"
-            )
-        if matmul_dtype is None and (
-            impl == "pallas" or (impl == "auto" and pallas_supported(x, y))
+        m = x.shape[0] + y.shape[0]
+        if impl == "pallas" and not shape_supported(
+            x.shape[0], y.shape[0], x.shape[1]
         ):
-            return mmd2_biased_stateful_pallas(x, y, bw_value, bw_is_set, mults)
+            raise ValueError(
+                f"impl='pallas' cannot handle m={m}, d={x.shape[1]}: the "
+                f"large-d backward is capped at m={MAX_M_FOR_PALLAS}; use "
+                "impl='chunked' (row-blocked rematerializing path) instead"
+            )
+        if impl == "pallas" or (impl == "auto" and pallas_supported(x, y)):
+            return mmd2_biased_stateful_pallas(
+                x, y, bw_value, bw_is_set, mults, matmul_dtype
+            )
+        if impl == "auto" and m > MAX_M_FOR_PALLAS:
+            # the dense jnp path would materialize the m x m matrix;
+            # beyond the cap route to the row-blocked remat path
+            return mmd2_biased_chunked(x, y, bw_value, bw_is_set, mults)
     n1 = x.shape[0]
     z = jnp.concatenate([x, y], axis=0)
     d2 = pairwise_sq_dists(z, matmul_dtype=matmul_dtype)
-    candidate = reference_bandwidth(d2)
+    candidate = candidate_bandwidth(z)
     bw = jnp.where(bw_is_set, bw_value, candidate)
     k = multi_rbf_gram(d2, bw, mults)
     kxx = jnp.mean(k[:n1, :n1])
@@ -258,8 +285,7 @@ def mmd2_biased_chunked(
     m = n1 + n2
     z = jnp.concatenate([x, y], axis=0)
 
-    total = 2.0 * m * jnp.sum(z * z) - 2.0 * jnp.sum(jnp.sum(z, axis=0) ** 2)
-    candidate = jax.lax.stop_gradient(total / (m * m - m))
+    candidate = candidate_bandwidth(z)
     bw = jnp.where(bw_is_set, bw_value, candidate).astype(z.dtype)
 
     pad = (-m) % row_block

@@ -1,32 +1,46 @@
-"""Fused, block-tiled Pallas TPU kernel for the multi-bandwidth RBF MMD.
+"""Fused, block-tiled Pallas TPU kernels for the multi-bandwidth RBF MMD.
 
 Replaces the reference's materialize-everything pipeline
 (``torch.cdist(Z, Z) ** 2`` -> 5 stacked exps -> quadrant means,
-/root/reference/src/models/Mmd_loss_constrained.py:24-49) with one streaming
-kernel: for each (row-tile i, col-tile j) of the implicit (m x m) Gram, the
+/root/reference/src/models/Mmd_loss_constrained.py:24-49) with streaming
+kernels: for each (row-tile i, col-tile j) of the implicit (m x m) Gram, the
 squared distances are accumulated over d-chunks on the MXU
 (``|zi|^2 + |zj|^2 - 2 zi . zj``), the 5-bandwidth exp-sum is applied on the
 VPU, and the three quadrant sums (XX, XY, YY) are reduced into SMEM scalars.
-The m x m kernel matrix never exists in HBM; the d-axis is chunked so
-d >= 10k streams through VMEM (the framework's "long-context" analogue,
-SURVEY.md section 5).
+Neither the kernel matrix nor the distance matrix ever exists in HBM on the
+forward pass; the d-axis is chunked so d >= 10k streams through VMEM (the
+framework's "long-context" analogue, SURVEY.md section 5).
 
-Backward (custom VJP): with S = (C + C^T)/2 .* K'(D2) (C the quadrant
-coefficient matrix of the biased MMD, K' the kernel derivative wrt squared
-distance), the input cotangent is ``dz = 4 g (rowsum(S) * z - S @ z)``. The
-forward stores the (m x m) D2 matrix as a residual (f32; ~4 MB at the
-reference's batch size, capped by `pallas_supported`), and the backward
-kernel streams S tiles out of it — recompute-light, still never
-materializing S.
+Backward (custom VJP): with S = C_sym .* K'(D2) (C_sym the symmetrized
+quadrant coefficient matrix of the biased MMD, K' the kernel derivative wrt
+squared distance), the input cotangent is ``dz = 4 g (rowsum(S) * z - S @ z)``.
+Two recompute backward paths — NOTHING is saved from the forward except z:
+
+- **flash path** (padded d <= FLASH_D_MAX): one streaming kernel over
+  (i, j) tiles with full-d blocks; S tiles are recomputed from z and
+  consumed immediately into the revisited ``S @ z`` / ``rowsum(S)`` output
+  accumulators. No O(m^2) buffer at any point, so the sample count is
+  UNCAPPED on this path (flash-attention-style backward for kernel methods).
+- **S-materializing path** (d beyond the flash VMEM budget): one kernel
+  recomputes D2 over d-chunks per (i, j) tile and emits the (m x m) S matrix
+  once; ``rowsum(S)`` and ``S @ z`` are then single XLA reductions/matmuls.
+  HBM traffic is O(m^2) once (vs. once per d-chunk in a residual-replay
+  design); m is capped by the S buffer (``MAX_M_FOR_PALLAS``), beyond which
+  the row-blocked rematerializing jnp path (ops.mmd.mmd2_biased_chunked)
+  takes over.
 
 No gradient flows through the bandwidth (the reference detaches it,
 Mmd_loss_constrained.py:19-20) nor through the selection masks.
 
-The candidate (data-driven) bandwidth uses the closed form
-``sum_ij d2_ij = 2 m sum_i |z_i|^2 - 2 |sum_i z_i|^2`` — O(md) instead of
-O(m^2 d). Divergence note: the torch path clamps each d2 at 0 before
-summing; the closed form does not, so the two can differ by ~1e-6 relative
-when near-duplicate rows produce tiny negative fp residuals.
+``matmul_dtype='bfloat16'`` runs every distance matmul with bf16 operands
+and f32 accumulation (the MXU's fast path, ~4x f32 rate); row norms and the
+exp ladder stay f32. Opt-in: distances are perturbed at bf16 resolution —
+same contract as the jnp path's option (ops.mmd.pairwise_sq_dists).
+
+The candidate (data-driven) bandwidth uses the shared centered closed form
+(:func:`vgan_tpu.ops.mmd.candidate_bandwidth`) — one rule for every impl, so
+the frozen bandwidth of a run never depends on which kernel computed the
+first batch.
 """
 
 from __future__ import annotations
@@ -42,11 +56,19 @@ from jax.experimental.pallas import tpu as pltpu
 from vgan_tpu.ops import mmd as _mmd
 
 # Row/col tile and d-chunk sizes. f32 min tile is (8, 128); these are
-# MXU-friendly multiples chosen so VMEM stays ~2-3 MB with double buffering.
+# MXU-friendly multiples chosen so VMEM stays in budget with double
+# buffering.
 TILE_M = 256
 TILE_D = 512
 
-# Residual D2 matrix is f32 (m x m); cap m so the residual stays <= 1 GiB.
+# Flash (streaming) backward holds full-d (TILE_M, D) blocks of z plus the
+# (TILE_M, D) sz accumulator in VMEM: 3-4 buffers x TILE_M x D x 4B (+ double
+# buffering on zj) must fit ~16 MB VMEM. D <= 2048 keeps it ~10 MB.
+FLASH_D_MAX = 2048
+
+# Beyond the flash-d budget the backward materializes the (M, M) f32 S
+# matrix once; cap m so that buffer stays <= 1 GiB. Larger m with large d
+# routes to the chunked jnp path (see ops.mmd.mmd2_biased_stateful).
 MAX_M_FOR_PALLAS = 16384
 
 
@@ -58,14 +80,36 @@ def _round_up(a: int, b: int) -> int:
     return _cdiv(a, b) * b
 
 
+def _pad_layout(m: int, d: int) -> Tuple[int, int, int]:
+    """Padded (M, D, tile_d). Small d pads to a lane multiple (128) and uses
+    a single d-chunk; large d pads to TILE_D-multiples and streams chunks."""
+    M = _round_up(m, TILE_M)
+    if d <= TILE_D:
+        D = max(128, _round_up(d, 128))
+        return M, D, D
+    D = _round_up(d, TILE_D)
+    return M, D, TILE_D
+
+
+def shape_supported(n1: int, n2: int, d: int) -> bool:
+    """Can the fused kernels handle (n1 + n2, d) at all (any platform)?
+
+    Small-d problems of ANY sample count stream through the flash backward;
+    large-d problems are capped by the S-matrix buffer.
+    """
+    m = n1 + n2
+    _, D, _ = _pad_layout(m, d)
+    return D <= FLASH_D_MAX or m <= MAX_M_FOR_PALLAS
+
+
 def pallas_supported(x: jax.Array, y: jax.Array) -> bool:
     """True when the fused TPU kernel should handle these operands.
 
     Besides the platform/shape gates, this is a performance dispatch: the
-    kernel pads d up to TILE_D and m up to TILE_M, so for small problems the
-    padding waste loses to XLA's fused jnp path (measured crossover: the
-    kernel wins once the feature axis is at least a tile or the sample count
-    makes materializing the m^2 Gram traffic-bound).
+    kernel pads d and m up to tiles, so for small problems the padding waste
+    loses to XLA's fused jnp path (measured crossover: the kernel wins once
+    the feature axis is at least a d-chunk or the sample count makes
+    materializing the m^2 Gram traffic-bound).
     """
     try:
         platform = jax.default_backend()
@@ -77,13 +121,71 @@ def pallas_supported(x: jax.Array, y: jax.Array) -> bool:
         return False
     m = x.shape[0] + y.shape[0]
     d = x.shape[1]
-    if m > MAX_M_FOR_PALLAS:
+    if not shape_supported(x.shape[0], y.shape[0], d):
         return False
     return d >= TILE_D or m >= 4096
 
 
+def _kernel_sum(d2: jax.Array, bw: jax.Array, mults: Tuple[float, ...]):
+    """K(d2) = sum_k exp(-d2/(bw mk)); geometric ladders use the single-exp
+    integer-power form (ops.mmd.ladder_exponents)."""
+    ladder = _mmd.ladder_exponents(mults)
+    k = jnp.zeros_like(d2)
+    if ladder is not None:
+        base, ints = ladder
+        t = jnp.exp(-d2 / (bw * base))
+        for pw in _mmd.integer_powers(t, ints):
+            k = k + pw
+        return k
+    for mk in mults:
+        k = k + jnp.exp(-d2 / (bw * mk))
+    return k
+
+
+def _kernel_deriv(d2: jax.Array, bw: jax.Array, mults: Tuple[float, ...]):
+    """K'(d2) = -sum_k exp(-d2/(bw mk)) / (bw mk)."""
+    ladder = _mmd.ladder_exponents(mults)
+    kprime = jnp.zeros_like(d2)
+    if ladder is not None:
+        base, ints = ladder
+        t = jnp.exp(-d2 / (bw * base))
+        for mk, pw in zip(mults, _mmd.integer_powers(t, ints)):
+            kprime = kprime - pw / (bw * mk)
+        return kprime
+    for mk in mults:
+        kprime = kprime - jnp.exp(-d2 / (bw * mk)) / (bw * mk)
+    return kprime
+
+
+def _coeff_tile(i, j, shape, n1: int, n2: int, m: int):
+    """(coeff, valid) for a (TILE_M, TILE_M) tile at row-tile i, col-tile j.
+
+    Symmetrized quadrant coefficients of the biased MMD:
+    XX: 1/n1^2, YY: 1/n2^2, XY and YX: -1/(n1 n2); zero outside the m x m
+    valid region.
+    """
+    rows = i * TILE_M + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = j * TILE_M + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    row_x = rows < n1
+    col_x = cols < n1
+    valid = jnp.logical_and(rows < m, cols < m)
+    c_xx = 1.0 / (n1 * n1)
+    c_yy = 1.0 / (n2 * n2)
+    c_xy = -1.0 / (n1 * n2)
+    coeff = jnp.where(
+        jnp.logical_and(row_x, col_x),
+        c_xx,
+        jnp.where(
+            jnp.logical_and(jnp.logical_not(row_x), jnp.logical_not(col_x)),
+            c_yy,
+            c_xy,
+        ),
+    )
+    return row_x, col_x, valid, coeff
+
+
 # ---------------------------------------------------------------------------
-# forward kernel: quadrant sums (+ D2 residual)
+# forward kernel: quadrant sums only (no residual)
 # ---------------------------------------------------------------------------
 
 
@@ -94,7 +196,6 @@ def _fwd_kernel(
     nj_ref,
     bw_ref,
     sums_ref,
-    d2_out_ref,
     d2_scratch,
     *,
     n1: int,
@@ -115,7 +216,8 @@ def _fwd_kernel(
     def _():
         d2_scratch[:] = jnp.zeros_like(d2_scratch)
 
-    # Accumulate the -2 zi . zj partial dot for this d-chunk on the MXU.
+    # Accumulate the -2 zi . zj partial dot for this d-chunk on the MXU
+    # (bf16 operands hit the MXU fast path; accumulation is f32 either way).
     d2_scratch[:] += -2.0 * jnp.dot(
         zi_ref[:], zj_ref[:].T, preferred_element_type=jnp.float32
     )
@@ -123,28 +225,13 @@ def _fwd_kernel(
     @pl.when(kd == n_kd - 1)
     def _():
         d2 = jnp.maximum(d2_scratch[:] + ni_ref[:] + nj_ref[:].T, 0.0)
-        d2_out_ref[:] = d2
-
-        bw = bw_ref[0, 0]
-        ladder = _mmd.ladder_exponents(mults)
-        if ladder is not None:
-            base, ints = ladder
-            t = jnp.exp(-d2 / (bw * base))
-            k = jnp.zeros_like(d2)
-            for pw in _mmd.integer_powers(t, ints):
-                k = k + pw
-        else:
-            k = jnp.zeros_like(d2)
-            for mk in mults:
-                k = k + jnp.exp(-d2 / (bw * mk))
+        k = _kernel_sum(d2, bw_ref[0, 0], mults)
 
         rows = i * TILE_M + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
         cols = j * TILE_M + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
         row_x = rows < n1
         col_x = cols < n1
-        row_ok = rows < m
-        col_ok = cols < m
-        valid = jnp.logical_and(row_ok, col_ok)
+        valid = jnp.logical_and(rows < m, cols < m)
 
         kf = jnp.where(valid, k, 0.0)
         xx = jnp.sum(jnp.where(jnp.logical_and(row_x, col_x), kf, 0.0))
@@ -164,7 +251,7 @@ def _fwd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n1", "m", "mults", "interpret")
+    jax.jit, static_argnames=("n1", "m", "mults", "tile_d", "interpret")
 )
 def _gram_quadrant_sums(
     z_pad: jax.Array,
@@ -173,23 +260,23 @@ def _gram_quadrant_sums(
     n1: int,
     m: int,
     mults: Tuple[float, ...],
+    tile_d: int,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
-    """Returns ``(sums (1, 4), d2 (M, M))`` for padded inputs."""
+) -> jax.Array:
+    """Returns the quadrant ``sums (1, 4)`` for padded inputs."""
     M, D = z_pad.shape
-    grid = (M // TILE_M, M // TILE_M, D // TILE_D)
-    n_kd = D // TILE_D
-    kernel = functools.partial(
-        _fwd_kernel, n1=n1, m=m, mults=mults, n_kd=n_kd
-    )
+    grid = (M // TILE_M, M // TILE_M, D // tile_d)
+    n_kd = D // tile_d
+    kernel = functools.partial(_fwd_kernel, n1=n1, m=m, mults=mults, n_kd=n_kd)
+    zbytes = z_pad.dtype.itemsize
     flops = 2 * M * M * D + 8 * M * M * len(mults)
-    sums, d2 = pl.pallas_call(
+    sums = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_M, TILE_D), lambda i, j, kd: (i, kd),
+            pl.BlockSpec((TILE_M, tile_d), lambda i, j, kd: (i, kd),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, TILE_D), lambda i, j, kd: (j, kd),
+            pl.BlockSpec((TILE_M, tile_d), lambda i, j, kd: (j, kd),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_M, 1), lambda i, j, kd: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -198,35 +285,30 @@ def _gram_quadrant_sums(
             pl.BlockSpec((1, 1), lambda i, j, kd: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 4), lambda i, j, kd: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE_M, TILE_M), lambda i, j, kd: (i, j),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, 4), jnp.float32),
-            jax.ShapeDtypeStruct((M, M), jnp.float32),
-        ),
+        out_specs=pl.BlockSpec((1, 4), lambda i, j, kd: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 4), jnp.float32),
         scratch_shapes=[pltpu.VMEM((TILE_M, TILE_M), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=2 * M * D * 4 + M * M * 4,
-            transcendentals=M * M * len(mults),
+            bytes_accessed=2 * (M // TILE_M) * M * D * zbytes,
+            transcendentals=M * M,
         ),
         interpret=interpret,
     )(z_pad, z_pad, norms_pad, norms_pad, bw.reshape(1, 1).astype(jnp.float32))
-    return sums, d2
+    return sums
 
 
 # ---------------------------------------------------------------------------
-# backward kernel: rowsum(S) and S @ z from the D2 residual
+# flash backward kernel: streaming rowsum(S) and S @ z, no m^2 buffer
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(
-    d2_ref,
+def _flash_bwd_kernel(
+    zi_ref,
     zj_ref,
+    ni_ref,
+    nj_ref,
     bw_ref,
     sz_ref,
     rs_ref,
@@ -236,61 +318,36 @@ def _bwd_kernel(
     m: int,
     mults: Tuple[float, ...],
 ):
-    i, kd, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    i, j = pl.program_id(0), pl.program_id(1)
 
-    bw = bw_ref[0, 0]
-    d2 = d2_ref[:]
-    # K'(d2) = -sum_k exp(-d2/(bw mk)) / (bw mk); geometric ladders use the
-    # single-exp integer-power form (see ops.mmd.ladder_exponents)
-    ladder = _mmd.ladder_exponents(mults)
-    kprime = jnp.zeros_like(d2)
-    if ladder is not None:
-        base, ints = ladder
-        t = jnp.exp(-d2 / (bw * base))
-        for mk, pw in zip(mults, _mmd.integer_powers(t, ints)):
-            kprime = kprime - pw / (bw * mk)
-    else:
-        for mk in mults:
-            kprime = kprime - jnp.exp(-d2 / (bw * mk)) / (bw * mk)
-
-    rows = i * TILE_M + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
-    cols = j * TILE_M + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-    row_x = rows < n1
-    col_x = cols < n1
-    valid = jnp.logical_and(rows < m, cols < m)
-
-    # Symmetrized quadrant coefficients of the biased MMD:
-    #   XX: 1/n1^2, YY: 1/n2^2, XY and YX: -1/(n1 n2).
-    c_xx = 1.0 / (n1 * n1)
-    c_yy = 1.0 / (n2 * n2)
-    c_xy = -1.0 / (n1 * n2)
-    coeff = jnp.where(
-        jnp.logical_and(row_x, col_x),
-        c_xx,
-        jnp.where(jnp.logical_and(jnp.logical_not(row_x), jnp.logical_not(col_x)),
-                  c_yy, c_xy),
+    d2 = jnp.maximum(
+        ni_ref[:]
+        + nj_ref[:].T
+        - 2.0
+        * jnp.dot(zi_ref[:], zj_ref[:].T, preferred_element_type=jnp.float32),
+        0.0,
     )
+    kprime = _kernel_deriv(d2, bw_ref[0, 0], mults)
+    _, _, valid, coeff = _coeff_tile(i, j, d2.shape, n1, n2, m)
     s = jnp.where(valid, coeff * kprime, 0.0)
 
     @pl.when(j == 0)
     def _():
         sz_ref[:] = jnp.zeros_like(sz_ref)
+        rs_ref[:] = jnp.zeros_like(rs_ref)
 
-    sz_ref[:] += jnp.dot(s, zj_ref[:], preferred_element_type=jnp.float32)
-
-    @pl.when(kd == 0)
-    def _():
-        @pl.when(j == 0)
-        def _():
-            rs_ref[:] = jnp.zeros_like(rs_ref)
-
-        rs_ref[:] += jnp.sum(s, axis=1, keepdims=True)
+    sz_ref[:] += jnp.dot(
+        s, zj_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+    rs_ref[:] += jnp.sum(s, axis=1, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("n1", "n2", "m", "mults", "interpret"))
-def _gram_backward(
-    d2: jax.Array,
+@functools.partial(
+    jax.jit, static_argnames=("n1", "n2", "m", "mults", "interpret")
+)
+def _gram_backward_flash(
     z_pad: jax.Array,
+    norms_pad: jax.Array,
     bw: jax.Array,
     n1: int,
     n2: int,
@@ -298,25 +355,32 @@ def _gram_backward(
     mults: Tuple[float, ...],
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns ``(sz (M, D), rs (M, 1))``."""
+    """Streaming backward for full-d tiles: ``(sz (M, D) f32, rs (M, 1))``."""
     M, D = z_pad.shape
-    grid = (M // TILE_M, D // TILE_D, M // TILE_M)
-    kernel = functools.partial(_bwd_kernel, n1=n1, n2=n2, m=m, mults=mults)
+    grid = (M // TILE_M, M // TILE_M)
+    kernel = functools.partial(
+        _flash_bwd_kernel, n1=n1, n2=n2, m=m, mults=mults
+    )
+    zbytes = z_pad.dtype.itemsize
     sz, rs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_M, TILE_M), lambda i, kd, j: (i, j),
+            pl.BlockSpec((TILE_M, D), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, TILE_D), lambda i, kd, j: (j, kd),
+            pl.BlockSpec((TILE_M, D), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, kd, j: (0, 0),
+            pl.BlockSpec((TILE_M, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_M, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TILE_M, TILE_D), lambda i, kd, j: (i, kd),
+            pl.BlockSpec((TILE_M, D), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, 1), lambda i, kd, j: (i, 0),
+            pl.BlockSpec((TILE_M, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -324,13 +388,101 @@ def _gram_backward(
             jax.ShapeDtypeStruct((M, 1), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * M * M * D + 10 * M * M * len(mults),
-            bytes_accessed=M * M * 4 * (D // TILE_D) + 2 * M * D * 4,
-            transcendentals=M * M * len(mults) * (D // TILE_D),
+            flops=4 * M * M * D + 10 * M * M * len(mults),
+            bytes_accessed=(M // TILE_M) * M * D * zbytes + M * D * 4,
+            transcendentals=M * M,
         ),
         interpret=interpret,
-    )(d2, z_pad, bw.reshape(1, 1).astype(jnp.float32))
+    )(z_pad, z_pad, norms_pad, norms_pad, bw.reshape(1, 1).astype(jnp.float32))
     return sz, rs
+
+
+# ---------------------------------------------------------------------------
+# S-materializing backward kernel (large d): emit S once, matmul in XLA
+# ---------------------------------------------------------------------------
+
+
+def _s_kernel(
+    zi_ref,
+    zj_ref,
+    ni_ref,
+    nj_ref,
+    bw_ref,
+    s_ref,
+    d2_scratch,
+    *,
+    n1: int,
+    n2: int,
+    m: int,
+    mults: Tuple[float, ...],
+    n_kd: int,
+):
+    i, j, kd = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(kd == 0)
+    def _():
+        d2_scratch[:] = jnp.zeros_like(d2_scratch)
+
+    d2_scratch[:] += -2.0 * jnp.dot(
+        zi_ref[:], zj_ref[:].T, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kd == n_kd - 1)
+    def _():
+        d2 = jnp.maximum(d2_scratch[:] + ni_ref[:] + nj_ref[:].T, 0.0)
+        kprime = _kernel_deriv(d2, bw_ref[0, 0], mults)
+        _, _, valid, coeff = _coeff_tile(i, j, d2.shape, n1, n2, m)
+        s_ref[:] = jnp.where(valid, coeff * kprime, 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n1", "n2", "m", "mults", "tile_d", "interpret")
+)
+def _gram_s_matrix(
+    z_pad: jax.Array,
+    norms_pad: jax.Array,
+    bw: jax.Array,
+    n1: int,
+    n2: int,
+    m: int,
+    mults: Tuple[float, ...],
+    tile_d: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Recomputes D2 over d-chunks and emits the (M, M) f32 S matrix once."""
+    M, D = z_pad.shape
+    grid = (M // TILE_M, M // TILE_M, D // tile_d)
+    n_kd = D // tile_d
+    kernel = functools.partial(
+        _s_kernel, n1=n1, n2=n2, m=m, mults=mults, n_kd=n_kd
+    )
+    zbytes = z_pad.dtype.itemsize
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_M, tile_d), lambda i, j, kd: (i, kd),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_M, tile_d), lambda i, j, kd: (j, kd),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_M, 1), lambda i, j, kd: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_M, 1), lambda i, j, kd: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j, kd: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_M, TILE_M), lambda i, j, kd: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, M), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TILE_M, TILE_M), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * M * D + 10 * M * M * len(mults),
+            bytes_accessed=2 * (M // TILE_M) * M * D * zbytes + M * M * 4,
+            transcendentals=M * M,
+        ),
+        interpret=interpret,
+    )(z_pad, z_pad, norms_pad, norms_pad, bw.reshape(1, 1).astype(jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -338,32 +490,26 @@ def _gram_backward(
 # ---------------------------------------------------------------------------
 
 
-def _closed_form_bandwidth(z: jax.Array, m: int) -> jax.Array:
-    """O(md) candidate bandwidth: mean off-diagonal-denominator squared dist.
-
-    sum_ij d2_ij = 2 m sum_i |z_i|^2 - 2 |sum_i z_i|^2, divided by m^2 - m
-    (reference rule, Mmd_loss_constrained.py:19; clamp divergence in module
-    docstring). Detached, matching the reference's ``.data``.
-    """
-    z = z.astype(jnp.float32)
-    total = 2.0 * m * jnp.sum(z * z) - 2.0 * jnp.sum(jnp.sum(z, axis=0) ** 2)
-    return jax.lax.stop_gradient(total / (m * m - m))
-
-
-def _pad_z(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array, int, int, int]:
+def _pad_z(x: jax.Array, y: jax.Array):
     n1, n2 = x.shape[0], y.shape[0]
     m = n1 + n2
     d = x.shape[1]
-    M = _round_up(m, TILE_M)
-    D = _round_up(d, TILE_D)
+    M, D, tile_d = _pad_layout(m, d)
     z = jnp.concatenate([x, y], axis=0).astype(jnp.float32)
     z_pad = jnp.zeros((M, D), jnp.float32).at[:m, :d].set(z)
     norms = jnp.sum(z_pad * z_pad, axis=1, keepdims=True)
-    return z_pad, norms, n1, n2, m
+    return z_pad, norms, n1, n2, m, tile_d
 
 
 def _interpret_mode() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
+
+
+def _dot_operand(z_pad: jax.Array, matmul_dtype: Optional[str]) -> jax.Array:
+    """z as fed to the distance matmuls: f32, or bf16 for the MXU fast path."""
+    if matmul_dtype is None:
+        return z_pad
+    return z_pad.astype(jnp.dtype(matmul_dtype))
 
 
 def _mmd2_from_sums(sums: jax.Array, n1: int, n2: int) -> jax.Array:
@@ -373,36 +519,51 @@ def _mmd2_from_sums(sums: jax.Array, n1: int, n2: int) -> jax.Array:
     return sxx / (n1 * n1) - 2.0 * sxy / (n1 * n2) + syy / (n2 * n2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _mmd2_core(mults: Tuple[float, ...], n1: int, n2: int,
+               matmul_dtype: Optional[str],
                x: jax.Array, y: jax.Array, bw: jax.Array) -> jax.Array:
-    z_pad, norms, _, _, m = _pad_z(x, y)
-    sums, _ = _gram_quadrant_sums(
-        z_pad, norms, bw, n1, m, mults, interpret=_interpret_mode()
+    z_pad, norms, _, _, m, tile_d = _pad_z(x, y)
+    sums = _gram_quadrant_sums(
+        _dot_operand(z_pad, matmul_dtype), norms, bw, n1, m, mults, tile_d,
+        interpret=_interpret_mode(),
     )
     return _mmd2_from_sums(sums, n1, n2)
 
 
-def _mmd2_fwd(mults, n1, n2, x, y, bw):
-    z_pad, norms, _, _, m = _pad_z(x, y)
-    sums, d2 = _gram_quadrant_sums(
-        z_pad, norms, bw, n1, m, mults, interpret=_interpret_mode()
+def _mmd2_fwd(mults, n1, n2, matmul_dtype, x, y, bw):
+    z_pad, norms, _, _, m, tile_d = _pad_z(x, y)
+    sums = _gram_quadrant_sums(
+        _dot_operand(z_pad, matmul_dtype), norms, bw, n1, m, mults, tile_d,
+        interpret=_interpret_mode(),
     )
     mmd2 = _mmd2_from_sums(sums, n1, n2)
-    # zero-size carriers keep the primal dtypes for the cotangents
+    # zero-size carriers keep the primal dtypes for the cotangents; the
+    # backward recomputes everything from z (no m x m residual)
     x_proto = jnp.zeros((0, x.shape[1]), x.dtype)
     y_proto = jnp.zeros((0, y.shape[1]), y.dtype)
-    return mmd2, (z_pad, d2, bw, x_proto, y_proto)
+    return mmd2, (z_pad, norms, bw, x_proto, y_proto)
 
 
-def _mmd2_bwd(mults, n1, n2, res, g):
-    z_pad, d2, bw, x_proto, y_proto = res
+def _mmd2_bwd(mults, n1, n2, matmul_dtype, res, g):
+    z_pad, norms, bw, x_proto, y_proto = res
     m = n1 + n2
-    sz, rs = _gram_backward(
-        d2, z_pad, bw, n1, n2, m, mults, interpret=_interpret_mode()
-    )
+    M, D = z_pad.shape
+    z_dot = _dot_operand(z_pad, matmul_dtype)
+    interpret = _interpret_mode()
+    if D <= FLASH_D_MAX:
+        sz, rs = _gram_backward_flash(
+            z_dot, norms, bw, n1, n2, m, mults, interpret=interpret
+        )
+    else:
+        s = _gram_s_matrix(
+            z_dot, norms, bw, n1, n2, m, mults,
+            tile_d=TILE_D, interpret=interpret,
+        )
+        rs = jnp.sum(s, axis=1, keepdims=True)
+        sz = jnp.dot(s, z_pad, preferred_element_type=jnp.float32)
     # dz_p = 2 g sum_j (C + C^T)_pj K'_pj (z_p - z_j) = 4 g sum_j S_pj (z_p - z_j)
-    # with S = C_sym .* K' (the kernel computes S with the symmetrized C).
+    # with S = C_sym .* K' (the kernels compute S with the symmetrized C).
     dz = 4.0 * g * (rs * z_pad - sz)
     dx = dz[:n1, : x_proto.shape[1]].astype(x_proto.dtype)
     dy = dz[n1:m, : y_proto.shape[1]].astype(y_proto.dtype)
@@ -412,10 +573,22 @@ def _mmd2_bwd(mults, n1, n2, res, g):
 _mmd2_core.defvjp(_mmd2_fwd, _mmd2_bwd)
 
 
-def mmd2_pallas_core(x: jax.Array, y: jax.Array, bw: jax.Array,
-                     mults: Tuple[float, ...]) -> jax.Array:
-    """Biased MMD^2 via the fused kernel, given a resolved bandwidth."""
-    return _mmd2_core(mults, x.shape[0], y.shape[0], x, y, bw)
+def mmd2_pallas_core(
+    x: jax.Array,
+    y: jax.Array,
+    bw: jax.Array,
+    mults: Tuple[float, ...],
+    matmul_dtype: Optional[str] = None,
+) -> jax.Array:
+    """Biased MMD^2 via the fused kernels, given a resolved bandwidth."""
+    if not shape_supported(x.shape[0], y.shape[0], x.shape[1]):
+        raise ValueError(
+            f"fused Pallas MMD does not support m={x.shape[0] + y.shape[0]} "
+            f"with d={x.shape[1]}: large-d backward materializes an (m, m) "
+            f"S matrix capped at m={MAX_M_FOR_PALLAS}; use impl='chunked' "
+            "(row-blocked rematerializing path) for this regime"
+        )
+    return _mmd2_core(mults, x.shape[0], y.shape[0], matmul_dtype, x, y, bw)
 
 
 def mmd2_biased_pallas(
@@ -423,14 +596,14 @@ def mmd2_biased_pallas(
     y: jax.Array,
     bandwidth: Optional[jax.Array] = None,
     mults: Tuple[float, ...] = _mmd.bandwidth_multipliers(),
+    matmul_dtype: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused-kernel counterpart of :func:`vgan_tpu.ops.mmd.mmd2_biased`."""
-    m = x.shape[0] + y.shape[0]
     if bandwidth is None:
         z = jnp.concatenate([x, y], axis=0)
-        bandwidth = _closed_form_bandwidth(z, m)
+        bandwidth = _mmd.candidate_bandwidth(z)
     bw = jnp.asarray(bandwidth, jnp.float32)
-    return mmd2_pallas_core(x, y, bw, mults), bw
+    return mmd2_pallas_core(x, y, bw, mults, matmul_dtype), bw
 
 
 def mmd2_biased_stateful_pallas(
@@ -439,10 +612,17 @@ def mmd2_biased_stateful_pallas(
     bw_value: jax.Array,
     bw_is_set: jax.Array,
     mults: Tuple[float, ...] = _mmd.bandwidth_multipliers(),
+    matmul_dtype: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused-kernel counterpart of ``mmd2_biased_stateful``."""
-    m = x.shape[0] + y.shape[0]
     z = jnp.concatenate([x, y], axis=0)
-    candidate = _closed_form_bandwidth(z, m)
+    candidate = _mmd.candidate_bandwidth(z)
     bw = jnp.where(bw_is_set, bw_value, candidate).astype(jnp.float32)
-    return mmd2_pallas_core(x, y, bw, mults), bw
+    return mmd2_pallas_core(x, y, bw, mults, matmul_dtype), bw
+
+
+# Backwards-compatible alias (round-1 name); the closed form now lives in
+# ops.mmd as the impl-shared candidate rule.
+def _closed_form_bandwidth(z: jax.Array, m: int) -> jax.Array:
+    del m
+    return _mmd.candidate_bandwidth(z)

@@ -50,18 +50,19 @@ def _block_gram_sum(
 def _global_candidate_bandwidth(
     x_loc: jax.Array, y_loc: jax.Array, axis_name: str
 ) -> jax.Array:
-    """Closed-form reference bandwidth over the full (sharded) sample set.
+    """Sharded version of :func:`vgan_tpu.ops.mmd.candidate_bandwidth`.
 
-    sum_ij d2_ij = 2 m sum|z|^2 - 2 |sum z|^2 with both inner sums psum-ed
-    over shards; divided by m^2 - m (Mmd_loss_constrained.py:19; detached).
+    Same centered closed form (sum_ij d2_ij = 2 m sum_i |z_i - mean|^2,
+    divided by m^2 - m; Mmd_loss_constrained.py:19; detached), with the mean
+    and the centered square sum each psum-ed over row shards — so the frozen
+    bandwidth matches the single-device rule up to reduction order.
     """
     z_loc = jnp.concatenate([x_loc, y_loc], axis=0)
-    sq = lax.psum(jnp.sum(z_loc * z_loc), axis_name)
-    colsum = lax.psum(jnp.sum(z_loc, axis=0), axis_name)
-    m_loc = z_loc.shape[0]
-    m = m_loc * lax.axis_size(axis_name)
-    total = 2.0 * m * sq - 2.0 * jnp.sum(colsum * colsum)
-    return lax.stop_gradient(total / (m * m - m))
+    m = z_loc.shape[0] * lax.axis_size(axis_name)
+    mean = lax.psum(jnp.sum(z_loc, axis=0), axis_name) / m
+    zc = z_loc - mean
+    sq = lax.psum(jnp.sum(zc * zc), axis_name)
+    return lax.stop_gradient(2.0 * m * sq / (m * m - m))
 
 
 def ring_quadrant_sums(
@@ -159,8 +160,9 @@ def mmd2_feature_sharded(
     """Feature-sharded stateful biased MMD^2 (one psum of partial d2).
 
     ``x_loc``/``y_loc`` hold full rows but a feature slice; squared
-    distances add over feature shards. Candidate bandwidth uses the psum-ed
-    d2 directly (exact reference rule incl. the clamp).
+    distances add over feature shards. Candidate bandwidth uses the shared
+    centered closed form (ops.mmd.candidate_bandwidth) with the centered
+    square sum psum-ed over feature shards.
     """
     n1, n2 = x_loc.shape[0], y_loc.shape[0]
     z = jnp.concatenate([x_loc, y_loc], axis=0)
@@ -172,7 +174,9 @@ def mmd2_feature_sharded(
     )
     d2 = jnp.maximum(lax.psum(partial, axis_name), 0.0)
     m = n1 + n2
-    candidate = lax.stop_gradient(jnp.sum(d2) / (m * m - m))
+    zc = z - jnp.mean(z, axis=0, keepdims=True)
+    sq = lax.psum(jnp.sum(zc * zc), axis_name)
+    candidate = lax.stop_gradient(2.0 * m * sq / (m * m - m))
     bw = jnp.where(bw_is_set, bw_value, candidate).astype(x_loc.dtype)
     k = multi_rbf_gram(d2, bw, mults)
     mmd2 = (

@@ -76,7 +76,7 @@ class TrainConfig:
     mmd_impl: str = "auto"
     # 'bfloat16' runs the Gram matmul in bf16 w/ f32 accumulation (~4x MXU
     # rate); opt-in since it perturbs the loss at bf16 resolution
-    gram_matmul_dtype: str = None
+    gram_matmul_dtype: "str | None" = None
     init_scheme_kl: str = REFERENCE_NORMAL
     init_scheme_no_kl: str = TORCH_DEFAULT
     # inner batch-scan unroll factor: amortizes the per-iteration scan
