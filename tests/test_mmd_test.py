@@ -3,6 +3,7 @@ oracle, and statistical sanity of the p-values (calibration under H0, power
 under a clear mean shift)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from vgan_tpu.ops.mmd_test import mmd_permutation_test
@@ -82,3 +83,64 @@ def test_unequal_sample_sizes(rng):
     )
     assert np.isfinite(float(stat))
     assert 0.0 <= float(pval) <= 1.0
+
+
+def test_precise_path_matches_tts_oracle(rng):
+    """float64 precise path == a literal transcription of the
+    torch_two_sample semantics (unbiased statistic, exp(-alpha d^2) kernel,
+    permutation count), on a SHARED permutation set -> exact agreement."""
+    from vgan_tpu.ops.mmd_test import mmd_permutation_test_sweep_precise
+
+    n1, n2, d = 40, 40, 6
+    x = rng.normal(size=(n1, d))
+    y = rng.normal(size=(n2, d)) * 1.4 + 0.3
+    m = n1 + n2
+    base = np.concatenate([np.ones(n1), np.zeros(n2)])
+    perms = np.stack([rng.permutation(base) for _ in range(400)])
+    alphas = [0.01, 0.5, 5.0]
+
+    stats, pvals = mmd_permutation_test_sweep_precise(
+        x, y, alphas, permutations=perms
+    )
+
+    z = np.concatenate([x, y])
+    d2 = ((z[:, None, :] - z[None, :, :]) ** 2).sum(-1)
+    for ai, alpha in enumerate(alphas):
+        k = np.exp(-alpha * d2)
+
+        def stat(mask):
+            a = mask.astype(bool)
+            kxx, kyy, kxy = k[np.ix_(a, a)], k[np.ix_(~a, ~a)], k[np.ix_(a, ~a)]
+            return (
+                (kxx.sum() - np.trace(kxx)) / (n1 * (n1 - 1))
+                + (kyy.sum() - np.trace(kyy)) / (n2 * (n2 - 1))
+                - 2 * kxy.sum() / (n1 * n2)
+            )
+
+        obs = stat(base)
+        p_oracle = np.mean([stat(p_) >= obs for p_ in perms])
+        np.testing.assert_allclose(stats[ai], obs, rtol=1e-10)
+        assert pvals[ai] == p_oracle, f"alpha={alpha}"
+
+
+def test_sweep_matches_single_alpha_path(rng):
+    """_test_impl_multi (bandwidth sweep) == _test_impl per alpha with the
+    same key: identical permutation draws -> identical p-values."""
+    import jax
+
+    from vgan_tpu.ops.mmd_test import (
+        mmd_permutation_test,
+        mmd_permutation_test_sweep,
+    )
+
+    x = jnp.asarray(rng.normal(size=(30, 5)).astype(np.float32))
+    y = jnp.asarray((rng.normal(size=(26, 5)) + 0.8).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    alphas = [0.05, 1.0, 10.0]
+    stats_sw, ps_sw = mmd_permutation_test_sweep(
+        x, y, alphas, key, n_permutations=200
+    )
+    for i, a in enumerate(alphas):
+        s1, p1 = mmd_permutation_test(x, y, [a], key, n_permutations=200)
+        np.testing.assert_allclose(float(stats_sw[i]), float(s1), rtol=1e-5)
+        np.testing.assert_allclose(float(ps_sw[i]), float(p1), atol=1e-9)

@@ -123,6 +123,7 @@ class _VGANCommon(EstimatorBase):
         count: int = 500,
         n_permutations: int = 1000,
         rng: Optional[np.random.Generator] = None,
+        precision: str = "float64",
     ):
         """MMD goodness-of-fit test for myopicity (vgan.py:384-431).
 
@@ -134,6 +135,13 @@ class _VGANCommon(EstimatorBase):
         are passed directly as multiplier-style kernel alphas
         ``k = exp(-alpha d^2)``, including the divisor-style recommended
         bandwidth. Returns a 1x(k+1) DataFrame of p-values.
+
+        ``precision``: 'float64' (default) runs the host-side double-
+        accumulation path — REQUIRED for valid p-values near the null, where
+        the statistic (~1e-7) sits below f32 Gram-sum rounding; this matches
+        the reference's torch_two_sample (Cython double loop) and reproduces
+        test.ipynb cell 14's p=1.0 @ 0.01 pattern. 'float32' runs the jitted
+        accelerator sweep — screening-only for clearly separated samples.
         """
         import pandas as pd
 
@@ -158,16 +166,30 @@ class _VGANCommon(EstimatorBase):
         bandwidth = [float(b) for b in np.asarray(bandwidth).ravel()]
         bandwidth.sort()
 
-        key = jax.random.PRNGKey(self.seed if self.seed is not None else 0)
-        # all bandwidths (incl. recommended) in ONE compiled dispatch: the d2
-        # matrix and the permutation set are shared across the sweep
-        _, pvals = mmd_permutation_test_sweep(
-            x_sample,
-            ux_sample,
-            alphas=bandwidth + [float(self.bandwidth)],
-            key=key,
-            n_permutations=n_permutations,
-        )
+        alphas = bandwidth + [float(self.bandwidth)]
+        if precision == "float64":
+            from vgan_tpu.ops.mmd_test import mmd_permutation_test_sweep_precise
+
+            _, pvals = mmd_permutation_test_sweep_precise(
+                x_sample,
+                ux_sample,
+                alphas=alphas,
+                rng=np.random.default_rng(
+                    self.seed if self.seed is not None else 0
+                ),
+                n_permutations=n_permutations,
+            )
+        else:
+            key = jax.random.PRNGKey(self.seed if self.seed is not None else 0)
+            # all bandwidths (incl. recommended) in ONE compiled dispatch:
+            # the d2 matrix and the permutation set are shared across the sweep
+            _, pvals = mmd_permutation_test_sweep(
+                x_sample,
+                ux_sample,
+                alphas=alphas,
+                key=key,
+                n_permutations=n_permutations,
+            )
         results = [float(p) for p in np.asarray(pvals)]
 
         columns = bandwidth + ["recommended bandwidth"]

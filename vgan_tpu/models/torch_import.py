@@ -30,6 +30,32 @@ def generator_params_from_torch_state_dict(state_dict: Dict[str, Any]) -> Dict:
     return {"params": params}
 
 
+def detector_params_from_torch_state_dict(state_dict: Dict[str, Any]) -> Dict:
+    """Convert a reference Detector ``state_dict`` to Flax Detector params.
+
+    Reference layout (/root/reference/src/models/Detector.py:5-48):
+    ``{encoder,decoder}.main.{0..3}.{weight,bias}`` with torch (out, in)
+    weights; Flax Dense kernels are (in, out), so each layer transposes.
+    """
+    params = {"encoder": {}, "decoder": {}}
+    for part in ("encoder", "decoder"):
+        layer_indices = sorted(
+            {
+                int(k.split(".")[2])
+                for k in state_dict
+                if k.startswith(f"{part}.main.")
+            }
+        )
+        for out_idx, torch_idx in enumerate(layer_indices):
+            w = _to_numpy(state_dict[f"{part}.main.{torch_idx}.weight"])
+            b = _to_numpy(state_dict[f"{part}.main.{torch_idx}.bias"])
+            params[part][f"Dense_{out_idx}"] = {
+                "kernel": np.ascontiguousarray(w.T.astype(np.float32)),
+                "bias": b.astype(np.float32),
+            }
+    return {"params": params}
+
+
 def _to_numpy(t) -> np.ndarray:
     if isinstance(t, np.ndarray):
         return t

@@ -166,3 +166,77 @@ def mmd_permutation_test(
         n_permutations=int(n_permutations),
         alphas=jnp.asarray([float(a) for a in alphas], dtype=z.dtype),
     )
+
+
+def _stats_from_indicators_np(k, a, n1: int, n2: int):
+    """float64 numpy twin of :func:`_stat_from_indicators` (same batched
+    matmul formulation, double accumulation)."""
+    import numpy as np
+
+    b = 1.0 - a
+    diag = np.diagonal(k)
+    a_diag = a @ diag
+    ak = a @ k
+    s_xx_full = np.einsum("pm,pm->p", ak, a)
+    s_xy = np.einsum("pm,pm->p", ak, b)
+    s_yy_full = k.sum() - s_xx_full - 2.0 * s_xy
+    s_xx = s_xx_full - a_diag
+    s_yy = s_yy_full - (diag.sum() - a_diag)
+    return (
+        s_xx / (n1 * (n1 - 1))
+        + s_yy / (n2 * (n2 - 1))
+        - 2.0 * s_xy / (n1 * n2)
+    )
+
+
+def mmd_permutation_test_sweep_precise(
+    x,
+    y,
+    alphas: Sequence[float],
+    rng=None,
+    n_permutations: int = 1000,
+    permutations=None,
+):
+    """float64 host-side sweep — the PRECISE path for null-regime p-values.
+
+    The unbiased statistic is a near-cancellation of O(m^2)-entry Gram sums:
+    under the null it sits at ~1e-7 while an f32 accumulation of those sums
+    carries ~1e-5 of rounding noise, which destroys the permutation ranking
+    (p-values collapse to 0/1 garbage). The reference's torch_two_sample
+    dependency accumulates its statistic in C double inside a Cython loop
+    (the notebook's p=1.0 @ bandwidth 0.01, test.ipynb cell 14, is exactly
+    this regime), so parity REQUIRES double accumulation. This path computes
+    kernels and sums in float64 numpy with the same batched-matmul
+    formulation as the jitted TPU path; use the f32 TPU sweep only for
+    screening clearly-separated alternatives.
+
+    Returns ``(statistics, p_values)`` numpy arrays of shape (len(alphas),).
+    ``permutations``: optional pre-drawn (P, m) 0/1 indicator matrix (rows
+    sum to n1) for oracle-exact comparisons in tests.
+    """
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n1, n2 = x.shape[0], y.shape[0]
+    m = n1 + n2
+    z = np.concatenate([x, y], axis=0)
+    zn = np.sum(z * z, axis=1)
+    d2 = np.maximum(zn[:, None] + zn[None, :] - 2.0 * (z @ z.T), 0.0)
+
+    if permutations is None:
+        rng = rng if rng is not None else np.random.default_rng(0)
+        base = np.concatenate([np.ones(n1), np.zeros(n2)])
+        permutations = np.stack(
+            [rng.permutation(base) for _ in range(n_permutations)]
+        )
+    base_row = np.concatenate([np.ones((1, n1)), np.zeros((1, n2))], axis=1)
+
+    stats, pvals = [], []
+    for alpha in alphas:
+        k = np.exp(-float(alpha) * d2)
+        observed = _stats_from_indicators_np(k, base_row, n1, n2)[0]
+        perm_stats = _stats_from_indicators_np(k, permutations, n1, n2)
+        stats.append(observed)
+        pvals.append(float(np.mean(perm_stats >= observed)))
+    return np.asarray(stats), np.asarray(pvals)

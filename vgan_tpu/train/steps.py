@@ -145,6 +145,15 @@ def _epoch_batches(x: jax.Array, key: jax.Array, batch_size: int) -> jax.Array:
 PRECOMPUTE_PERM_LIMIT = 200_000_000  # elements
 
 
+def _resolve_epoch_noise(noise_src, nb, batch_size, latent, dtype):
+    """Epoch noise: drawn from a PRNG key, or a pre-drawn (nb, batch_size,
+    latent) array (lockstep/parity injection of an external RNG stream,
+    e.g. the torch reference's)."""
+    if hasattr(noise_src, "ndim") and getattr(noise_src, "ndim") == 3:
+        return noise_src.astype(dtype)
+    return jax.random.normal(noise_src, (nb, batch_size, latent), dtype)
+
+
 def _epoch_rng_chain(key: jax.Array, epochs: int):
     """Per-epoch (perm_key, noise_key) streams with the same split structure
     the epoch bodies use, plus the final carried key."""
@@ -206,9 +215,8 @@ def _no_kl_epoch_body(
             nb_, config.batch_size, x.shape[-1]
         )
     nb = batches.shape[0]
-    # one RNG call for the whole epoch's noise (vs one per batch)
-    noise = jax.random.normal(
-        noise_key, (nb, config.batch_size, config.latent_size), x.dtype
+    noise = _resolve_epoch_noise(
+        noise_key, nb, config.batch_size, config.latent_size, x.dtype
     )
 
     def batch_step(carry, inp):
@@ -350,9 +358,8 @@ def _kl_detector_epoch_body(
         batches = x[perm[: nb_ * config.batch_size]].reshape(
             nb_, config.batch_size, x.shape[-1]
         )
-    noise = jax.random.normal(
-        noise_key,
-        (batches.shape[0], config.batch_size, config.latent_size),
+    noise = _resolve_epoch_noise(
+        noise_key, batches.shape[0], config.batch_size, config.latent_size,
         x.dtype,
     )
 
@@ -440,9 +447,8 @@ def _kl_generator_epoch_body(
         batches = x[perm[: nb_ * config.batch_size]].reshape(
             nb_, config.batch_size, x.shape[-1]
         )
-    noise = jax.random.normal(
-        noise_key,
-        (batches.shape[0], config.batch_size, config.latent_size),
+    noise = _resolve_epoch_noise(
+        noise_key, batches.shape[0], config.batch_size, config.latent_size,
         x.dtype,
     )
 
