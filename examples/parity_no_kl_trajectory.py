@@ -1,0 +1,160 @@
+"""Identical-init, identical-RNG no-kl trajectory parity at notebook scale.
+
+Round-1 PARITY_REPORT compared independently-initialized 200-epoch runs and
+attributed distribution-level gaps (unique-mask count, top-p, co-selection)
+to init-draw variance. This script settles it: the ACTUAL reference fit
+(/root/reference/src/vgan.py:546-624) runs for 200 epochs on the notebook
+config with its init, batch order, and noise stream captured; vgan_tpu
+replays the identical trajectory. With all stochastic inputs pinned, every
+remaining difference is framework semantics — losses and mask distributions
+must agree to float error.
+
+Output: a PARITY_REPORT-ready table. Run on CPU (reference is torch-CPU):
+    env JAX_PLATFORMS=cpu PYTHONPATH=/root/repo python examples/parity_no_kl_trajectory.py
+"""
+
+import sys
+import time
+import types
+import warnings
+
+import numpy as np
+
+warnings.filterwarnings("ignore")
+
+sys.path.insert(0, "/root/reference")
+if "torch_two_sample" not in sys.modules:
+    _tts = types.ModuleType("torch_two_sample")
+    _tts.MMDStatistic = object
+    sys.modules["torch_two_sample"] = _tts
+
+import torch  # noqa: E402
+import src.vgan as ref_vgan  # noqa: E402
+
+EPOCHS = 200
+N, D, BS = 2000, 10, 500
+NB = N // BS
+
+
+def notebook_data():
+    rng = np.random.RandomState(0)
+    cov = np.eye(D)
+    for i, j in [(0, 8), (0, 9), (8, 9)]:
+        cov[i, j] = cov[j, i] = 500
+    np.fill_diagonal(cov, 1)
+    return rng.multivariate_normal([0] * D, cov, N).astype(np.float32)
+
+
+def run_reference(x):
+    cap = {"gen_init": None, "noises": [], "batches": []}
+
+    class RecGen(ref_vgan.Generator_big):
+        def forward(self, z):
+            if cap["gen_init"] is None:
+                cap["gen_init"] = {
+                    k: v.detach().clone() for k, v in self.state_dict().items()
+                }
+            cap["noises"].append(z.detach().cpu().numpy().copy())
+            return super().forward(z)
+
+    class RecLoss(ref_vgan.MMDLossConstrained):
+        def forward(self, X, Y, U):
+            cap["batches"].append(X.detach().cpu().numpy().copy())
+            return super().forward(X, Y, U)
+
+    saved = (ref_vgan.Generator_big, ref_vgan.MMDLossConstrained)
+    ref_vgan.Generator_big = RecGen
+    ref_vgan.MMDLossConstrained = RecLoss
+    try:
+        for obj in ref_vgan.MMDLossConstrained.__init__.__defaults__ or ():
+            if hasattr(obj, "bandwidth"):
+                obj.bandwidth = None
+        model = ref_vgan.VGAN_no_kl(batch_size=BS, epochs=EPOCHS, lr=0.001)
+        t0 = time.time()
+        model.fit(x)
+        fit_s = time.time() - t0
+    finally:
+        ref_vgan.Generator_big, ref_vgan.MMDLossConstrained = saved
+    return model, cap, fit_s
+
+
+def masks_from_noise(u_cont, d):
+    return np.unique(u_cont >= 1.0 / d, axis=0, return_counts=True)
+
+
+def main():
+    x = notebook_data()
+    ref, cap, fit_s = run_reference(x)
+    ref_losses = np.asarray(ref.train_history["generator_loss"], float)
+    print(f"reference fit: {fit_s:.1f}s ({EPOCHS * NB / fit_s:.1f} steps/s)")
+
+    import jax
+    import jax.numpy as jnp
+
+    from vgan_tpu.models.torch_import import generator_params_from_torch_state_dict
+    from vgan_tpu.train.adadelta import adadelta
+    from vgan_tpu.train.steps import NoKLTrainState, TrainConfig, no_kl_epoch
+
+    index = {row.tobytes(): i for i, row in enumerate(x)}
+    config = TrainConfig(ndims=D, batch_size=BS, lr_g=0.001, mmd_impl="jnp")
+    params = generator_params_from_torch_state_dict(cap["gen_init"])
+    opt = adadelta(config.lr_g, weight_decay=config.weight_decay)
+    state = NoKLTrainState(
+        params=params,
+        opt_state=opt.init(params),
+        bw_value=jnp.zeros((), jnp.float32),
+        bw_is_set=jnp.zeros((), bool),
+        key=jax.random.PRNGKey(0),
+    )
+    xj = jnp.asarray(x)
+    ours = []
+    t0 = time.time()
+    for e in range(EPOCHS):
+        perm = np.asarray(
+            [
+                index[row.tobytes()]
+                for b in cap["batches"][e * NB : (e + 1) * NB]
+                for row in b
+            ],
+            dtype=np.int32,
+        )
+        noise = np.stack(cap["noises"][e * NB : (e + 1) * NB])
+        state, loss = no_kl_epoch(
+            state, xj, config, rng=(jnp.asarray(perm), jnp.asarray(noise))
+        )
+        ours.append(float(loss))
+    print(f"replay fit: {time.time() - t0:.1f}s")
+    ours = np.asarray(ours)
+
+    rel = np.abs(ours - ref_losses) / np.abs(ref_losses)
+    print(f"\nloss-curve parity over {EPOCHS} epochs:")
+    print(f"  epoch 0:   ref {ref_losses[0]:.6f}  ours {ours[0]:.6f}")
+    print(f"  epoch 199: ref {ref_losses[-1]:.6f}  ours {ours[-1]:.6f}")
+    print(f"  max rel diff {rel.max():.2e}  mean rel diff {rel.mean():.2e}")
+
+    # mask distribution from the reference's own generate_subspaces noise
+    torch.manual_seed(ref.seed)
+    probe = torch.empty(500, config.latent_size).normal_().numpy()
+    gen = config.generator_module(kl=False)
+    u_ours = np.asarray(gen.apply(state.params, jnp.asarray(probe)))
+    with torch.no_grad():
+        u_ref = ref.generator(torch.tensor(probe)).numpy()
+
+    m_ref, c_ref = masks_from_noise(u_ref, D)
+    m_ours, c_ours = masks_from_noise(u_ours, D)
+    print("\nmask distribution (500 subspaces, identical probe noise):")
+    print(f"  unique masks: ref {len(m_ref)}  ours {len(m_ours)}")
+    print(f"  top-p:        ref {c_ref.max() / 500:.3f}  ours {c_ours.max() / 500:.3f}")
+    same = len(m_ref) == len(m_ours) and np.array_equal(m_ref, m_ours) and np.array_equal(c_ref, c_ours)
+    print(f"  distributions identical: {same}")
+
+    co_ref = (u_ref >= 1.0 / D).astype(float)
+    co_ours = (u_ours >= 1.0 / D).astype(float)
+    cosel_ref = co_ref.T @ co_ref / 500
+    cosel_ours = co_ours.T @ co_ours / 500
+    print(f"  co-selection matrix max abs diff: {np.abs(cosel_ref - cosel_ours).max():.2e}")
+    assert same and rel.max() < 1e-3
+
+
+if __name__ == "__main__":
+    main()
