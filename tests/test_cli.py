@@ -78,3 +78,43 @@ def test_score_subcommand(data_file, tmp_path):
 def test_unknown_subcommand_fails():
     with pytest.raises(SystemExit):
         main(["frobnicate"])
+
+
+def test_fit_with_mesh_flag(data_file, tmp_path):
+    """--mesh data=4,model=2 runs the data-parallel fit on the CPU mesh."""
+    out = tmp_path / "run_mesh"
+    rc = main([
+        "fit", "--data", str(data_file), "--variant", "kl",
+        "--epochs", "2", "--batch-size", "8", "--quiet",
+        "--mesh", "data=4,model=2", "--shard-features",
+        "--out", str(out),
+    ])
+    assert rc == 0
+    assert (out / "models" / "generator_0.msgpack").is_file()
+
+
+def test_fit_mesh_flag_rejects_bad_spec(data_file):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["fit", "--data", str(data_file), "--epochs", "1",
+              "--quiet", "--mesh", "rows=4"])
+
+
+def test_score_iforest_with_mesh(data_file, tmp_path):
+    out = tmp_path / "run_if"
+    rc = main([
+        "fit", "--data", str(data_file), "--variant", "no_kl",
+        "--epochs", "2", "--batch-size", "32", "--quiet",
+        "--out", str(out),
+    ])
+    assert rc == 0
+    gen = out / "models" / "generator_0.msgpack"
+    rc = main([
+        "score", "--train", str(data_file), "--generator", str(gen),
+        "--base", "iforest", "--n-trees", "32", "--subspaces", "16",
+        "--mesh", "data=8", "--out", str(tmp_path / "s.npy"),
+    ])
+    assert rc == 0
+    s = np.load(tmp_path / "s.npy")
+    assert s.shape == (96,) and np.all(np.isfinite(s))

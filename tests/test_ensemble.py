@@ -143,3 +143,100 @@ def test_from_model(rng):
     scores = ens.decision_function(x[:10])
     assert scores.shape == (10,)
     assert np.all(np.isfinite(scores))
+
+
+def _planted_outlier_data(rng, n_in=300, n_out=20, d=8):
+    xtr = rng.normal(size=(n_in, d)).astype(np.float32)
+    inliers = rng.normal(size=(60, d)).astype(np.float32)
+    outliers = rng.normal(size=(n_out, d)).astype(np.float32) * 1.5 + 5.0
+    xte = np.concatenate([inliers, outliers])
+    labels = np.concatenate([np.zeros(60), np.ones(n_out)])
+    return xtr, xte, labels
+
+
+def _auc(scores, labels):
+    order = np.argsort(scores)
+    ranks = np.empty_like(order, dtype=float)
+    ranks[order] = np.arange(len(scores))
+    pos = labels == 1
+    return (ranks[pos].mean() - (pos.sum() - 1) / 2) / (~pos).sum()
+
+
+def test_iforest_detects_planted_outliers(rng):
+    from vgan_tpu.ensemble import iforest_scores
+
+    xtr, xte, labels = _planted_outlier_data(rng)
+    scores = iforest_scores(xte, xtr, n_trees=100)
+    assert scores.shape == (len(xte),)
+    assert np.all((scores > 0) & (scores <= 1))
+    assert _auc(scores, labels) > 0.95
+
+
+def test_iforest_agrees_with_sklearn(rng):
+    """Statistical agreement with sklearn's IsolationForest (same algorithm,
+    independent RNG): both rank the same points as anomalous."""
+    sk = pytest.importorskip("sklearn.ensemble")
+    from vgan_tpu.ensemble import iforest_scores
+
+    xtr, xte, labels = _planted_outlier_data(rng)
+    ours = iforest_scores(xte, xtr, n_trees=200)
+    skl = sk.IsolationForest(n_estimators=200, random_state=0).fit(xtr)
+    theirs = -skl.score_samples(xte)  # sklearn: lower = more anomalous
+    # rank correlation (spearman) between the two scorings
+    r_ours = np.argsort(np.argsort(ours)).astype(float)
+    r_th = np.argsort(np.argsort(theirs)).astype(float)
+    rho = np.corrcoef(r_ours, r_th)[0, 1]
+    assert rho > 0.85, rho
+
+
+def test_iforest_masked_ignores_unselected_features(rng):
+    """Outliers only in masked-out dimensions must be invisible."""
+    from vgan_tpu.ensemble import iforest_scores_masked
+
+    xtr = rng.normal(size=(200, 6)).astype(np.float32)
+    xte = rng.normal(size=(40, 6)).astype(np.float32)
+    xte[:10, 4:] += 50.0  # huge outliers, but only in features 4, 5
+    mask = np.asarray([1, 1, 1, 1, 0, 0], bool)
+    scores = np.asarray(
+        iforest_scores_masked(
+            jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask), n_trees=100
+        )
+    )
+    assert _auc(scores, np.r_[np.ones(10), np.zeros(30)]) < 0.7
+
+
+def test_ensemble_iforest_base(rng):
+    """SubspaceEnsemble with base='iforest' end-to-end (planted outliers)."""
+    xtr, xte, labels = _planted_outlier_data(rng)
+    d = xtr.shape[1]
+    masks = rng.random(size=(6, d)) < 0.6
+    masks[:, 0] |= ~masks.any(axis=1)
+    proba = np.full(6, 1 / 6, np.float32)
+    ens = SubspaceEnsemble(masks, proba, base="iforest", n_trees=64, chunk=2)
+    scores = ens.fit(xtr).decision_function(xte)
+    assert _auc(scores, labels) > 0.9
+
+
+def test_pyod_adapter_with_sklearn_lof(rng):
+    """The pyod-style CPU adapter path (round-1 advisor gap): sklearn's
+    LocalOutlierFactor exposes the same get_params/fit/decision_function
+    protocol pyod detectors use."""
+    sklearn_neighbors = pytest.importorskip("sklearn.neighbors")
+
+    xtr, xte, labels = _planted_outlier_data(rng)
+    d = xtr.shape[1]
+    masks = np.asarray([[1, 1, 1, 1, 0, 0, 0, 0], [0, 0, 0, 0, 1, 1, 1, 1]], bool)
+    proba = np.asarray([0.5, 0.5], np.float32)
+    det = sklearn_neighbors.LocalOutlierFactor(n_neighbors=10, novelty=True)
+    ens = SubspaceEnsemble(masks, proba, base=det, normalize=None)
+    scores = ens.fit(xtr).decision_function(xte)
+    # oracle: manual per-mask loop with fresh detectors
+    expected = np.zeros(len(xte))
+    for mask, p in zip(masks, proba):
+        lof = sklearn_neighbors.LocalOutlierFactor(
+            n_neighbors=10, novelty=True
+        ).fit(xtr[:, mask])
+        expected += p * lof.decision_function(xte[:, mask])
+    np.testing.assert_allclose(scores, expected, rtol=1e-6)
+    # sklearn decision_function: NEGATIVE = outlier; AUC with flipped sign
+    assert _auc(-scores, labels) > 0.9

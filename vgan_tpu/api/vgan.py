@@ -363,6 +363,7 @@ class VGAN(_VGANCommon):
         verbose: bool = True,
         mesh=None,
         shard_features: bool = False,
+        gram_matmul_dtype=None,
         checkpoint_dir=None,
         checkpoint_every: int = None,
     ):
@@ -391,6 +392,7 @@ class VGAN(_VGANCommon):
         self.mmd_impl = mmd_impl
         self.replicate_reference_quirks = replicate_reference_quirks
         self.elm = elm  # reference's private __elm flag (vgan.py:45)
+        self.gram_matmul_dtype = gram_matmul_dtype
         self.verbose = verbose
         self.bandwidth = None
         # Reference quirk: seed is re-hardcoded to 777 (vgan.py:48).
@@ -416,6 +418,7 @@ class VGAN(_VGANCommon):
             replicate_generator_detach=self.replicate_reference_quirks,
             elm=self.elm,
             mmd_impl=self.mmd_impl,
+            gram_matmul_dtype=self.gram_matmul_dtype,
         )
 
     def get_the_networks(self, ndims: int, latent_size: int, device: str = None):
@@ -520,6 +523,7 @@ class VGAN_no_kl(_VGANCommon):
         verbose: bool = True,
         mesh=None,
         shard_features: bool = False,
+        gram_matmul_dtype=None,
         checkpoint_dir=None,
         checkpoint_every: int = None,
     ):
@@ -533,6 +537,7 @@ class VGAN_no_kl(_VGANCommon):
         self._kl = False
         self.mesh = mesh
         self.shard_features = shard_features
+        self.gram_matmul_dtype = gram_matmul_dtype
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         self.batch_size = batch_size
@@ -559,6 +564,7 @@ class VGAN_no_kl(_VGANCommon):
             seed=self.seed,
             freeze_bandwidth=True,
             mmd_impl=self.mmd_impl,
+            gram_matmul_dtype=self.gram_matmul_dtype,
         )
 
     def get_the_networks(self, ndims: int, latent_size: int, device: str = None):

@@ -22,10 +22,39 @@ def _add_common_hyperparams(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=777)
     p.add_argument("--weight-decay", type=float, default=0.04)
     p.add_argument("--momentum", type=float, default=0.99)
-    p.add_argument("--mmd-impl", choices=["auto", "jnp", "pallas"], default="auto")
+    p.add_argument("--mmd-impl", choices=["auto", "jnp", "pallas", "chunked"],
+                   default="auto")
+    p.add_argument("--gram-dtype", choices=["bfloat16"], default=None,
+                   help="run Gram matmuls in bf16 (f32 accumulation; "
+                   "~4x MXU rate, loss perturbed at bf16 resolution)")
+    p.add_argument("--mesh", default=None, metavar="data=N[,model=M]",
+                   help="multi-chip mesh: shard batch rows over 'data' "
+                   "(and features over 'model' with --shard-features); "
+                   "e.g. --mesh data=4,model=2 on 8 chips")
+    p.add_argument("--shard-features", action="store_true",
+                   help="additionally shard the feature axis over the "
+                   "mesh's 'model' axis (for d >= 10k)")
     p.add_argument("--no-quirks", action="store_true",
                    help="disable reference-quirk replication")
     p.add_argument("--quiet", action="store_true")
+
+
+def _parse_mesh(spec):
+    """'data=N[,model=M]' -> a jax Mesh over the first N*M local devices."""
+    if spec is None:
+        return None
+    axes = {"data": 1, "model": 1}
+    for part in spec.split(","):
+        name, _, value = part.partition("=")
+        name = name.strip()
+        if name not in axes or not value.strip().isdigit():
+            raise SystemExit(
+                f"--mesh: expected data=N[,model=M], got {spec!r}"
+            )
+        axes[name] = int(value)
+    from vgan_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(data=axes["data"], model=axes["model"])
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -71,9 +100,14 @@ def build_parser() -> argparse.ArgumentParser:
     score.add_argument("--test", default=None,
                        help="data to score (defaults to --train)")
     score.add_argument("--generator", required=True)
-    score.add_argument("--base", choices=["knn", "knn_mean", "lof", "copod"],
+    score.add_argument("--base",
+                       choices=["knn", "knn_mean", "lof", "iforest", "copod"],
                        default="knn")
     score.add_argument("--k", type=int, default=10)
+    score.add_argument("--n-trees", type=int, default=100,
+                       help="forest size for --base iforest")
+    score.add_argument("--mesh", default=None, metavar="data=N",
+                       help="shard the subspace axis over a device mesh")
     score.add_argument("--subspaces", type=int, default=500)
     score.add_argument("--aggregation", choices=["average", "max"],
                        default="average")
@@ -107,6 +141,9 @@ def main(argv=None) -> int:
             weight_decay=args.weight_decay,
             path_to_directory=args.out,
             mmd_impl=args.mmd_impl,
+            gram_matmul_dtype=args.gram_dtype,
+            mesh=_parse_mesh(args.mesh),
+            shard_features=args.shard_features,
             replicate_reference_quirks=not args.no_quirks,
             verbose=not args.quiet,
         )
@@ -155,7 +192,8 @@ def main(argv=None) -> int:
         model.load_models(args.generator, ndims=x_train.shape[1])
         ens = SubspaceEnsemble.from_model(
             model, subspace_count=args.subspaces,
-            base=args.base, k=args.k, aggregation=args.aggregation,
+            base=args.base, k=args.k, n_trees=args.n_trees,
+            aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),
         ).fit(x_train)
         scores = ens.decision_function(x_test)
         if args.out:

@@ -1,5 +1,6 @@
 """Subspace-ensemble outlier detection over V-GAN-sampled projections."""
 
+from vgan_tpu.ensemble.iforest import iforest_scores, iforest_scores_masked
 from vgan_tpu.ensemble.od import (
     SubspaceEnsemble,
     knn_scores_masked,
@@ -9,6 +10,8 @@ from vgan_tpu.ensemble.od import (
 
 __all__ = [
     "SubspaceEnsemble",
+    "iforest_scores",
+    "iforest_scores_masked",
     "knn_scores_masked",
     "lof_scores_masked",
     "mean_dist_scores_masked",

@@ -113,10 +113,18 @@ def copod_dim_scores(x_test: jax.Array, x_train: jax.Array) -> jax.Array:
     return jax.vmap(per_dim, in_axes=(1, 1), out_axes=1)(sorted_cols, x_test)
 
 
+def _iforest_adapter(x_test, x_train, mask, k):
+    """SubspaceEnsemble scorer signature -> iforest (k = number of trees)."""
+    from vgan_tpu.ensemble.iforest import iforest_scores_masked
+
+    return iforest_scores_masked(x_test, x_train, mask, n_trees=k)
+
+
 _BASE_SCORERS = {
     "knn": knn_scores_masked,
     "knn_mean": mean_dist_scores_masked,
     "lof": lof_scores_masked,
+    "iforest": _iforest_adapter,
 }
 
 
@@ -129,10 +137,13 @@ class SubspaceEnsemble:
         Either pass explicit masks (n_subspaces, d) + probabilities, or a
         fitted ``VGAN``/``VGAN_no_kl`` via ``from_model``.
     base:
-        'knn' (k-th NN distance), 'knn_mean', 'lof', or a pyod detector
-        instance (CPU fallback loop; pyod optional).
+        'knn' (k-th NN distance), 'knn_mean', 'lof', 'iforest', 'copod', or
+        a pyod-style detector instance (CPU fallback loop; pyod optional —
+        any object with sklearn-style get_params/fit/decision_function).
     k:
-        neighborhood size for the native detectors.
+        neighborhood size for the distance-based native detectors.
+    n_trees:
+        forest size for base='iforest'.
     aggregation:
         'average' (probability-weighted mean of per-subspace scores) or
         'max' (probability-ignoring maximum) — the two pyod combination
@@ -161,6 +172,7 @@ class SubspaceEnsemble:
         normalize: Optional[str] = "zscore",
         chunk: int = 128,
         mesh: Optional[Mesh] = None,
+        n_trees: int = 100,
     ):
         self.subspaces = np.asarray(subspaces, dtype=bool)
         proba = np.asarray(proba, dtype=np.float32)
@@ -171,6 +183,7 @@ class SubspaceEnsemble:
         self.normalize = normalize
         self.chunk = chunk
         self.mesh = mesh
+        self.n_trees = n_trees
         self._x_train = None
 
     @classmethod
@@ -192,6 +205,7 @@ class SubspaceEnsemble:
             return self._copod_decision_function(x_test)
 
         scorer = _BASE_SCORERS[self.base]
+        k = self.n_trees if self.base == "iforest" else self.k
         x_test = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
 
         n_shards = self.mesh.shape["data"] if self.mesh is not None else 1
@@ -216,13 +230,13 @@ class SubspaceEnsemble:
                 jnp.asarray(masks_np),
                 jnp.asarray(proba_np),
                 scorer=scorer,
-                k=self.k,
+                k=k,
                 aggregation=self.aggregation,
                 normalize=self.normalize,
             )
         else:
             sharded_fn = _sharded_ensemble_fn(
-                self.mesh, scorer, self.k, self.aggregation, self.normalize
+                self.mesh, scorer, k, self.aggregation, self.normalize
             )
             chunk_spec = PartitionSpec("data", None, None)
             masks_sh = jax.device_put(
