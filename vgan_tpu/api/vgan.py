@@ -524,6 +524,7 @@ class VGAN_no_kl(_VGANCommon):
         mesh=None,
         shard_features: bool = False,
         gram_matmul_dtype=None,
+        fit_impl: str = "scan",
         checkpoint_dir=None,
         checkpoint_every: int = None,
     ):
@@ -538,6 +539,7 @@ class VGAN_no_kl(_VGANCommon):
         self.mesh = mesh
         self.shard_features = shard_features
         self.gram_matmul_dtype = gram_matmul_dtype
+        self.fit_impl = fit_impl
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         self.batch_size = batch_size
@@ -554,6 +556,59 @@ class VGAN_no_kl(_VGANCommon):
     @property
     def _lr_g(self):
         return self.lr
+
+    def _fit_fused(self, X, state, config, t_start):
+        """Experimental whole-fit-in-one-Pallas-kernel path (fit_impl=
+        'fused'): the complete train step including backward and Adadelta
+        runs inside a single kernel, the grid iterating over all steps
+        (ops/pallas/fused_no_kl.py). Same per-step math as the scan path
+        (locked by tests/test_fused_step.py); different RNG streams
+        (in-kernel noise, rotational batching). Single-device, fresh fits
+        only."""
+        import time as _time
+
+        from vgan_tpu.ops.pallas.fused_no_kl import (
+            fused_no_kl_fit,
+            fused_supported,
+        )
+        from vgan_tpu.train.steps import NoKLTrainState
+        from vgan_tpu.train.adadelta import AdadeltaState
+
+        assert self.mesh is None, "fit_impl='fused' is single-device"
+        n, ndims = X.shape
+        assert fused_supported(
+            n, ndims, self.batch_size, config.latent_size
+        ), "fused fit unsupported for this shape; use fit_impl='scan'"
+        params, (sq, acc), (bw, bw_set), losses, _, _ = fused_no_kl_fit(
+            X, state.params, config, self.epochs,
+            jax.random.PRNGKey(self.seed),
+        )
+        losses = np.asarray(losses, np.float64).mean(axis=1)
+        for epoch, loss in enumerate(losses):
+            if self.verbose:
+                print(f"\rEpoch {epoch} of {self.epochs}")
+                print(f"Average loss in the epoch: {loss}")
+            self.train_history["generator_loss"].append(float(loss))
+        state = NoKLTrainState(
+            params=params,
+            opt_state=AdadeltaState(square_avg=sq, acc_delta=acc),
+            bw_value=jnp.asarray(float(bw), jnp.float32),
+            bw_is_set=jnp.asarray(bool(bw_set)),
+            key=state.key,
+        )
+        self.generator_optimizer = "Adadelta"
+        self.generator_params = state.params
+        self._finalize_fit(state, X.shape)
+        self._log_metrics_jsonl(_time.time() - t_start)
+        if self.path_to_directory is not None:
+            from pathlib import Path as _Path
+
+            path = _Path(self.path_to_directory)
+            models_dir = path / "models"
+            run_number = self._count_runs(models_dir, files_per_run=1)
+            self._save_generator(models_dir, run_number, self.generator_params)
+            self.model_snapshot(path, run_number, show=False)
+
 
     def _make_config(self, ndims: int, batch_size: int) -> TrainConfig:
         return TrainConfig(
@@ -596,6 +651,8 @@ class VGAN_no_kl(_VGANCommon):
         from vgan_tpu.train.steps import init_no_kl_state, no_kl_train_epochs
 
         state = init_no_kl_state(config, jax.random.PRNGKey(self.seed))
+        if self.fit_impl == "fused":
+            return self._fit_fused(X, state, config, t_start)
         done = 0
         while done < self.epochs:
             chunk = min(self.checkpoint_every or self.epochs, self.epochs - done)

@@ -1,0 +1,564 @@
+"""Monolithic fused no-kl trainer: the ENTIRE fit as ONE Pallas kernel.
+
+The scan-based fit (train/steps.py) compiles the whole fit into one XLA
+program, but each train step still decomposes into many small fused XLA
+kernels (RNG, 4 tiny matmuls, softmax, Gram, backward, 8 optimizer leaf
+updates) whose fixed costs dominate at the reference's problem sizes
+(~28 us/step at bs=500, d=10). This module collapses the complete step —
+noise -> generator MLP -> upper-softmax -> masked projection -> constrained
+multi-bandwidth MMD -> hand-written backward -> torch-parity Adadelta —
+into a single Pallas kernel body, with the grid iterating over ALL train
+steps and the parameters + optimizer state carried in VMEM scratch across
+grid iterations. One kernel launch per fit.
+
+Semantics vs the scan path (and the reference, vgan.py:546-624):
+- identical math per step: same masked-softmax/upper-snap gradient
+  semantics (mask constant, ops/activations.py), same biased MMD with the
+  geometric bandwidth ladder as ONE exp + integer powers (the base
+  transcendental is shared between the loss and its derivative — the split
+  fwd/bwd kernels compute it twice), same centered closed-form candidate
+  bandwidth frozen at step 0, same coverage penalty with even tie-splitting
+  in the column-max gradient, same L2-coupled Adadelta (train/adadelta.py).
+- different RNG streams: noise is generated in-kernel (Box-Muller over the
+  TPU PRNG) and batches come from a host-precomputed random permutation of
+  the dataset read at a per-epoch random cyclic offset ("rotational
+  batching") instead of a fresh permutation per epoch. Training dynamics
+  are statistically equivalent; exact-parity tests inject an explicit noise
+  buffer (``noise=``) and replicate the same batch schedule on the jnp side.
+
+Supported regime (the reference's own scale): d <= 128, latent <= 16,
+2*round_up(bs, 64) <= MAX_MP rows in the Gram, n*d f32 resident in VMEM.
+Outside it, the scan path is used (the estimator gates automatically).
+
+MEASURED OUTCOME (v5e, notebook config bs=500/d=10, 20k steps): 35-37 us/
+step vs the scan path's 26.7 us — the scan path WINS at this size and
+remains the default. The per-step cost is VMEM round-trips of the ~16
+(1024, 1024) elementwise passes (exp ladder, power accumulation), which
+XLA's fusion pipelines tighter than Mosaic's per-op vectorization; grid-
+overhead amortization (GROUP=8 steps/iteration) and strip-wise in-place
+transforms moved nothing, and a finer 8-row strip loop regressed to 76 us
+(fori overhead). The kernel is kept as an opt-in (fit_impl='fused') — it
+is exactly step-equivalent to the scan path (tests/test_fused_step.py) and
+is the right substrate if per-dispatch overhead ever dominates (e.g.
+driving many tiny fits host-side). Useful by-product adopted here and
+worth porting to the main kernels: the biased-MMD quadrant-coefficient
+matrix is RANK-1 (C_sym = q q^T with q = rx/n1 - ry/n2), so the loss is
+q^T K q and the backward needs no S matrix at all: S @ v = q .* (K' @
+(q .* v)).
+
+Reference obligations: vgan.py:546-624 (the loop being collapsed),
+Mmd_loss_constrained.py (loss), Generator.py:58-70 (MLP).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vgan_tpu.ops import mmd as _mmd
+
+LP = 128          # padded latent lanes
+STRIP = 128        # strip rows for the in-register Gram transform
+GROUP = 8         # train steps per grid iteration (amortizes grid overhead)
+DP = 128          # padded feature lanes
+WP = 128          # padded hidden width
+MAX_MP = 2048     # Gram row cap (VMEM: d2 is (MP, MP) f32)
+MAX_N_VMEM = 16384  # dataset rows resident in VMEM
+
+
+def fused_supported(n: int, d: int, bs: int, latent: int) -> bool:
+    bsp = _round_up(bs, 64)
+    return (
+        d <= DP
+        and latent <= 16
+        and 8 * latent <= WP
+        and 2 * bsp <= MAX_MP
+        and n + bsp <= MAX_N_VMEM
+        and bs >= 2
+    )
+
+
+def _round_up(a: int, b: int) -> int:
+    return -(-a // b) * b
+
+
+def _ladder(mults: Tuple[float, ...]):
+    ladder = _mmd.ladder_exponents(mults)
+    assert ladder is not None, "fused path requires a geometric ladder"
+    return ladder
+
+
+def _kernel_body(
+    x3_ref,
+    starts_ref,
+    w_in_ref,
+    b_in_ref,
+    seed_ref,
+    noise_ref,          # None in rng mode
+    loss_ref,
+    w_out_ref,
+    b_out_ref,
+    sqw_out_ref,
+    sqb_out_ref,
+    accw_out_ref,
+    accb_out_ref,
+    bw_out_ref,
+    w_s,
+    b_s,
+    sqw_s,
+    sqb_s,
+    accw_s,
+    accb_s,
+    zc_s,
+    gram_s,
+    kpq_s,
+    norms_s,
+    *,
+    n: int,
+    d: int,
+    bs: int,
+    latent: int,
+    nb: int,
+    total_steps: int,
+    lr: float,
+    weight_decay: float,
+    rho: float,
+    eps: float,
+    penalty_weight: float,
+    mults: Tuple[float, ...],
+    noise_mode: str,
+):
+    g = pl.program_id(0)
+    BSP = zc_s.shape[0] // 2
+    MP = zc_s.shape[0]
+
+    @pl.when(g == 0)
+    def _():
+        w_s[:] = w_in_ref[:]
+        b_s[:] = b_in_ref[:]
+        sqw_s[:] = jnp.zeros_like(sqw_s)
+        sqb_s[:] = jnp.zeros_like(sqb_s)
+        accw_s[:] = jnp.zeros_like(accw_s)
+        accb_s[:] = jnp.zeros_like(accb_s)
+        bw_out_ref[0, 0] = 0.0
+        bw_out_ref[0, 1] = 0.0
+
+    def one_step(row, _):
+      t = g * GROUP + row
+      # ---- batch: rotational slice of the pre-permuted dataset ----
+      # per-step start indices precomputed on host, GROUP rows per block
+      start = starts_ref[pl.ds(row, 1), 0][0]
+      rows = x3_ref[pl.ds(start, BSP), :]
+      row_ids = jax.lax.broadcasted_iota(jnp.int32, (BSP, 1), 0)
+      rowmask = (row_ids < bs).astype(jnp.float32)
+      batch = rows * rowmask
+
+      # ---- noise (BSP, LP): in-kernel Box-Muller or injected buffer ----
+      lane_l = jax.lax.broadcasted_iota(jnp.int32, (BSP, LP), 1)
+      if noise_mode == "input":
+          z = noise_ref[row]
+      else:
+          pltpu.prng_seed(seed_ref[0, 0], t)
+          bits = pltpu.prng_random_bits((BSP, 2 * LP))
+          b1 = pltpu.bitcast(bits[:, :LP], jnp.uint32)
+          b2 = pltpu.bitcast(bits[:, LP:], jnp.uint32)
+          # >>8 keeps 24 bits, fits int32 (Mosaic has no uint32->f32 cast)
+          u1 = (b1 >> 8).astype(jnp.int32).astype(jnp.float32) * (
+              1.0 / (1 << 24)
+          ) + 1e-12
+          u2 = (b2 >> 8).astype(jnp.int32).astype(jnp.float32) * (
+              1.0 / (1 << 24)
+          )
+          z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * np.pi * u2)
+      z = z * (lane_l < latent).astype(jnp.float32) * rowmask
+
+      # ---- generator forward: 4 linear layers ----
+      hs = [z]
+      for layer in range(4):
+          h = (
+              jnp.dot(hs[-1], w_s[layer], preferred_element_type=jnp.float32)
+              + b_s[layer, :][None, :]
+          )
+          hs.append(h)
+      y = hs[4]
+
+      # ---- masked softmax + upper snap (ops/activations.py semantics) ----
+      lane_d = jax.lax.broadcasted_iota(jnp.int32, (BSP, DP), 1)
+      dmask = (lane_d < d).astype(jnp.float32)
+      y_m = jnp.where(lane_d < d, y, -1e30)
+      e = jnp.exp(y_m - jnp.max(y_m, axis=1, keepdims=True)) * dmask
+      ssum = jnp.sum(e, axis=1, keepdims=True)
+      s = e / ssum
+      sel = s >= (1.0 / d)
+      u = jnp.where(sel, 1.0, s) * dmask * rowmask
+
+      y2 = u * batch
+
+      # ---- Gram over zc = [batch; u*batch] ----
+      zc_s[:BSP, :] = batch
+      zc_s[BSP:, :] = y2
+      zc = zc_s[:]
+      norms = jnp.sum(zc * zc, axis=1, keepdims=True)
+      gram_s[:] = jnp.dot(zc, zc.T, preferred_element_type=jnp.float32)
+
+      rid = jax.lax.broadcasted_iota(jnp.int32, (MP, 1), 0)
+      vrow = ((rid < bs) | ((rid >= BSP) & (rid < BSP + bs))).astype(jnp.float32)
+      xrow = (rid < bs).astype(jnp.float32)
+
+      # ---- candidate bandwidth (centered closed form), frozen at step 0 ----
+      @pl.when(t == 0)
+      def _():
+          m = 2.0 * bs
+          colsum = jnp.sum(zc * vrow, axis=0, keepdims=True)
+          mean = colsum / m
+          zcc = (zc - mean) * vrow
+          total = 2.0 * m * jnp.sum(zcc * zcc)
+          bw_out_ref[0, 0] = total / (m * m - m)
+          bw_out_ref[0, 1] = 1.0
+
+      bw = bw_out_ref[0, 0]
+
+      # ---- multi-bandwidth kernel + backward, rank-1 structure ----
+      # The symmetrized quadrant-coefficient matrix of the biased MMD is
+      # rank-1: with q = rx/n1 - ry/n2 (here n1 = n2 = bs),
+      #   C_sym = q q^T,   so   mmd2 = rx^T K rx/bs^2 - 2 rx^T K ry/bs^2 + ...
+      # and S = C_sym .* K' gives  S @ v = q .* (K' @ (q .* v)) — the m x m
+      # S matrix NEVER materializes; the backward is one Gram-matmul against
+      # a masked zc. Powers of the single base exponential are accumulated by
+      # iterative squaring so at most two (MP, MP) temporaries are live.
+      base, ints = _ladder(mults)
+      rx = xrow * vrow  # (MP, 1): 1 on valid X rows
+      ry = (1.0 - xrow) * vrow
+      q = rx - ry
+      qz = q * zc
+
+      # mmd2 = inv * q^T K q (the same rank-1 identity). The whole
+      # d2 -> exp -> power ladder -> K'-accumulation chain runs strip-by-
+      # strip over the materialized cross matrix, transformed IN PLACE into
+      # K' — each strip's temporaries live in vector registers instead of
+      # (MP, MP) VMEM round-trips per op.
+      qt = q.T  # (1, MP)
+      nt = norms.T
+      # per-row operands as broadcast scratch rows: Mosaic has no
+      # dynamic_slice on values, but refs slice with pl.ds
+      norms_s[:] = jnp.broadcast_to(norms, (MP, 128))
+      kpq_s[:] = jnp.broadcast_to(q, (MP, 128))
+
+      def strip_body(si, macc):
+          r0 = si * STRIP
+          c = gram_s[pl.ds(r0, STRIP), :]
+          nr = norms_s[pl.ds(r0, STRIP), :][:, :1]
+          qs = kpq_s[pl.ds(r0, STRIP), :][:, :1]
+          d2s = jnp.maximum(nr + nt - 2.0 * c, 0.0)
+          cur = jnp.exp(-d2s / (bw * base))
+          kps = jnp.zeros_like(cur)
+          prev = 1
+          for integ, mk in sorted(zip(ints, mults)):
+              while prev < integ:
+                  cur = cur * cur
+                  prev *= 2
+              macc = macc + jnp.sum(cur * qs * qt)
+              kps = kps + cur * (-1.0 / (bw * mk))
+          gram_s[pl.ds(r0, STRIP), :] = kps
+          norms_s[pl.ds(r0, STRIP), :] = jnp.broadcast_to(
+              jnp.sum(kps * qt, axis=1, keepdims=True), (STRIP, 128)
+          )
+          return macc
+
+      mmd_acc = jax.lax.fori_loop(
+          0, MP // STRIP, strip_body, jnp.zeros((), jnp.float32)
+      )
+      kpq = norms_s[:, :1]
+      kpqz = jnp.dot(gram_s[:], qz, preferred_element_type=jnp.float32)
+
+      inv = 1.0 / (bs * bs)
+      mmd2 = mmd_acc * inv
+
+      colmax = jnp.max(u, axis=0, keepdims=True)  # (1, DP); 0 on pad lanes
+      penalty = jnp.sum(jnp.where(lane_d[:1, :] < d, 1.0 - colmax, 0.0)) / d
+      loss = mmd2 + penalty_weight * penalty
+      loss_ref[pl.ds(row, 1), :] = jnp.full((1, loss_ref.shape[1]), loss)
+
+      # ---- backward ----
+      # dz_cat = 4 (rowsum(S)*zc - S@zc) = 4 inv * q .* ((K'q)*zc - K'(q.*zc))
+      dzc = 4.0 * inv * q * (kpq * zc - kpqz)
+      dy2 = dzc[BSP:, :]
+      du = dy2 * batch
+
+      # coverage-penalty gradient: even split among column-max ties (jnp
+      # reduce_max VJP semantics), real lanes only
+      eq = ((u == colmax) & (lane_d < d)).astype(jnp.float32) * rowmask
+      cnt = jnp.maximum(jnp.sum(eq, axis=0, keepdims=True), 1.0)
+      du = du - (penalty_weight / d) * eq / cnt
+
+      # upper-softmax backward: snapped coords carry zero gradient
+      ds = jnp.where(sel, 0.0, du) * dmask * rowmask
+      dy = s * (ds - jnp.sum(ds * s, axis=1, keepdims=True))
+
+      # MLP backward + torch-parity Adadelta, layer by layer
+      dh = dy
+      for layer in (3, 2, 1, 0):
+          dw = jnp.dot(hs[layer].T, dh, preferred_element_type=jnp.float32)
+          db = jnp.sum(dh, axis=0)
+          if layer > 0:
+              dh = jnp.dot(
+                  dh, w_s[layer].T, preferred_element_type=jnp.float32
+              )
+
+          gw = dw + weight_decay * w_s[layer]
+          new_sq = rho * sqw_s[layer] + (1.0 - rho) * gw * gw
+          delta = gw * jnp.sqrt(accw_s[layer] + eps) / jnp.sqrt(new_sq + eps)
+          accw_s[layer] = rho * accw_s[layer] + (1.0 - rho) * delta * delta
+          sqw_s[layer] = new_sq
+          w_s[layer] = w_s[layer] - lr * delta
+
+          gb = db + weight_decay * b_s[layer, :]
+          new_sqb = rho * sqb_s[layer, :] + (1.0 - rho) * gb * gb
+          deltab = (
+              gb * jnp.sqrt(accb_s[layer, :] + eps) / jnp.sqrt(new_sqb + eps)
+          )
+          accb_s[layer, :] = (
+              rho * accb_s[layer, :] + (1.0 - rho) * deltab * deltab
+          )
+          sqb_s[layer, :] = new_sqb
+          b_s[layer, :] = b_s[layer, :] - lr * deltab
+
+      return 0
+
+    steps_here = jnp.minimum(GROUP, total_steps - g * GROUP)
+    jax.lax.fori_loop(0, steps_here, one_step, 0)
+
+    @pl.when(g == pl.num_programs(0) - 1)
+    def _():
+        w_out_ref[:] = w_s[:]
+        b_out_ref[:] = b_s[:]
+        sqw_out_ref[:] = sqw_s[:]
+        sqb_out_ref[:] = sqb_s[:]
+        accw_out_ref[:] = accw_s[:]
+        accb_out_ref[:] = accb_s[:]
+
+
+def _pack_params(params, latent: int, d: int):
+    """Flax GeneratorBig params -> padded (4, WP, WP) W and (8, WP) b."""
+    widths = [latent, 2 * latent, 4 * latent, 8 * latent, d]
+    w = np.zeros((4, WP, WP), np.float32)
+    b = np.zeros((8, WP), np.float32)
+    for layer in range(4):
+        kern = np.asarray(params["params"][f"Dense_{layer}"]["kernel"])
+        bias = np.asarray(params["params"][f"Dense_{layer}"]["bias"])
+        w[layer, : widths[layer], : widths[layer + 1]] = kern
+        b[layer, : widths[layer + 1]] = bias
+    return jnp.asarray(w), jnp.asarray(b)
+
+
+def _unpack_params(w, b, latent: int, d: int):
+    widths = [latent, 2 * latent, 4 * latent, 8 * latent, d]
+    w = np.asarray(w)
+    b = np.asarray(b)
+    params = {}
+    for layer in range(4):
+        params[f"Dense_{layer}"] = {
+            "kernel": jnp.asarray(
+                w[layer, : widths[layer], : widths[layer + 1]]
+            ),
+            "bias": jnp.asarray(b[layer, : widths[layer + 1]]),
+        }
+    return {"params": params}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n", "d", "bs", "latent", "nb", "total_steps", "lr", "weight_decay",
+        "penalty_weight", "mults", "noise_mode", "interpret",
+    ),
+)
+def _fused_call(
+    x3, starts, w0, b0, seed, noise,
+    *, n, d, bs, latent, nb, total_steps, lr, weight_decay,
+    penalty_weight, mults, noise_mode, interpret,
+):
+    BSP = _round_up(bs, 64)
+    MP = 2 * BSP
+    kernel = functools.partial(
+        _kernel_body,
+        n=n, d=d, bs=bs, latent=latent, nb=nb, total_steps=total_steps,
+        lr=lr, weight_decay=weight_decay, rho=0.9, eps=1e-6,
+        penalty_weight=penalty_weight, mults=mults, noise_mode=noise_mode,
+    )
+    in_specs = [
+        pl.BlockSpec(x3.shape, lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((GROUP, 128), lambda g: (g, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, WP, WP), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, WP), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    args = [x3, starts, w0, b0, seed]
+    if noise_mode == "input":
+        in_specs.append(
+            pl.BlockSpec((GROUP, BSP, LP), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(noise)
+
+    def kernel_entry(*refs):
+        if noise_mode == "input":
+            (x3_r, off_r, w_r, b_r, seed_r, noise_r, *rest) = refs
+        else:
+            (x3_r, off_r, w_r, b_r, seed_r, *rest) = refs
+            noise_r = None
+        kernel(x3_r, off_r, w_r, b_r, seed_r, noise_r, *rest)
+
+    outs = pl.pallas_call(
+        kernel_entry,
+        grid=(-(-total_steps // GROUP),),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((GROUP, 128), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, WP, WP), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, WP), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, WP, WP), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, WP), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, WP, WP), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, WP), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda t: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((_round_up(total_steps, GROUP), 128), jnp.float32),
+            jax.ShapeDtypeStruct((4, WP, WP), jnp.float32),
+            jax.ShapeDtypeStruct((8, WP), jnp.float32),
+            jax.ShapeDtypeStruct((4, WP, WP), jnp.float32),
+            jax.ShapeDtypeStruct((8, WP), jnp.float32),
+            jax.ShapeDtypeStruct((4, WP, WP), jnp.float32),
+            jax.ShapeDtypeStruct((8, WP), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4, WP, WP), jnp.float32),
+            pltpu.VMEM((8, WP), jnp.float32),
+            pltpu.VMEM((4, WP, WP), jnp.float32),
+            pltpu.VMEM((8, WP), jnp.float32),
+            pltpu.VMEM((4, WP, WP), jnp.float32),
+            pltpu.VMEM((8, WP), jnp.float32),
+            pltpu.VMEM((MP, DP), jnp.float32),
+            pltpu.VMEM((MP, MP), jnp.float32),
+            pltpu.VMEM((MP, 128), jnp.float32),
+            pltpu.VMEM((MP, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # peak live set: d2/cur + kp (MP, MP) f32 + zc/x3/params;
+            # the default 16M scoped limit is a soft cap, the chip has more
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return outs
+
+
+def fused_no_kl_fit(
+    x: np.ndarray,
+    params,
+    config,
+    epochs: int,
+    key: jax.Array,
+    noise: Optional[jax.Array] = None,
+    offsets: Optional[np.ndarray] = None,
+    interpret: Optional[bool] = None,
+):
+    """Run the fused whole-fit kernel.
+
+    Args:
+      x: (n, d) float data.
+      params: initial Flax GeneratorBig params.
+      config: TrainConfig (lr_g, weight_decay, penalty_weight, batch_size).
+      epochs: epoch count; steps = epochs * (n // bs).
+      key: RNG key (host-side: pre-permutation, offsets, kernel seed).
+      noise: optional (T, BSP, LP) f32 buffer — test injection; production
+        uses the in-kernel PRNG.
+      offsets: optional (epochs,) int32 per-epoch cyclic offsets (tests).
+      interpret: force interpreter mode (defaults to non-TPU backends).
+
+    Returns ``(params, (sq, acc) opt arrays unpacked, bw, losses (epochs, nb))``.
+    """
+    x = np.asarray(x, np.float32)
+    n, d = x.shape
+    bs = min(config.batch_size, n)
+    latent = config.latent_size
+    assert fused_supported(n, d, bs, latent), "fused path unsupported shape"
+    nb = n // bs
+    total_steps = epochs * nb
+    BSP = _round_up(bs, 64)
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+
+    k_perm, k_off, k_seed = jax.random.split(key, 3)
+    perm = np.asarray(jax.random.permutation(k_perm, n))
+    x_perm = x[perm]
+    x3 = np.zeros((n + BSP, DP), np.float32)
+    x3[:n, :d] = x_perm
+    x3[n:, :d] = x_perm[:BSP, :]  # wraparound copy
+
+    if offsets is None:
+        offsets = np.asarray(
+            jax.random.randint(k_off, (epochs,), 0, n), np.int32
+        )
+    else:
+        offsets = np.asarray(offsets, np.int32).reshape(epochs)
+    step_starts = (
+        offsets[:, None] + np.arange(nb, dtype=np.int32)[None, :] * bs
+    ).reshape(-1) % n
+    starts = np.zeros((_round_up(total_steps, GROUP), 128), np.int32)
+    starts[:total_steps, 0] = step_starts
+    seed = np.asarray(
+        [[int(jax.random.randint(k_seed, (), 0, 2**31 - 1))]], np.int32
+    )
+
+    w0, b0 = _pack_params(params, latent, d)
+    if noise is None and interpret:
+        # the interpreter has no TPU PRNG primitives; draw the buffer on
+        # the host (test/CPU-only path — sizes are small there)
+        noise = jax.random.normal(
+            k_seed, (total_steps, BSP, LP), jnp.float32
+        )
+    noise_mode = "input" if noise is not None else "rng"
+    if noise is not None:
+        assert noise.shape == (total_steps, BSP, LP), noise.shape
+        pad = _round_up(total_steps, GROUP) - total_steps
+        if pad:
+            noise = jnp.concatenate(
+                [noise, jnp.zeros((pad, BSP, LP), jnp.float32)]
+            )
+
+    losses, w, b, sq_w, sq_b, acc_w, acc_b, bw = _fused_call(
+        jnp.asarray(x3), jnp.asarray(starts), w0, b0, jnp.asarray(seed),
+        noise if noise is not None else jnp.zeros((1, BSP, LP), jnp.float32),
+        n=n, d=d, bs=bs, latent=latent, nb=nb, total_steps=total_steps,
+        lr=config.lr_g, weight_decay=config.weight_decay,
+        penalty_weight=config.penalty_weight,
+        mults=_mmd.bandwidth_multipliers(), noise_mode=noise_mode,
+        interpret=interpret,
+    )
+    out_params = _unpack_params(w, b, latent, d)
+    sq = _unpack_params(sq_w, sq_b, latent, d)
+    acc = _unpack_params(acc_w, acc_b, latent, d)
+    return (
+        out_params,
+        (sq, acc),
+        (bw[0, 0], bw[0, 1] > 0),
+        jnp.reshape(losses[:total_steps, 0], (epochs, nb)),
+        perm,
+        offsets,
+    )
