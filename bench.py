@@ -105,24 +105,31 @@ def main() -> None:
         xs = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
         u = jnp.asarray(rng.uniform(size=(n, d)).astype(np.float32))
 
+        iters = 20
+
+        # Per-dispatch tunnel latency (~4ms) would swamp a ~2ms kernel, so
+        # iterate inside ONE jitted program and fetch once (the same
+        # methodology as the train-step headline).
         @jax.jit
-        def loss_grad(xs, u):
+        def loss_grad_many(xs, u):
             def f(u_):
                 loss, _ = mmd_loss_constrained_stateful(
                     xs, u_ * xs, u_, 10.0,
                     jnp.asarray(1000.0), jnp.asarray(True), impl="auto",
                 )
                 return loss
-            return jax.value_and_grad(f)(u)
 
-        r = loss_grad(xs, u)
-        jax.tree.map(lambda a: a.block_until_ready(), r)
+            def body(i, acc):
+                v, g = jax.value_and_grad(f)(u + acc * 0.0)
+                return acc + v + jnp.sum(g[0])
+
+            return jax.lax.fori_loop(0, iters, body, 0.0)
+
+        float(loss_grad_many(xs, u))
         t0 = time.time()
-        for _ in range(10):
-            r = loss_grad(xs, u)
-        jax.tree.map(lambda a: a.block_until_ready(), r)
-        dt = (time.time() - t0) / 10
-        flops = 2 * (2 * n) ** 2 * d * 2  # fwd + bwd Gram matmuls
+        float(loss_grad_many(xs, u))
+        dt = (time.time() - t0) / iters
+        flops = 3 * (2 * n) ** 2 * d * 2  # fwd + recompute-bwd Gram matmuls
         log(f"MMD Gram fwd+bwd (n={n}, d={d}): {dt*1e3:.2f} ms "
             f"-> {flops/dt/1e12:.1f} TFLOP/s")
     except Exception as e:  # pragma: no cover
@@ -171,6 +178,48 @@ def main() -> None:
             f"{dt*1e3:.0f} ms -> {1024/dt:.0f} subspace-scorings/s")
     except Exception as e:  # pragma: no cover
         log(f"ensemble bench skipped: {e}")
+
+    # --- secondary: native isolation-forest ensemble ------------------------
+    try:
+        from vgan_tpu.ensemble import SubspaceEnsemble
+
+        d = 100
+        xtr = rng.normal(size=(1000, d)).astype(np.float32)
+        xte = rng.normal(size=(500, d)).astype(np.float32)
+        subs = rng.uniform(size=(256, d)) < 0.3
+        subs[~subs.any(axis=1), 0] = True
+        ens = SubspaceEnsemble(
+            subs, np.full(256, 1 / 256), base="iforest", n_trees=100, chunk=32
+        )
+        ens.fit(xtr)
+        ens.decision_function(xte)  # compile
+        t0 = time.time()
+        for _ in range(3):
+            ens.decision_function(xte)
+        dt = (time.time() - t0) / 3
+        log(f"ensemble OD (iforest x100 trees, 256 masks): {dt*1e3:.0f} ms "
+            f"-> {256/dt:.0f} subspace-forests/s")
+    except Exception as e:  # pragma: no cover
+        log(f"iforest bench skipped: {e}")
+
+    # --- secondary: fused whole-fit kernel (opt-in fit_impl='fused') --------
+    try:
+        from vgan_tpu.ops.pallas.fused_no_kl import fused_no_kl_fit
+        from vgan_tpu.train.steps import init_no_kl_state
+
+        st0 = init_no_kl_state(config, jax.random.PRNGKey(0))
+        xf = np.asarray(x)
+        fused_no_kl_fit(xf, st0.params, config, epochs, jax.random.PRNGKey(0))
+        t0 = time.time()
+        out = fused_no_kl_fit(
+            xf, st0.params, config, epochs, jax.random.PRNGKey(1)
+        )
+        np.asarray(out[3])
+        dt_f = time.time() - t0
+        log(f"fused whole-fit kernel: {steps} steps in {dt_f:.3f}s -> "
+            f"{steps/dt_f:.0f} steps/s (scan path above is the default)")
+    except Exception as e:  # pragma: no cover
+        log(f"fused bench skipped: {e}")
 
     print(json.dumps({
         "metric": "VGAN_no_kl train steps/sec (n=2000, d=10, bs=500)",

@@ -45,53 +45,85 @@ def _c_factor(s: jax.Array) -> jax.Array:
     return jnp.where(s > 2.0, big, jnp.where(s == 2.0, 1.0, 0.0))
 
 
+def _node_onehot(node, n_nodes: int):
+    return (
+        node[:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (node.shape[0], n_nodes), 1)
+    ).astype(jnp.float32)
+
+
 def _fit_tree(key, x_train, logits, psi: int, depth: int):
-    """One tree: per-level (feature, threshold, node-size) tables."""
+    """One tree: per-level (feature-onehot, threshold, node-size) tables.
+
+    Entirely gather/scatter-free: node membership is a one-hot matrix, so
+    per-node reductions are masked min/max and per-point table lookups are
+    (points, nodes) @ (nodes, .) matmuls — the forms the MXU/VPU like.
+    """
     n, d = x_train.shape
     k_sub, k_feat, k_thr = jax.random.split(key, 3)
     idx = jax.random.choice(k_sub, n, (psi,), replace=psi > n)
     xs = x_train[idx]
 
     node = jnp.zeros((psi,), jnp.int32)
-    feats, thrs, sizes = [], [], []
-    ones = jnp.ones((psi,), jnp.float32)
+    feat_ohs, thrs, sizes = [], [], []
+    inf = jnp.asarray(jnp.inf, jnp.float32)
     for level in range(depth):
         n_nodes = 2**level
         f_l = jax.random.categorical(
             jax.random.fold_in(k_feat, level),
             jnp.broadcast_to(logits, (n_nodes, d)),
         )  # (n_nodes,) split feature per node
-        v = jnp.take_along_axis(xs, f_l[node][:, None], axis=1)[:, 0]
-        mins = jax.ops.segment_min(v, node, num_segments=n_nodes)
-        maxs = jax.ops.segment_max(v, node, num_segments=n_nodes)
-        sz = jax.ops.segment_sum(ones, node, num_segments=n_nodes)
+        f_oh = (
+            f_l[:, None] == jax.lax.broadcasted_iota(jnp.int32, (n_nodes, d), 1)
+        ).astype(jnp.float32)
+        onehot = _node_onehot(node, n_nodes)
+        # v[i] = xs[i, feature(node_i)] as two matmuls, no gathers
+        v = jnp.sum(
+            xs * jnp.dot(onehot, f_oh, preferred_element_type=jnp.float32),
+            axis=1,
+        )
+        ob = onehot > 0
+        mins = jnp.min(jnp.where(ob, v[:, None], inf), axis=0)
+        maxs = jnp.max(jnp.where(ob, v[:, None], -inf), axis=0)
+        sz = jnp.sum(onehot, axis=0)
         u = jax.random.uniform(jax.random.fold_in(k_thr, level), (n_nodes,))
         t_l = mins + u * (maxs - mins)  # empty nodes get inf garbage: unused
-        feats.append(f_l)
+        feat_ohs.append(f_oh)
         thrs.append(t_l)
         sizes.append(sz)
-        node = 2 * node + (v > t_l[node]).astype(jnp.int32)
-    final_sizes = jax.ops.segment_sum(ones, node, num_segments=2**depth)
-    return tuple(feats), tuple(thrs), tuple(sizes), final_sizes
+        t_pt = jnp.dot(onehot, t_l, preferred_element_type=jnp.float32)
+        node = 2 * node + (v > t_pt).astype(jnp.int32)
+    final_sizes = jnp.sum(_node_onehot(node, 2**depth), axis=0)
+    return tuple(feat_ohs), tuple(thrs), tuple(sizes), final_sizes
 
 
 def _score_tree(tree, x_test, depth: int):
-    """Per-point path length h(x) through one fitted tree."""
-    feats, thrs, sizes, final_sizes = tree
+    """Per-point path length h(x) through one fitted tree (gather-free)."""
+    feat_ohs, thrs, sizes, final_sizes = tree
     nt = x_test.shape[0]
     node = jnp.zeros((nt,), jnp.int32)
     h = jnp.zeros((nt,), jnp.float32)
     alive = jnp.ones((nt,), bool)
     for level in range(depth):
-        sz = sizes[level][node]
+        onehot = _node_onehot(node, 2**level)
+        sz = jnp.dot(onehot, sizes[level], preferred_element_type=jnp.float32)
         # external node reached: <=1 training points (0 = empty region)
         terminate = alive & (sz <= 1.0)
         h = jnp.where(terminate, float(level) + _c_factor(sz), h)
         alive = alive & ~terminate
-        f = feats[level][node]
-        v = jnp.take_along_axis(x_test, f[:, None], axis=1)[:, 0]
-        node = 2 * node + (v > thrs[level][node]).astype(jnp.int32)
-    h = jnp.where(alive, float(depth) + _c_factor(final_sizes[node]), h)
+        v = jnp.sum(
+            x_test
+            * jnp.dot(onehot, feat_ohs[level],
+                      preferred_element_type=jnp.float32),
+            axis=1,
+        )
+        t_pt = jnp.dot(onehot, thrs[level], preferred_element_type=jnp.float32)
+        node = 2 * node + (v > t_pt).astype(jnp.int32)
+    final_sz = jnp.dot(
+        _node_onehot(node, final_sizes.shape[0]), final_sizes,
+        preferred_element_type=jnp.float32,
+    )
+    h = jnp.where(alive, float(depth) + _c_factor(final_sz), h)
     return h
 
 
