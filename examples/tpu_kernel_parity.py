@@ -117,8 +117,43 @@ def main():
                matmul_dtype="bfloat16")
     time_fused(rng, 16384, 16384, 256, "m=32768 d=256 (flash, uncapped)")
 
+    ok &= check_gof_tiled()
+
     print("\nALL PARITY OK" if ok else "\nPARITY FAILURES — see above")
     raise SystemExit(0 if ok else 1)
+
+
+def check_gof_tiled():
+    """Streaming-Gram GoF (C14) on-chip: dense parity + a large-m run the
+    dense path cannot hold."""
+    import time as _time
+
+    from vgan_tpu.ops.mmd_test import mmd_permutation_test
+    from vgan_tpu.ops.pallas.gof_gram import mmd_permutation_test_tiled
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(500, 10)).astype(np.float32)
+    y = (rng.normal(size=(500, 10)) + 0.5).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    s_d, p_d = mmd_permutation_test(x, y, [0.5], key, n_permutations=500)
+    s_t, p_t = mmd_permutation_test_tiled(x, y, [0.5], key, n_permutations=500)
+    err = abs(float(s_t) - float(s_d)) / max(abs(float(s_d)), 1e-12)
+    # the f32 statistic is a near-cancellation of ~250k-entry Gram sums;
+    # tile-vs-dense reduction order shifts it at the 1e-2 relative level.
+    # p-values (the test's output) must agree tightly.
+    ok = err < 5e-2 and abs(float(p_t) - float(p_d)) <= 0.02
+    print(f"[{'OK ' if ok else 'FAIL'}] GoF tiled vs dense (m=1000)"
+          f"{'':20s} stat rel {err:.2e}  p {float(p_t):.3f} vs {float(p_d):.3f}")
+
+    n_big = 20000  # m = 40000: dense K would be 6.4 GB
+    xb = rng.normal(size=(n_big, 16)).astype(np.float32)
+    yb = (rng.normal(size=(n_big, 16)) + 0.05).astype(np.float32)
+    t0 = _time.time()
+    s, p = mmd_permutation_test_tiled(xb, yb, [1.0], key, n_permutations=200)
+    s, p = float(s), float(p)
+    print(f"[perf] GoF tiled m=40000, 200 perms: {_time.time()-t0:.1f}s "
+          f"(stat {s:.2e}, p {p:.3f})")
+    return ok
 
 
 if __name__ == "__main__":

@@ -144,3 +144,40 @@ def test_sweep_matches_single_alpha_path(rng):
         s1, p1 = mmd_permutation_test(x, y, [a], key, n_permutations=200)
         np.testing.assert_allclose(float(stats_sw[i]), float(s1), rtol=1e-5)
         np.testing.assert_allclose(float(ps_sw[i]), float(p1), atol=1e-9)
+
+
+def test_tiled_gof_matches_dense(rng):
+    """C14: the streaming-Gram GoF kernel (no m^2 buffer) matches the dense
+    jitted path: identical permutation draws -> identical statistics and
+    p-values up to f32 tile-reduction order."""
+    from vgan_tpu.ops.mmd_test import mmd_permutation_test
+    from vgan_tpu.ops.pallas.gof_gram import mmd_permutation_test_tiled
+
+    x = rng.normal(size=(60, 7)).astype(np.float32)
+    y = (rng.normal(size=(48, 7)) * 1.3 + 0.6).astype(np.float32)
+    key = jax.random.PRNGKey(11)
+    for alpha in (0.05, 1.0):
+        s_d, p_d = mmd_permutation_test(x, y, [alpha], key, n_permutations=150)
+        s_t, p_t = mmd_permutation_test_tiled(
+            x, y, [alpha], key, n_permutations=150
+        )
+        # the f32 statistic is a near-cancellation; reduction-order
+        # differences between tiled and dense paths shift it ~1e-2 relative
+        np.testing.assert_allclose(float(s_t), float(s_d), rtol=2e-2,
+                                   atol=1e-7)
+        np.testing.assert_allclose(float(p_t), float(p_d), atol=0.03)
+
+
+def test_tiled_gof_multi_alpha_sum(rng):
+    """Multi-alpha kernels sum inside the tile (torch_two_sample semantics:
+    alphas accumulate into one pooled Gram)."""
+    from vgan_tpu.ops.mmd_test import mmd_permutation_test
+    from vgan_tpu.ops.pallas.gof_gram import mmd_permutation_test_tiled
+
+    x = rng.normal(size=(30, 4)).astype(np.float32)
+    y = (rng.normal(size=(30, 4)) + 1.0).astype(np.float32)
+    key = jax.random.PRNGKey(2)
+    alphas = [0.1, 1.0, 10.0]
+    s_d, _ = mmd_permutation_test(x, y, alphas, key, n_permutations=50)
+    s_t, _ = mmd_permutation_test_tiled(x, y, alphas, key, n_permutations=50)
+    np.testing.assert_allclose(float(s_t), float(s_d), rtol=2e-2, atol=1e-7)
