@@ -23,3 +23,26 @@ def test_export_load_roundtrip(tmp_path, rng):
     # different batch size than anything traced before (symbolic dim)
     masks2 = sample_masks(fn, nsubs=7, latent_size=m._latent_size, seed=m.seed)
     assert masks2.shape == (7, 10)
+
+
+def test_ensemble_scorer_export_roundtrip(rng, tmp_path):
+    """Exported ensemble decision_function == live one, across batch sizes
+    (symbolic batch dim)."""
+    from vgan_tpu.ensemble import SubspaceEnsemble
+    from vgan_tpu.serving import export_ensemble_scorer, load_ensemble_scorer
+
+    d = 9
+    xtr = rng.normal(size=(50, d)).astype(np.float32)
+    masks = rng.random(size=(5, d)) < 0.5
+    masks[:, 0] |= ~masks.any(axis=1)
+    proba = np.full(5, 0.2, np.float32)
+    ens = SubspaceEnsemble(masks, proba, base="knn", k=4, chunk=2).fit(xtr)
+
+    path = tmp_path / "scorer.bin"
+    export_ensemble_scorer(ens, path)
+    fn = load_ensemble_scorer(path)
+    for b in (3, 17):
+        xte = rng.normal(size=(b, d)).astype(np.float32)
+        np.testing.assert_allclose(
+            fn(xte), ens.decision_function(xte), rtol=1e-5, atol=1e-6
+        )

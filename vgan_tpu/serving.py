@@ -56,3 +56,54 @@ def sample_masks(sampler_fn, nsubs: int, latent_size: int, seed: int = 777):
         jax.random.PRNGKey(seed), (nsubs, latent_size), jnp.float32
     )
     return np.asarray(sampler_fn(z))
+
+
+def export_ensemble_scorer(ensemble, path) -> None:
+    """Serialize a fitted :class:`vgan_tpu.ensemble.SubspaceEnsemble`'s
+    ``decision_function`` to ``path`` (StableHLO, symbolic test-batch dim).
+
+    The training set, subspace masks, probabilities, and the base-scorer
+    program are all embedded; a serving process needs only jax to score.
+    """
+    from vgan_tpu.ensemble.od import _BASE_SCORERS, _local_chunked_scores
+
+    assert ensemble._x_train is not None, "fit the ensemble first"
+    assert isinstance(ensemble.base, str) and ensemble.base in _BASE_SCORERS, (
+        "only native base scorers export"
+    )
+    scorer = _BASE_SCORERS[ensemble.base]
+    k = ensemble.n_trees if ensemble.base == "iforest" else ensemble.k
+    x_train = ensemble._x_train
+    d = x_train.shape[1]
+
+    masks_np = np.asarray(ensemble.subspaces, dtype=bool)
+    proba_np = np.asarray(ensemble.proba, dtype=np.float32)
+    pad = (-len(masks_np)) % ensemble.chunk
+    if pad:
+        masks_np = np.concatenate([masks_np, np.zeros((pad, d), bool)])
+        proba_np = np.concatenate([proba_np, np.zeros((pad,), np.float32)])
+    n_chunks = masks_np.shape[0] // ensemble.chunk
+    masks = jnp.asarray(masks_np.reshape(n_chunks, ensemble.chunk, d))
+    proba = jnp.asarray(proba_np.reshape(n_chunks, ensemble.chunk))
+
+    def score(x_test):
+        return _local_chunked_scores(
+            x_test.astype(jnp.float32), x_train, masks, proba,
+            scorer=scorer, k=k,
+            aggregation=ensemble.aggregation, normalize=ensemble.normalize,
+        )
+
+    batch = jax.export.symbolic_shape("b")[0]
+    x_spec = jax.ShapeDtypeStruct((batch, d), jnp.float32)
+    exported = jax.export.export(jax.jit(score))(x_spec)
+    Path(path).write_bytes(exported.serialize())
+
+
+def load_ensemble_scorer(path):
+    """Load a serialized ensemble scorer; returns ``fn(x_test) -> scores``."""
+    exported = jax.export.deserialize(Path(path).read_bytes())
+
+    def fn(x_test):
+        return np.asarray(exported.call(jnp.asarray(x_test, jnp.float32)))
+
+    return fn
