@@ -57,6 +57,9 @@ def main() -> None:
     state, losses = no_kl_fit_program(x, key, config, epochs)
     final = float(losses[-1])
     log(f"compile+first run: {time.time() - t0:.1f}s (final loss {final:.3f})")
+    log("note: at d=10 the auto dispatch runs the XLA-fused jnp Gram (the "
+        "Pallas kernels engage at d >= 512 or m >= 4096; their numbers are "
+        "the Gram line below and examples/tpu_kernel_parity.py)")
 
     times = []
     for r in range(3):

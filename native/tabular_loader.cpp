@@ -14,6 +14,7 @@
 //
 // Build: make -C native   (produces native/libvgan_io.so)
 
+#include <algorithm>
 #include <cctype>
 #include <cerrno>
 #include <cstdint>
@@ -101,6 +102,19 @@ const char* next_line(const char* p, const char* end) {
   return p < end ? p + 1 : end;
 }
 
+// Advance past `count` content lines (blank lines skipped, not counted).
+const char* skip_content_lines(const char* p, const char* end, long count) {
+  long done = 0;
+  while (p < end && done < count) {
+    while (p < end && (*p == '\n' || *p == '\r' || *p == ' ' || *p == '\t'))
+      ++p;
+    if (p >= end) break;
+    p = next_line(p, end);
+    ++done;
+  }
+  return p;
+}
+
 // Count lines with non-whitespace content in [p, end). Blank/whitespace-only
 // lines (interior or trailing) are not data rows.
 long count_content_lines(const char* p, const char* end) {
@@ -146,7 +160,7 @@ int parse_rows(const char* p, const char* end, T* out, long cols,
 
 template <typename T>
 int csv_read(const char* path, T* out, long rows, long cols, int skip_header,
-             int nthreads) {
+             int nthreads, long start_row) {
   MappedFile mf;
   if (!mf.open(path)) return 1;
   const char* p = mf.data;
@@ -156,6 +170,7 @@ int csv_read(const char* path, T* out, long rows, long cols, int skip_header,
       ++p;  // match dims(): leading blank lines precede the header
     p = next_line(p, end);
   }
+  if (start_row > 0) p = skip_content_lines(p, end, start_row);
 
   // Row-aligned chunk boundaries: stride through the data by byte-size,
   // snapping each boundary to the next newline; record the row index at
@@ -191,8 +206,11 @@ int csv_read(const char* path, T* out, long rows, long cols, int skip_header,
   for (size_t i = 0; i < starts.size(); ++i) {
     const char* cb = starts[i];
     const char* ce = (i + 1 < starts.size()) ? starts[i + 1] : end;
-    long rb = start_rows[i];
-    long re = (i + 1 < starts.size()) ? start_rows[i + 1] : rows;
+    // clamp to the requested row count: with a row-range read the file
+    // holds more content lines than the output buffer
+    long rb = std::min(start_rows[i], rows);
+    long re = std::min(
+        (i + 1 < starts.size()) ? start_rows[i + 1] : rows, rows);
     threads.emplace_back([=, &rcs] {
       rcs[i] = parse_rows<T>(cb, ce, out, cols, rb, re);
     });
@@ -232,12 +250,28 @@ int vgan_csv_dims(const char* path, long* rows, long* cols, int* has_header) {
 
 int vgan_csv_read_f32(const char* path, float* out, long rows, long cols,
                       int skip_header, int nthreads) {
-  return csv_read<float>(path, out, rows, cols, skip_header, nthreads);
+  return csv_read<float>(path, out, rows, cols, skip_header, nthreads, 0);
 }
 
 int vgan_csv_read_f64(const char* path, double* out, long rows, long cols,
                       int skip_header, int nthreads) {
-  return csv_read<double>(path, out, rows, cols, skip_header, nthreads);
+  return csv_read<double>(path, out, rows, cols, skip_header, nthreads, 0);
+}
+
+// Row-range variants for multi-host ingest: parse `rows` content lines
+// starting at content line `start_row` (after the header).
+int vgan_csv_read_range_f32(const char* path, float* out, long start_row,
+                            long rows, long cols, int skip_header,
+                            int nthreads) {
+  return csv_read<float>(path, out, rows, cols, skip_header, nthreads,
+                         start_row);
+}
+
+int vgan_csv_read_range_f64(const char* path, double* out, long start_row,
+                            long rows, long cols, int skip_header,
+                            int nthreads) {
+  return csv_read<double>(path, out, rows, cols, skip_header, nthreads,
+                          start_row);
 }
 
 }  // extern "C"

@@ -155,3 +155,29 @@ def test_blank_lines_multithreaded(tmp_path):
     f.write_text("\n".join(rows) + "\n")
     arr = io_native.load_csv(f, dtype=np.float64, nthreads=8)
     np.testing.assert_allclose(arr, np.asarray(expected, dtype=np.float64))
+
+
+def test_row_range_reads(tmp_path):
+    """skip_rows/max_rows select exactly the contiguous data-row range
+    (multi-host ingest path), matching the full read's slice — incl. with
+    a header, blank lines, and the multithreaded parser."""
+    import numpy as np
+    from vgan_tpu import io_native
+
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 1000, size=(3000, 4))
+    lines = ["c0,c1,c2,c3"]
+    for i, row in enumerate(data):
+        lines.append(",".join(map(str, row)))
+        if i % 53 == 0:
+            lines.append("")
+    f = tmp_path / "range.csv"
+    f.write_text("\n".join(lines) + "\n")
+
+    full = io_native.load_csv(f, dtype=np.float64, nthreads=8)
+    np.testing.assert_allclose(full, data.astype(np.float64))
+    for skip, count in [(0, 100), (997, 1003), (2500, 10_000), (3000, 5)]:
+        part = io_native.load_csv(
+            f, dtype=np.float64, nthreads=8, skip_rows=skip, max_rows=count
+        )
+        np.testing.assert_allclose(part, full[skip : skip + count])

@@ -55,6 +55,21 @@ def _load_library() -> Optional[ctypes.CDLL]:
                 ctypes.c_int,
             ]
             fn.restype = ctypes.c_int
+        for name, ptr_t in (
+            ("vgan_csv_read_range_f32", ctypes.POINTER(ctypes.c_float)),
+            ("vgan_csv_read_range_f64", ctypes.POINTER(ctypes.c_double)),
+        ):
+            fn = getattr(lib, name)
+            fn.argtypes = [
+                ctypes.c_char_p,
+                ptr_t,
+                ctypes.c_long,
+                ctypes.c_long,
+                ctypes.c_long,
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+            fn.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -70,17 +85,24 @@ def load_csv(
     path,
     dtype=np.float64,
     nthreads: Optional[int] = None,
+    skip_rows: int = 0,
+    max_rows: Optional[int] = None,
 ) -> np.ndarray:
     """Parse a numeric CSV into an (n, d) array.
 
     Native path: mmap + row-aligned multithreaded strtod. Falls back to
     ``numpy.loadtxt`` when the shared library can't be built/loaded.
+
+    ``skip_rows``/``max_rows`` select a contiguous row range (data rows,
+    after any header) — the multi-host ingest path: each process loads only
+    its ``parallel.input.process_row_range`` slice and assembles the global
+    array with ``jax.make_array_from_process_local_data``.
     """
     path = str(path)
     lib = _load_library()
     dtype = np.dtype(dtype)
     if lib is None:
-        return _numpy_fallback(path, dtype)
+        return _numpy_fallback(path, dtype, skip_rows, max_rows)
 
     rows = ctypes.c_long()
     cols = ctypes.c_long()
@@ -89,28 +111,38 @@ def load_csv(
                            ctypes.byref(cols), ctypes.byref(header))
     if rc != 0:
         raise OSError(f"native CSV dims failed for {path} (rc={rc})")
-    out = np.empty((rows.value, cols.value), dtype=dtype)
-    if rows.value == 0:
+    n_avail = max(rows.value - skip_rows, 0)
+    n_read = n_avail if max_rows is None else min(max_rows, n_avail)
+    out = np.empty((n_read, cols.value), dtype=dtype)
+    if n_read == 0:
         return out
     if nthreads is None:
         nthreads = min(os.cpu_count() or 1, 16)
     if dtype == np.float32:
-        fn = lib.vgan_csv_read_f32
-        ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        c_t = ctypes.c_float
+        fn = lib.vgan_csv_read_range_f32 if skip_rows or max_rows is not None \
+            else lib.vgan_csv_read_f32
     elif dtype == np.float64:
-        fn = lib.vgan_csv_read_f64
-        ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        c_t = ctypes.c_double
+        fn = lib.vgan_csv_read_range_f64 if skip_rows or max_rows is not None \
+            else lib.vgan_csv_read_f64
     else:
-        return _numpy_fallback(path, dtype)
-    rc = fn(path.encode(), ptr, rows.value, cols.value, header.value, nthreads)
+        return _numpy_fallback(path, dtype, skip_rows, max_rows)
+    ptr = out.ctypes.data_as(ctypes.POINTER(c_t))
+    if skip_rows or max_rows is not None:
+        rc = fn(path.encode(), ptr, skip_rows, n_read, cols.value,
+                header.value, nthreads)
+    else:
+        rc = fn(path.encode(), ptr, n_read, cols.value, header.value, nthreads)
     if rc != 0:
         # a file the native fast path can't parse (ragged rows, exotic
         # formats) may still be loadable by numpy — degrade, don't fail
-        return _numpy_fallback(path, dtype)
+        return _numpy_fallback(path, dtype, skip_rows, max_rows)
     return out
 
 
-def _numpy_fallback(path: str, dtype) -> np.ndarray:
+def _numpy_fallback(path: str, dtype, skip_rows: int = 0,
+                    max_rows: Optional[int] = None) -> np.ndarray:
     with open(path) as fh:
         first = fh.readline()
     try:
@@ -118,5 +150,9 @@ def _numpy_fallback(path: str, dtype) -> np.ndarray:
         skip = 0
     except ValueError:
         skip = 1
-    arr = np.loadtxt(path, delimiter=",", skiprows=skip, dtype=dtype)
-    return np.atleast_2d(arr)
+    arr = np.loadtxt(path, delimiter=",", skiprows=skip + skip_rows,
+                     max_rows=max_rows, dtype=dtype)
+    arr = np.atleast_2d(arr)
+    if max_rows is not None:
+        arr = arr[:max_rows]
+    return arr
