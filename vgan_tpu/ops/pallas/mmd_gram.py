@@ -157,15 +157,15 @@ def _kernel_deriv(d2: jax.Array, bw: jax.Array, mults: Tuple[float, ...]):
     return kprime
 
 
-def _coeff_tile(i, j, shape, n1: int, n2: int, m: int):
+def _coeff_tile(i, j, shape, n1: int, n2: int, m: int, tile_m: int = TILE_M):
     """(coeff, valid) for a (TILE_M, TILE_M) tile at row-tile i, col-tile j.
 
     Symmetrized quadrant coefficients of the biased MMD:
     XX: 1/n1^2, YY: 1/n2^2, XY and YX: -1/(n1 n2); zero outside the m x m
     valid region.
     """
-    rows = i * TILE_M + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    cols = j * TILE_M + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    rows = i * tile_m + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = j * tile_m + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     row_x = rows < n1
     col_x = cols < n1
     valid = jnp.logical_and(rows < m, cols < m)
@@ -202,6 +202,7 @@ def _fwd_kernel(
     m: int,
     mults: Tuple[float, ...],
     n_kd: int,
+    tile_m: int,
 ):
     i, j, kd = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
@@ -227,8 +228,8 @@ def _fwd_kernel(
         d2 = jnp.maximum(d2_scratch[:] + ni_ref[:] + nj_ref[:].T, 0.0)
         k = _kernel_sum(d2, bw_ref[0, 0], mults)
 
-        rows = i * TILE_M + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
-        cols = j * TILE_M + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        rows = i * tile_m + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+        cols = j * tile_m + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
         row_x = rows < n1
         col_x = cols < n1
         valid = jnp.logical_and(rows < m, cols < m)
@@ -251,7 +252,8 @@ def _fwd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n1", "m", "mults", "tile_d", "interpret")
+    jax.jit,
+    static_argnames=("n1", "m", "mults", "tile_d", "tile_m", "interpret"),
 )
 def _gram_quadrant_sums(
     z_pad: jax.Array,
@@ -261,26 +263,29 @@ def _gram_quadrant_sums(
     m: int,
     mults: Tuple[float, ...],
     tile_d: int,
+    tile_m: int = TILE_M,
     interpret: bool = False,
 ) -> jax.Array:
     """Returns the quadrant ``sums (1, 4)`` for padded inputs."""
     M, D = z_pad.shape
-    grid = (M // TILE_M, M // TILE_M, D // tile_d)
+    grid = (M // tile_m, M // tile_m, D // tile_d)
     n_kd = D // tile_d
-    kernel = functools.partial(_fwd_kernel, n1=n1, m=m, mults=mults, n_kd=n_kd)
+    kernel = functools.partial(
+        _fwd_kernel, n1=n1, m=m, mults=mults, n_kd=n_kd, tile_m=tile_m
+    )
     zbytes = z_pad.dtype.itemsize
     flops = 2 * M * M * D + 8 * M * M * len(mults)
     sums = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_M, tile_d), lambda i, j, kd: (i, kd),
+            pl.BlockSpec((tile_m, tile_d), lambda i, j, kd: (i, kd),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, tile_d), lambda i, j, kd: (j, kd),
+            pl.BlockSpec((tile_m, tile_d), lambda i, j, kd: (j, kd),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, 1), lambda i, j, kd: (i, 0),
+            pl.BlockSpec((tile_m, 1), lambda i, j, kd: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, 1), lambda i, j, kd: (j, 0),
+            pl.BlockSpec((tile_m, 1), lambda i, j, kd: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i, j, kd: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -288,7 +293,7 @@ def _gram_quadrant_sums(
         out_specs=pl.BlockSpec((1, 4), lambda i, j, kd: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 4), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TILE_M, TILE_M), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_m), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=2 * (M // TILE_M) * M * D * zbytes,
@@ -416,6 +421,7 @@ def _s_kernel(
     m: int,
     mults: Tuple[float, ...],
     n_kd: int,
+    tile_m: int,
 ):
     i, j, kd = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
@@ -431,12 +437,13 @@ def _s_kernel(
     def _():
         d2 = jnp.maximum(d2_scratch[:] + ni_ref[:] + nj_ref[:].T, 0.0)
         kprime = _kernel_deriv(d2, bw_ref[0, 0], mults)
-        _, _, valid, coeff = _coeff_tile(i, j, d2.shape, n1, n2, m)
+        _, _, valid, coeff = _coeff_tile(i, j, d2.shape, n1, n2, m, tile_m)
         s_ref[:] = jnp.where(valid, coeff * kprime, 0.0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n1", "n2", "m", "mults", "tile_d", "interpret")
+    jax.jit,
+    static_argnames=("n1", "n2", "m", "mults", "tile_d", "tile_m", "interpret"),
 )
 def _gram_s_matrix(
     z_pad: jax.Array,
@@ -447,35 +454,36 @@ def _gram_s_matrix(
     m: int,
     mults: Tuple[float, ...],
     tile_d: int,
+    tile_m: int = TILE_M,
     interpret: bool = False,
 ) -> jax.Array:
     """Recomputes D2 over d-chunks and emits the (M, M) f32 S matrix once."""
     M, D = z_pad.shape
-    grid = (M // TILE_M, M // TILE_M, D // tile_d)
+    grid = (M // tile_m, M // tile_m, D // tile_d)
     n_kd = D // tile_d
     kernel = functools.partial(
-        _s_kernel, n1=n1, n2=n2, m=m, mults=mults, n_kd=n_kd
+        _s_kernel, n1=n1, n2=n2, m=m, mults=mults, n_kd=n_kd, tile_m=tile_m
     )
     zbytes = z_pad.dtype.itemsize
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_M, tile_d), lambda i, j, kd: (i, kd),
+            pl.BlockSpec((tile_m, tile_d), lambda i, j, kd: (i, kd),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, tile_d), lambda i, j, kd: (j, kd),
+            pl.BlockSpec((tile_m, tile_d), lambda i, j, kd: (j, kd),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, 1), lambda i, j, kd: (i, 0),
+            pl.BlockSpec((tile_m, 1), lambda i, j, kd: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, 1), lambda i, j, kd: (j, 0),
+            pl.BlockSpec((tile_m, 1), lambda i, j, kd: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i, j, kd: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_M, TILE_M), lambda i, j, kd: (i, j),
+        out_specs=pl.BlockSpec((tile_m, tile_m), lambda i, j, kd: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, M), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TILE_M, TILE_M), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_m), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * M * M * D + 10 * M * M * len(mults),
             bytes_accessed=2 * (M // TILE_M) * M * D * zbytes + M * M * 4,
@@ -519,6 +527,12 @@ def _mmd2_from_sums(sums: jax.Array, n1: int, n2: int) -> jax.Array:
     return sxx / (n1 * n1) - 2.0 * sxy / (n1 * n2) + syy / (n2 * n2)
 
 
+def _row_tile(M: int) -> int:
+    """512-row tiles when they divide M: halves the per-tile-row z re-reads
+    (input traffic scales with M / tile_m) at ~5 MB VMEM."""
+    return 512 if M % 512 == 0 else TILE_M
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _mmd2_core(mults: Tuple[float, ...], n1: int, n2: int,
                matmul_dtype: Optional[str],
@@ -526,7 +540,7 @@ def _mmd2_core(mults: Tuple[float, ...], n1: int, n2: int,
     z_pad, norms, _, _, m, tile_d = _pad_z(x, y)
     sums = _gram_quadrant_sums(
         _dot_operand(z_pad, matmul_dtype), norms, bw, n1, m, mults, tile_d,
-        interpret=_interpret_mode(),
+        tile_m=_row_tile(z_pad.shape[0]), interpret=_interpret_mode(),
     )
     return _mmd2_from_sums(sums, n1, n2)
 
@@ -535,7 +549,7 @@ def _mmd2_fwd(mults, n1, n2, matmul_dtype, x, y, bw):
     z_pad, norms, _, _, m, tile_d = _pad_z(x, y)
     sums = _gram_quadrant_sums(
         _dot_operand(z_pad, matmul_dtype), norms, bw, n1, m, mults, tile_d,
-        interpret=_interpret_mode(),
+        tile_m=_row_tile(z_pad.shape[0]), interpret=_interpret_mode(),
     )
     mmd2 = _mmd2_from_sums(sums, n1, n2)
     # zero-size carriers keep the primal dtypes for the cotangents; the
@@ -558,7 +572,7 @@ def _mmd2_bwd(mults, n1, n2, matmul_dtype, res, g):
     else:
         s = _gram_s_matrix(
             z_dot, norms, bw, n1, n2, m, mults,
-            tile_d=TILE_D, interpret=interpret,
+            tile_d=TILE_D, tile_m=_row_tile(M), interpret=interpret,
         )
         rs = jnp.sum(s, axis=1, keepdims=True)
         sz = jnp.dot(s, z_pad, preferred_element_type=jnp.float32)
