@@ -240,3 +240,27 @@ def test_pyod_adapter_with_sklearn_lof(rng):
     np.testing.assert_allclose(scores, expected, rtol=1e-6)
     # sklearn decision_function: NEGATIVE = outlier; AUC with flipped sign
     assert _auc(-scores, labels) > 0.9
+
+
+def test_knn_fused_kernel_matches_generic(rng):
+    """C15 fused projection+KNN kernel == the generic vmapped path (same
+    scores through aggregation/normalization), incl. duplicate train rows
+    (tie-aware exact k-th selection)."""
+    xtr = rng.normal(size=(90, 12)).astype(np.float32)
+    xtr[40:60] = xtr[:20]  # duplicates -> distance ties
+    xte = rng.normal(size=(30, 12)).astype(np.float32)
+    masks = rng.random(size=(7, 12)) < 0.5
+    masks[:, 0] |= ~masks.any(axis=1)
+    proba = rng.random(size=(7,)).astype(np.float32)
+    proba /= proba.sum()
+    for agg in ("average", "max"):
+        for norm in ("zscore", None):
+            ens = SubspaceEnsemble(masks, proba, base="knn", k=5,
+                                   aggregation=agg, normalize=norm, chunk=2)
+            ens.fit(xtr)
+            generic = ens.decision_function(xte)  # CPU -> generic path
+            fused = ens._knn_fused_decision_function(
+                jnp.asarray(xte), force=True
+            )
+            np.testing.assert_allclose(fused, generic, rtol=1e-5, atol=1e-6,
+                                       err_msg=f"{agg}/{norm}")

@@ -208,6 +208,11 @@ class SubspaceEnsemble:
         k = self.n_trees if self.base == "iforest" else self.k
         x_test = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
 
+        if self.base == "knn" and self.mesh is None:
+            fast = self._knn_fused_decision_function(x_test)
+            if fast is not None:
+                return fast
+
         n_shards = self.mesh.shape["data"] if self.mesh is not None else 1
         masks_np = np.asarray(self.subspaces, dtype=bool)
         proba_np = np.asarray(self.proba, dtype=np.float32)
@@ -253,6 +258,37 @@ class SubspaceEnsemble:
                 proba_sh,
             )
         return np.asarray(scores)
+
+    def _knn_fused_decision_function(self, x_test, force: bool = False):
+        """TPU fast path: the fused projection+KNN-score Pallas kernel
+        (ops/pallas/knn_score.py, SURVEY.md section 2c C15) — the masked
+        distance block never leaves VMEM. Returns None when not applicable
+        (CPU, unsupported shapes); ``force`` runs it in interpreter mode
+        for equivalence tests."""
+        import jax as _jax
+
+        from vgan_tpu.ops.pallas.knn_score import (
+            knn_kernel_supported,
+            knn_scores_all_masks,
+        )
+
+        on_tpu = _jax.default_backend() in ("tpu", "axon")
+        if not (on_tpu or force):
+            return None
+        nt, d = x_test.shape
+        if not knn_kernel_supported(nt, self._x_train.shape[0], d, self.k):
+            return None
+        s = knn_scores_all_masks(
+            x_test, self._x_train, self.subspaces, self.k
+        )  # (n_masks, nt)
+        proba = jnp.asarray(self.proba)
+        if self.normalize == "zscore":
+            mu = jnp.mean(s, axis=1, keepdims=True)
+            sd = jnp.std(s, axis=1, keepdims=True) + 1e-12
+            s = (s - mu) / sd
+        if self.aggregation == "max":
+            return np.asarray(jnp.max(s, axis=0))
+        return np.asarray(jnp.sum(proba[:, None] * s, axis=0))
 
     def _copod_decision_function(self, x_test) -> np.ndarray:
         """COPOD-style path: per-dim tail scores shared across ALL masks, the

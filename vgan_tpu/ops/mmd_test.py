@@ -127,6 +127,11 @@ def _test_impl_multi(
     return jax.vmap(per_alpha)(alphas)
 
 
+# beyond this pooled-sample count the dense paths' (m, m) Gram gets routed
+# to the streaming-Gram kernel (ops.pallas.gof_gram), which never holds it
+DENSE_GOF_MAX_M = 8192
+
+
 def mmd_permutation_test_sweep(
     x: jax.Array,
     y: jax.Array,
@@ -137,7 +142,23 @@ def mmd_permutation_test_sweep(
     """Single-alpha tests for each alpha, batched into ONE compiled dispatch.
 
     Returns ``(statistics, p_values)``, each shape (len(alphas),).
+    Sample counts past ``DENSE_GOF_MAX_M`` stream the Gram tile-by-tile
+    (one dispatch per alpha) instead of materializing it.
     """
+    import numpy as np
+
+    if x.shape[0] + y.shape[0] > DENSE_GOF_MAX_M:
+        from vgan_tpu.ops.pallas.gof_gram import mmd_permutation_test_tiled
+
+        stats, pvals = zip(
+            *(
+                mmd_permutation_test_tiled(
+                    x, y, [float(a)], key, n_permutations=n_permutations
+                )
+                for a in np.asarray(alphas).ravel()
+            )
+        )
+        return jnp.stack(stats), jnp.stack(pvals)
     z = jnp.concatenate([jnp.asarray(x), jnp.asarray(y)], axis=0)
     return _test_impl_multi(
         z,

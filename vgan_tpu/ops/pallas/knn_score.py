@@ -1,0 +1,167 @@
+"""Fused projection + KNN-score Pallas kernel (SURVEY.md section 2c, C15).
+
+The subspace-ensemble's base detector (pyod-KNN 'largest' semantics: the
+k-th nearest-neighbor distance in the masked feature space) as ONE kernel
+per (mask-group, test-tile): the masked distance matrix is built on the MXU
+(``an + bn - 2 (xte .* m) @ xtr^T``) and consumed immediately by an exact,
+tie-aware k-th-smallest extraction on the VPU — the (nt, ntr) distance
+block never leaves VMEM, and the selection needs k cheap min/mask passes
+instead of a full sort (lax.top_k) or binned reduction (approx_min_k).
+
+Selection is EXACT including duplicate distances: a per-row remaining
+counter absorbs whole tie groups, so the value at which the counter crosses
+zero is the true k-th order statistic.
+
+Used by SubspaceEnsemble(base='knn') on TPU when shapes fit VMEM; the
+vmapped jnp path remains the general fallback (and the CPU/interpret path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_NT = 256   # test rows per tile
+MASK_G = 8      # masks per grid step
+MAX_K = 64
+# VMEM budget: xtr (NTR, D) + per-mask (TILE_NT, NTR) distance block (x2-3
+# temporaries during extraction)
+MAX_NTR_D = 1024 * 1024  # NTR * D element cap for the resident train block
+MAX_NTR = 8192
+
+
+def _round_up(a: int, b: int) -> int:
+    return -(-a // b) * b
+
+
+def knn_kernel_supported(nt: int, ntr: int, d: int, k: int) -> bool:
+    NTR = _round_up(ntr, 128)
+    D = max(128, _round_up(d, 128))
+    return k <= MAX_K and NTR <= MAX_NTR and NTR * D <= MAX_NTR_D
+
+
+def _knn_kernel(
+    masks_ref,   # (MASK_G, D)
+    xte_ref,     # (TILE_NT, D)
+    xte2_ref,    # (TILE_NT, D) elementwise squares
+    xtr_ref,     # (NTR, D) full train block
+    xtr2_ref,    # (NTR, D)
+    out_ref,     # (MASK_G, TILE_NT)
+    *,
+    nt: int,
+    ntr: int,
+    k: int,
+):
+    t = pl.program_id(1)
+    NTR = xtr_ref.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, NTR), 1)
+    big = jnp.float32(3.0e38)
+
+    for mi in range(MASK_G):
+        mk = masks_ref[mi, :][None, :]  # (1, D)
+        an = jnp.sum(xte2_ref[:] * mk, axis=1, keepdims=True)  # (TILE_NT, 1)
+        bn = jnp.sum(xtr2_ref[:] * mk, axis=1, keepdims=True)  # (NTR, 1)
+        cross = jnp.dot(
+            xte_ref[:] * mk, xtr_ref[:].T, preferred_element_type=jnp.float32
+        )
+        d2 = jnp.maximum(an + bn.T - 2.0 * cross, 0.0)
+        d2 = jnp.where(col < ntr, d2, big)  # pad train cols are not neighbors
+
+        # exact tie-aware k-th smallest: absorb whole tie-groups per pass
+        remaining = jnp.full((d2.shape[0], 1), float(k), jnp.float32)
+        kth = jnp.zeros((d2.shape[0], 1), jnp.float32)
+        for _ in range(k):
+            cur = jnp.min(d2, axis=1, keepdims=True)
+            kth = jnp.where(remaining > 0.0, cur, kth)
+            ties = jnp.sum((d2 <= cur).astype(jnp.float32), axis=1,
+                           keepdims=True)
+            remaining = remaining - ties
+            d2 = jnp.where(d2 <= cur, big, d2)
+
+        out_ref[mi, :] = jnp.sqrt(kth[:, 0])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nt", "ntr", "k", "interpret")
+)
+def _knn_scores_call(
+    masks_pad: jax.Array,
+    xte_pad: jax.Array,
+    xtr_pad: jax.Array,
+    nt: int,
+    ntr: int,
+    k: int,
+    interpret: bool = False,
+) -> jax.Array:
+    NM, D = masks_pad.shape
+    NT = xte_pad.shape[0]
+    NTR = xtr_pad.shape[0]
+    grid = (NM // MASK_G, NT // TILE_NT)
+    kernel = functools.partial(_knn_kernel, nt=nt, ntr=ntr, k=k)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((MASK_G, D), lambda g, t: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_NT, D), lambda g, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_NT, D), lambda g, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NTR, D), lambda g, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NTR, D), lambda g, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((MASK_G, TILE_NT), lambda g, t: (g, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NM, NT), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * NM * NT * NTR * D // 1,
+            bytes_accessed=(NM // MASK_G) * (NT * D + 2 * NTR * D) * 4
+            + NM * NT * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(masks_pad, xte_pad, xte_pad * xte_pad, xtr_pad, xtr_pad * xtr_pad)
+
+
+def knn_scores_all_masks(
+    x_test, x_train, masks, k: int, interpret: bool = None
+) -> jax.Array:
+    """(n_masks, nt) k-th-NN distances for every mask, one fused kernel.
+
+    Same semantics as vmapping ``knn_scores_masked`` over masks; requires
+    :func:`knn_kernel_supported` shapes.
+    """
+    import numpy as np
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    x_test = jnp.asarray(x_test, jnp.float32)
+    x_train = jnp.asarray(x_train, jnp.float32)
+    nt, d = x_test.shape
+    ntr = x_train.shape[0]
+    nm = masks.shape[0]
+    assert knn_kernel_supported(nt, ntr, d, k)
+
+    D = max(128, _round_up(d, 128))
+    NT = _round_up(nt, TILE_NT)
+    NTR = _round_up(ntr, 128)
+    NM = _round_up(nm, MASK_G)
+    masks_pad = jnp.zeros((NM, D), jnp.float32).at[:nm, :d].set(
+        jnp.asarray(masks, jnp.float32)
+    )
+    xte_pad = jnp.zeros((NT, D), jnp.float32).at[:nt, :d].set(x_test)
+    xtr_pad = jnp.zeros((NTR, D), jnp.float32).at[:ntr, :d].set(x_train)
+    # XLA pre-squares once; the kernel reuses both blocks every grid step
+    scores = _knn_scores_call(
+        masks_pad, xte_pad, xtr_pad, nt=nt, ntr=ntr, k=int(k),
+        interpret=interpret,
+    )
+    return scores[:nm, :nt]
