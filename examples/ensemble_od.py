@@ -21,7 +21,8 @@ from vgan_tpu.ensemble import SubspaceEnsemble
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--base", default="knn", choices=["knn", "knn_mean", "lof"])
+    ap.add_argument("--base", default="knn",
+                    choices=["knn", "knn_mean", "lof", "iforest", "copod"])
     ap.add_argument("--epochs", type=int, default=20)
     args = ap.parse_args()
 
