@@ -137,3 +137,20 @@ def test_estimator_fused_fit_impl(rng, tmp_path):
     assert m.bandwidth is not None and m.bandwidth > 0
     u = m.generate_subspaces(32)
     assert u.shape == (32, 16) and u.dtype == bool
+
+
+def test_fused_fit_then_continue_fit_scan(rng):
+    """State from the fused kernel (params + Adadelta accumulators + frozen
+    bandwidth) feeds the scan path's continue_fit seamlessly."""
+    from vgan_tpu import VGAN_no_kl
+
+    x = rng.normal(size=(128, 16)).astype(np.float32)
+    m = VGAN_no_kl(batch_size=64, epochs=2, lr=0.01, verbose=False,
+                   fit_impl="fused")
+    m.fit(x)
+    bw_before = m.bandwidth
+    m.continue_fit(x, epochs=2)
+    assert len(m.train_history["generator_loss"]) == 4
+    assert np.isfinite(m.train_history["generator_loss"][-1])
+    # frozen bandwidth carried through
+    assert m.bandwidth == bw_before

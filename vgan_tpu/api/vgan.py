@@ -575,6 +575,10 @@ class VGAN_no_kl(_VGANCommon):
         from vgan_tpu.train.adadelta import AdadeltaState
 
         assert self.mesh is None, "fit_impl='fused' is single-device"
+        assert self.checkpoint_every is None, (
+            "fit_impl='fused' runs the whole fit as one kernel launch — "
+            "periodic checkpointing needs the scan path (fit_impl='scan')"
+        )
         n, ndims = X.shape
         assert fused_supported(
             n, ndims, self.batch_size, config.latent_size
