@@ -167,6 +167,11 @@ class _VGANCommon(EstimatorBase):
         bandwidth.sort()
 
         alphas = bandwidth + [float(self.bandwidth)]
+        # the f64 host path materializes the (2*count)^2 pooled Gram; past
+        # ~8k samples per side route to the streaming f32 accelerator sweep
+        # (screening precision; see ops/pallas/gof_gram.py)
+        if precision == "float64" and count > 8192:
+            precision = "float32"
         if precision == "float64":
             from vgan_tpu.ops.mmd_test import mmd_permutation_test_sweep_precise
 
