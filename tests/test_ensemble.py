@@ -264,3 +264,45 @@ def test_knn_fused_kernel_matches_generic(rng):
             )
             np.testing.assert_allclose(fused, generic, rtol=1e-5, atol=1e-6,
                                        err_msg=f"{agg}/{norm}")
+
+
+def test_iforest_trees_keep_splitting_past_empty_nodes(rng):
+    """Regression (round-2 review): empty-node thresholds were NaN
+    (inf + u*(-inf)) and the one-hot matmul lookup poisoned every point at
+    the level (0*NaN = NaN on CPU), freezing all splits from the first
+    empty node onward."""
+    import jax
+    import jax.numpy as jnp
+
+    from vgan_tpu.ensemble.iforest import _fit_tree
+
+    x = jnp.asarray(rng.normal(size=(500, 8)).astype(np.float32))
+    logits = jnp.zeros((8,))
+    _, thrs, sizes, _ = _fit_tree(jax.random.PRNGKey(0), x, logits, 64, 6)
+    for level, (t, s) in enumerate(zip(thrs, sizes)):
+        assert not np.isnan(np.asarray(t)).any(), f"NaN thresholds, lvl {level}"
+    # max node size must strictly shrink across the deeper levels
+    max_sizes = [int(np.asarray(s).max()) for s in sizes]
+    assert max_sizes[-1] < max_sizes[2], max_sizes
+
+
+def test_knn_fused_zero_proba_max_and_small_train(rng):
+    """Round-2 review: (a) zero-probability masks must not win 'max'
+    aggregation on the fused path; (b) k > n_train must not hit the fused
+    kernel (pad sentinels are not distances)."""
+    from vgan_tpu.ops.pallas.knn_score import knn_kernel_supported
+
+    assert not knn_kernel_supported(10, 8, 4, 10)  # k > ntr
+
+    xtr = rng.normal(size=(60, 6)).astype(np.float32)
+    xte = rng.normal(size=(20, 6)).astype(np.float32)
+    masks = np.asarray(
+        [[1, 1, 1, 0, 0, 0], [0, 0, 0, 1, 1, 1], [1, 0, 1, 0, 1, 0]], bool
+    )
+    proba = np.asarray([0.5, 0.0, 0.5], np.float32)  # middle mask: weight 0
+    ens = SubspaceEnsemble(masks, proba, base="knn", k=5, aggregation="max",
+                           normalize=None, chunk=2)
+    ens.fit(xtr)
+    generic = ens.decision_function(xte)
+    fused = ens._knn_fused_decision_function(jnp.asarray(xte), force=True)
+    np.testing.assert_allclose(fused, generic, rtol=1e-5, atol=1e-6)

@@ -51,7 +51,6 @@ import numpy as np
 from vgan_tpu.api.base import EstimatorBase
 from vgan_tpu.models.generator import GeneratorBig, latent_size_for
 from vgan_tpu.ops.activations import binarize_mask
-from vgan_tpu.ops.mmd import mmd2_biased
 from vgan_tpu.ops.mmd_test import mmd_permutation_test_sweep
 from vgan_tpu.train.steps import (
     AlternationSchedule,
@@ -158,8 +157,18 @@ class _VGANCommon(EstimatorBase):
         ux_sample = u * x_sample + col_mean * (~u)
 
         if getattr(self, "bandwidth", None) is None:
-            _, bw = mmd2_biased(jnp.asarray(x_sample), jnp.asarray(ux_sample))
-            self.bandwidth = float(bw)
+            # same data-driven rule the loss uses (vgan.py:411-415), via the
+            # impl-shared O(md) closed form — the dense Gram would be
+            # (2*count)^2 and is never needed for the bandwidth alone
+            from vgan_tpu.ops.mmd import candidate_bandwidth
+
+            self.bandwidth = float(
+                candidate_bandwidth(
+                    jnp.concatenate(
+                        [jnp.asarray(x_sample), jnp.asarray(ux_sample)]
+                    )
+                )
+            )
 
         if isinstance(bandwidth, float):
             bandwidth = [bandwidth]

@@ -87,7 +87,11 @@ def _fit_tree(key, x_train, logits, psi: int, depth: int):
         maxs = jnp.max(jnp.where(ob, v[:, None], -inf), axis=0)
         sz = jnp.sum(onehot, axis=0)
         u = jax.random.uniform(jax.random.fold_in(k_thr, level), (n_nodes,))
-        t_l = mins + u * (maxs - mins)  # empty nodes get inf garbage: unused
+        # empty nodes would give inf + u*(-inf) = NaN, and the one-hot
+        # matmul lookup would poison EVERY point at the level (0*NaN=NaN):
+        # zero their thresholds (no training point routes there; test
+        # points terminate on sz==0 before using them)
+        t_l = jnp.where(sz > 0, mins + u * (maxs - mins), 0.0)
         feat_ohs.append(f_oh)
         thrs.append(t_l)
         sizes.append(sz)

@@ -287,6 +287,8 @@ class SubspaceEnsemble:
             sd = jnp.std(s, axis=1, keepdims=True) + 1e-12
             s = (s - mu) / sd
         if self.aggregation == "max":
+            # match the generic path: zero-probability masks never win
+            s = jnp.where(proba[:, None] > 0, s, -jnp.inf)
             return np.asarray(jnp.max(s, axis=0))
         return np.asarray(jnp.sum(proba[:, None] * s, axis=0))
 

@@ -150,9 +150,10 @@ def _numpy_fallback(path: str, dtype, skip_rows: int = 0,
         skip = 0
     except ValueError:
         skip = 1
-    arr = np.loadtxt(path, delimiter=",", skiprows=skip + skip_rows,
-                     max_rows=max_rows, dtype=dtype)
-    arr = np.atleast_2d(arr)
-    if max_rows is not None:
-        arr = arr[:max_rows]
-    return arr
+    # loadtxt's skiprows counts PHYSICAL lines (including blanks), but the
+    # native path's skip_rows counts content rows: load fully, then slice
+    arr = np.atleast_2d(
+        np.loadtxt(path, delimiter=",", skiprows=skip, dtype=dtype)
+    )
+    end = None if max_rows is None else skip_rows + max_rows
+    return arr[skip_rows:end]

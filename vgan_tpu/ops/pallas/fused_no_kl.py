@@ -91,6 +91,11 @@ def _round_up(a: int, b: int) -> int:
 def _ladder(mults: Tuple[float, ...]):
     ladder = _mmd.ladder_exponents(mults)
     assert ladder is not None, "fused path requires a geometric ladder"
+    base, ints = ladder
+    # the in-kernel iterative-squaring chain only reaches powers of two
+    assert all(i & (i - 1) == 0 for i in ints), (
+        f"fused path requires power-of-two ladder exponents, got {ints}"
+    )
     return ladder
 
 

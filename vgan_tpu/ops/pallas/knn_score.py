@@ -42,7 +42,11 @@ def _round_up(a: int, b: int) -> int:
 def knn_kernel_supported(nt: int, ntr: int, d: int, k: int) -> bool:
     NTR = _round_up(ntr, 128)
     D = max(128, _round_up(d, 128))
-    return k <= MAX_K and NTR <= MAX_NTR and NTR * D <= MAX_NTR_D
+    # k > ntr must raise loudly via the generic path, not return pad
+    # sentinels as "distances"
+    return (
+        k <= MAX_K and k <= ntr and NTR <= MAX_NTR and NTR * D <= MAX_NTR_D
+    )
 
 
 def _knn_kernel(
