@@ -242,3 +242,26 @@ def test_sharded_ensemble_matches_single_device(rng):
                 mesh=mesh,
             ).fit(xtr).decision_function(xte)
             np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+
+def test_make_mesh_rejects_oversubscription():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="devices"):
+        make_mesh(data=64, model=1)
+    with _pytest.raises(ValueError, match="devices"):
+        make_mesh(data=None, model=64)  # data would be 0
+
+
+def test_continue_fit_keeps_mesh_sharding(rng):
+    """Round-2 review: continue_fit must place the dataset with the same
+    mesh sharding fit() used (it previously fell back to a plain asarray)."""
+    from vgan_tpu import VGAN_no_kl
+
+    x = rng.normal(size=(64, 8)).astype(np.float32)
+    mesh = data_mesh()
+    m = VGAN_no_kl(batch_size=16, epochs=2, verbose=False, mesh=mesh)
+    m.fit(x)
+    m.continue_fit(x, epochs=2)
+    assert len(m.train_history["generator_loss"]) == 4
+    assert np.isfinite(m.train_history["generator_loss"][-1])

@@ -248,3 +248,49 @@ def test_no_kl_training_mask_distribution_collapses():
     assert counts.max() / 500 > 0.2, "no dominant mode in the mask distribution"
     # masks are non-trivial (not all-ones / all-zeros)
     assert 0 < u.mean() < 1
+
+
+def test_fit_program_rejects_too_small_dataset(rng):
+    """Round-2 review: the public fit programs must raise on n < batch_size
+    instead of training zero batches and returning NaN losses."""
+    import pytest as _pytest
+
+    from vgan_tpu.train.steps import TrainConfig, no_kl_fit_program
+
+    x = jnp.asarray(rng.normal(size=(30, 8)).astype(np.float32))
+    config = TrainConfig(ndims=8, batch_size=50)
+    with _pytest.raises(ValueError, match="batch_size"):
+        no_kl_fit_program(x, jax.random.PRNGKey(0), config, 2)
+
+
+def test_idle_epochs_preserve_rng_equivalence(rng):
+    """Round-2 review: IDLE epochs must consume the same one key-split in
+    the fallback path as the precomputed-RNG chain does, so both paths give
+    identical streams for the epochs after an idle one."""
+    from vgan_tpu.train.steps import (
+        PRECOMPUTE_PERM_LIMIT,
+        TrainConfig,
+        init_kl_state,
+        kl_train_epochs,
+    )
+    import vgan_tpu.train.steps as steps_mod
+
+    x = jnp.asarray(rng.normal(size=(32, 8)).astype(np.float32))
+    config = TrainConfig(ndims=8, batch_size=16, mmd_impl="jnp")
+    phases = jnp.asarray([0, 2, 1, 1], jnp.int32)  # det, IDLE, gen, gen
+
+    state0 = init_kl_state(config, jax.random.PRNGKey(3))
+    _, det_a, gen_a = kl_train_epochs(state0, x, phases, config)
+
+    old = steps_mod.PRECOMPUTE_PERM_LIMIT
+    steps_mod.PRECOMPUTE_PERM_LIMIT = 0  # force the fallback path
+    jax.clear_caches()  # the limit is read at trace time: force a retrace
+    try:
+        _, det_b, gen_b = kl_train_epochs(state0, x, phases, config)
+    finally:
+        steps_mod.PRECOMPUTE_PERM_LIMIT = old
+        jax.clear_caches()
+    np.testing.assert_allclose(np.asarray(det_a), np.asarray(det_b),
+                               rtol=1e-6, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(gen_a), np.asarray(gen_b),
+                               rtol=1e-6, equal_nan=True)

@@ -180,6 +180,15 @@ class _VGANCommon(EstimatorBase):
         # ~8k samples per side route to the streaming f32 accelerator sweep
         # (screening precision; see ops/pallas/gof_gram.py)
         if precision == "float64" and count > 8192:
+            import warnings
+
+            warnings.warn(
+                f"check_if_myopic: count={count} exceeds the float64 host "
+                "path's memory budget; using the float32 streaming sweep — "
+                "p-values near the null (tiny statistics) are unreliable "
+                "in f32",
+                stacklevel=2,
+            )
             precision = "float32"
         if precision == "float64":
             from vgan_tpu.ops.mmd_test import mmd_permutation_test_sweep_precise
@@ -308,7 +317,13 @@ class _VGANCommon(EstimatorBase):
                 f"checkpointed batch_size is {self._config.batch_size}; "
                 "drop-last batching would train zero batches"
             )
-        x_dev = jnp.asarray(X, dtype=jnp.float32)
+        if self.mesh is not None:
+            from vgan_tpu.parallel.input import shard_dataset
+
+            x_dev = shard_dataset(X.astype(np.float32), self.mesh,
+                                  shard_features=self.shard_features)
+        else:
+            x_dev = jnp.asarray(X, dtype=jnp.float32)
         if self._kl:
             phases = self._schedule.phase_array(epochs)
             state, det_hist, gen_hist = kl_train_epochs(
@@ -618,6 +633,8 @@ class VGAN_no_kl(_VGANCommon):
         self.generator_params = state.params
         self._finalize_fit(state, X.shape)
         self._log_metrics_jsonl(_time.time() - t_start)
+        if self.checkpoint_dir is not None:
+            self.save_checkpoint(self.checkpoint_dir)
         if self.path_to_directory is not None:
             from pathlib import Path as _Path
 
@@ -656,6 +673,12 @@ class VGAN_no_kl(_VGANCommon):
         self._config = config = self._make_config(ndims, self.batch_size)
         self._latent_size = config.latent_size
 
+        from vgan_tpu.train.steps import init_no_kl_state, no_kl_train_epochs
+
+        state = init_no_kl_state(config, jax.random.PRNGKey(self.seed))
+        if self.fit_impl == "fused":
+            # the fused kernel stages the (pre-permuted) dataset itself
+            return self._fit_fused(X, state, config, t_start)
         if self.mesh is not None:
             from vgan_tpu.parallel.input import shard_dataset
 
@@ -666,11 +689,6 @@ class VGAN_no_kl(_VGANCommon):
         # The whole fit is ONE compiled program per chunk: a single dispatch
         # and a single device->host fetch of the loss history. Without
         # checkpoint_every there is exactly one chunk.
-        from vgan_tpu.train.steps import init_no_kl_state, no_kl_train_epochs
-
-        state = init_no_kl_state(config, jax.random.PRNGKey(self.seed))
-        if self.fit_impl == "fused":
-            return self._fit_fused(X, state, config, t_start)
         done = 0
         while done < self.epochs:
             chunk = min(self.checkpoint_every or self.epochs, self.epochs - done)

@@ -20,8 +20,15 @@ def make_mesh(
     ``jax.distributed.initialize`` + the same Mesh over all processes.
     """
     devices = list(devices if devices is not None else jax.devices())
+    if model < 1 or (data is not None and data < 1):
+        raise ValueError(f"mesh axes must be >= 1, got data={data} model={model}")
     if data is None:
         data = len(devices) // model
+    if data * model > len(devices) or data < 1:
+        raise ValueError(
+            f"mesh data={data} x model={model} needs {data * model} devices "
+            f"but only {len(devices)} are available"
+        )
     if data * model != len(devices):
         devices = devices[: data * model]
     dev_array = np.asarray(devices).reshape(data, model)

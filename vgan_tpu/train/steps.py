@@ -133,6 +133,11 @@ def _l2(x: jax.Array, y: jax.Array) -> jax.Array:
 def _epoch_batches(x: jax.Array, key: jax.Array, batch_size: int) -> jax.Array:
     """Shuffle + drop-last batching: (nb, batch_size, d), all on device."""
     n = x.shape[0]
+    if n < batch_size:
+        raise ValueError(
+            f"dataset has {n} rows < batch_size {batch_size}: drop-last "
+            "batching would train zero batches (losses would be NaN)"
+        )
     nb = n // batch_size
     perm = jax.random.permutation(key, n)[: nb * batch_size]
     return x[perm].reshape(nb, batch_size, x.shape[-1])
@@ -152,6 +157,34 @@ def _resolve_epoch_noise(noise_src, nb, batch_size, latent, dtype):
     if hasattr(noise_src, "ndim") and getattr(noise_src, "ndim") == 3:
         return noise_src.astype(dtype)
     return jax.random.normal(noise_src, (nb, batch_size, latent), dtype)
+
+
+def _epoch_inputs(state_key, x, batch_size: int, rng):
+    """Shared epoch setup: (batches, noise_src, next_key).
+
+    ``rng=None`` consumes one split of the carried key (shuffle + noise);
+    ``rng=(perm, noise_src)`` uses the precomputed permutation and leaves
+    the carried key untouched (the caller installs the chain's final key).
+    Any change here MUST keep the two paths' key consumption identical to
+    _epoch_rng_chain's, or precompute and fallback fits diverge.
+    """
+    if rng is None:
+        epoch_key, next_key = jax.random.split(state_key)
+        perm_key, noise_src = jax.random.split(epoch_key)
+        batches = _epoch_batches(x, perm_key, batch_size)
+    else:
+        perm, noise_src = rng
+        next_key = state_key
+        if x.shape[0] < batch_size:
+            raise ValueError(
+                f"dataset has {x.shape[0]} rows < batch_size {batch_size}: "
+                "drop-last batching would train zero batches"
+            )
+        nb_ = x.shape[0] // batch_size
+        batches = x[perm[: nb_ * batch_size]].reshape(
+            nb_, batch_size, x.shape[-1]
+        )
+    return batches, noise_src, next_key
 
 
 def _epoch_rng_chain(key: jax.Array, epochs: int):
@@ -202,18 +235,9 @@ def _no_kl_epoch_body(
     gen = config.generator_module(kl=False)
     opt = adadelta(config.lr_g, weight_decay=config.weight_decay)
 
-    if rng is None:
-        epoch_key, next_key = jax.random.split(state.key)
-        perm_key, noise_key = jax.random.split(epoch_key)
-        batches = _epoch_batches(x, perm_key, config.batch_size)
-    else:
-        perm, noise_key = rng
-        next_key = state.key
-        n = x.shape[0]
-        nb_ = n // config.batch_size
-        batches = x[perm[: nb_ * config.batch_size]].reshape(
-            nb_, config.batch_size, x.shape[-1]
-        )
+    batches, noise_key, next_key = _epoch_inputs(
+        state.key, x, config.batch_size, rng
+    )
     nb = batches.shape[0]
     noise = _resolve_epoch_noise(
         noise_key, nb, config.batch_size, config.latent_size, x.dtype
@@ -346,18 +370,9 @@ def _kl_detector_epoch_body(
     det = config.detector_module()
     det_opt = adadelta(config.lr_d, weight_decay=config.weight_decay)
 
-    if rng is None:
-        epoch_key, next_key = jax.random.split(state.key)
-        perm_key, noise_key = jax.random.split(epoch_key)
-        batches = _epoch_batches(x, perm_key, config.batch_size)
-    else:
-        perm, noise_key = rng
-        next_key = state.key
-        n = x.shape[0]
-        nb_ = n // config.batch_size
-        batches = x[perm[: nb_ * config.batch_size]].reshape(
-            nb_, config.batch_size, x.shape[-1]
-        )
+    batches, noise_key, next_key = _epoch_inputs(
+        state.key, x, config.batch_size, rng
+    )
     noise = _resolve_epoch_noise(
         noise_key, batches.shape[0], config.batch_size, config.latent_size,
         x.dtype,
@@ -435,18 +450,9 @@ def _kl_generator_epoch_body(
     det = config.detector_module()
     gen_opt = adadelta(config.lr_g, weight_decay=config.weight_decay)
 
-    if rng is None:
-        epoch_key, next_key = jax.random.split(state.key)
-        perm_key, noise_key = jax.random.split(epoch_key)
-        batches = _epoch_batches(x, perm_key, config.batch_size)
-    else:
-        perm, noise_key = rng
-        next_key = state.key
-        n = x.shape[0]
-        nb_ = n // config.batch_size
-        batches = x[perm[: nb_ * config.batch_size]].reshape(
-            nb_, config.batch_size, x.shape[-1]
-        )
+    batches, noise_key, next_key = _epoch_inputs(
+        state.key, x, config.batch_size, rng
+    )
     noise = _resolve_epoch_noise(
         noise_key, batches.shape[0], config.batch_size, config.latent_size,
         x.dtype,
@@ -533,8 +539,6 @@ def kl_train_epochs(
         perm_keys, noise_keys, final_key = _epoch_rng_chain(state.key, epochs)
         perms = jax.vmap(lambda k: jax.random.permutation(k, n))(perm_keys)
         xs = (phases, (perms, noise_keys))
-    else:
-        xs = (phases, None)
 
     def epoch_body(carry, inp):
         state, last_det, last_gen = carry
@@ -551,7 +555,11 @@ def kl_train_epochs(
             return state, last_det, loss.astype(jnp.float32)
 
         def idle_branch(operand):
-            return operand
+            state, last_det, last_gen = operand
+            # consume the same one split a real epoch would, so the
+            # fallback path's stream matches _epoch_rng_chain's
+            state = state._replace(key=jax.random.split(state.key)[1])
+            return state, last_det, last_gen
 
         state, last_det, last_gen = jax.lax.switch(
             phase, [det_branch, gen_branch, idle_branch], (state, last_det, last_gen)
