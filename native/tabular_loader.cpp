@@ -91,8 +91,15 @@ bool line_is_numeric(const char* p, const char* end) {
     if (parse_end == p) return false;
     p = parse_end;
     while (p < end && (*p == ' ' || *p == '\r')) ++p;
-    if (p < end && *p == ',') ++p;
-    else break;
+    if (p < end && *p == ',') {
+      ++p;
+    } else if (p < end && *p != '\n') {
+      // trailing garbage after the numeric prefix (e.g. a header named
+      // "1st_percentile"): not a numeric line
+      return false;
+    } else {
+      break;
+    }
   }
   return true;
 }
@@ -171,6 +178,9 @@ int csv_read(const char* path, T* out, long rows, long cols, int skip_header,
     p = next_line(p, end);
   }
   if (start_row > 0) p = skip_content_lines(p, end, start_row);
+  // bound the parse span to the requested rows so range reads are O(rows),
+  // not O(remaining file) (multi-host ingest: each host reads its slice)
+  end = skip_content_lines(p, end, rows);
 
   // Row-aligned chunk boundaries: stride through the data by byte-size,
   // snapping each boundary to the next newline; record the row index at

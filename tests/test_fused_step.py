@@ -154,3 +154,15 @@ def test_fused_fit_then_continue_fit_scan(rng):
     assert np.isfinite(m.train_history["generator_loss"][-1])
     # frozen bandwidth carried through
     assert m.bandwidth == bw_before
+
+
+def test_fused_fit_small_dataset(rng):
+    """Regression (round-2 review): n < round_up(bs, 64) crashed the
+    wraparound copy; np.resize-based tail handles n < BSP."""
+    from vgan_tpu import VGAN_no_kl
+
+    x = rng.normal(size=(50, 16)).astype(np.float32)
+    m = VGAN_no_kl(batch_size=50, epochs=2, lr=0.01, verbose=False,
+                   fit_impl="fused")
+    m.fit(x)
+    assert np.isfinite(m.train_history["generator_loss"][-1])

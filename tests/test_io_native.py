@@ -181,3 +181,20 @@ def test_row_range_reads(tmp_path):
             f, dtype=np.float64, nthreads=8, skip_rows=skip, max_rows=count
         )
         np.testing.assert_allclose(part, full[skip : skip + count])
+
+
+def test_single_column_csv(tmp_path):
+    """Single-column files return (n, 1), native and fallback alike, and
+    numeric-prefixed header names are still detected as headers."""
+    import numpy as np
+    from vgan_tpu import io_native
+    from vgan_tpu.io_native import _numpy_fallback
+
+    f = tmp_path / "one.csv"
+    f.write_text("1st_percentile\n1.5\n2.5\n3.5\n")
+    native = io_native.load_csv(f, dtype=np.float64)
+    np.testing.assert_allclose(native, [[1.5], [2.5], [3.5]])
+    fb = _numpy_fallback(str(f), np.float64)
+    np.testing.assert_allclose(fb, [[1.5], [2.5], [3.5]])
+    part = io_native.load_csv(f, dtype=np.float64, skip_rows=1)
+    np.testing.assert_allclose(part, [[2.5], [3.5]])

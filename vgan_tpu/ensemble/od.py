@@ -120,6 +120,33 @@ def _iforest_adapter(x_test, x_train, mask, k):
     return iforest_scores_masked(x_test, x_train, mask, n_trees=k)
 
 
+def _chunked_masks(subspaces, proba, chunk: int, n_shards: int = 1):
+    """(n_chunks, chunk, d) masks + (n_chunks, chunk) proba, zero-padded so
+    the subspace axis splits into whole chunks (and per-shard chunk groups).
+    Padding rows carry proba == 0 — the aggregation contract every scorer
+    path honors (weight 0 for 'average', -inf'd for 'max')."""
+    masks_np = np.asarray(subspaces, dtype=bool)
+    proba_np = np.asarray(proba, dtype=np.float32)
+    pad = (-len(masks_np)) % (chunk * n_shards)
+    if pad:
+        masks_np = np.concatenate(
+            [masks_np, np.zeros((pad, masks_np.shape[1]), bool)]
+        )
+        proba_np = np.concatenate([proba_np, np.zeros((pad,), np.float32)])
+    n_chunks = masks_np.shape[0] // chunk
+    return (
+        masks_np.reshape(n_chunks, chunk, -1),
+        proba_np.reshape(n_chunks, chunk),
+    )
+
+
+def _zscore(s):
+    """Per-subspace standardization over the test axis (suod-style)."""
+    mu = jnp.mean(s, axis=1, keepdims=True)
+    sd = jnp.std(s, axis=1, keepdims=True) + 1e-12
+    return (s - mu) / sd
+
+
 _BASE_SCORERS = {
     "knn": knn_scores_masked,
     "knn_mean": mean_dist_scores_masked,
@@ -214,19 +241,9 @@ class SubspaceEnsemble:
                 return fast
 
         n_shards = self.mesh.shape["data"] if self.mesh is not None else 1
-        masks_np = np.asarray(self.subspaces, dtype=bool)
-        proba_np = np.asarray(self.proba, dtype=np.float32)
-        # pad the subspace axis so it splits into whole chunks, and the
-        # chunk axis into whole per-device shards
-        pad = (-len(masks_np)) % (self.chunk * n_shards)
-        if pad:
-            masks_np = np.concatenate(
-                [masks_np, np.zeros((pad, masks_np.shape[1]), bool)]
-            )
-            proba_np = np.concatenate([proba_np, np.zeros((pad,), np.float32)])
-        n_chunks = masks_np.shape[0] // self.chunk
-        masks_np = masks_np.reshape(n_chunks, self.chunk, -1)
-        proba_np = proba_np.reshape(n_chunks, self.chunk)
+        masks_np, proba_np = _chunked_masks(
+            self.subspaces, self.proba, self.chunk, n_shards
+        )
 
         if self.mesh is None:
             scores = _ensemble_scores(
@@ -283,9 +300,7 @@ class SubspaceEnsemble:
         )  # (n_masks, nt)
         proba = jnp.asarray(self.proba)
         if self.normalize == "zscore":
-            mu = jnp.mean(s, axis=1, keepdims=True)
-            sd = jnp.std(s, axis=1, keepdims=True) + 1e-12
-            s = (s - mu) / sd
+            s = _zscore(s)
         if self.aggregation == "max":
             # match the generic path: zero-probability masks never win
             s = jnp.where(proba[:, None] > 0, s, -jnp.inf)
@@ -318,11 +333,12 @@ class SubspaceEnsemble:
             all_scores.append(det.decision_function(x_test[:, mask]))
         scores = np.stack(all_scores)  # (n_subspaces, nt)
         if self.normalize == "zscore":
-            mu = scores.mean(axis=1, keepdims=True)
-            sd = scores.std(axis=1, keepdims=True) + 1e-12
-            scores = (scores - mu) / sd
+            scores = np.asarray(_zscore(jnp.asarray(scores)))
         if self.aggregation == "max":
-            return scores.max(axis=0)
+            # zero-probability masks never win (consistent with every path)
+            return np.where(
+                self.proba[:, None] > 0, scores, -np.inf
+            ).max(axis=0)
         return (self.proba[:, None] * scores).sum(axis=0)
 
 
@@ -331,10 +347,10 @@ def _copod_ensemble_scores(x_test, x_train, masks, proba, *, aggregation, normal
     dim_scores = copod_dim_scores(x_test, x_train)  # (nt, d)
     s = jnp.dot(dim_scores, masks.T, preferred_element_type=jnp.float32).T
     if normalize == "zscore":
-        mu = jnp.mean(s, axis=1, keepdims=True)
-        sd = jnp.std(s, axis=1, keepdims=True) + 1e-12
-        s = (s - mu) / sd
+        s = _zscore(s)
     if aggregation == "max":
+        # zero-probability masks never win (consistent with every path)
+        s = jnp.where(proba[:, None] > 0, s, -jnp.inf)
         return jnp.max(s, axis=0)
     return jnp.sum(proba[:, None] * s, axis=0)
 
@@ -353,9 +369,7 @@ def _local_chunked_scores(
         mask_chunk, proba_chunk = args
         s = jax.vmap(lambda mk: scorer(x_test, x_train, mk, k))(mask_chunk)
         if normalize == "zscore":
-            mu = jnp.mean(s, axis=1, keepdims=True)
-            sd = jnp.std(s, axis=1, keepdims=True) + 1e-12
-            s = (s - mu) / sd
+            s = _zscore(s)
         if aggregation == "max":
             # masked-out padding rows must not win the max
             s = jnp.where(proba_chunk[:, None] > 0, s, -jnp.inf)

@@ -151,9 +151,8 @@ def _numpy_fallback(path: str, dtype, skip_rows: int = 0,
     except ValueError:
         skip = 1
     # loadtxt's skiprows counts PHYSICAL lines (including blanks), but the
-    # native path's skip_rows counts content rows: load fully, then slice
-    arr = np.atleast_2d(
-        np.loadtxt(path, delimiter=",", skiprows=skip, dtype=dtype)
-    )
+    # native path's skip_rows counts content rows: load fully, then slice.
+    # ndmin=2 keeps single-column files as (n, 1), not a (1, n) row vector.
+    arr = np.loadtxt(path, delimiter=",", skiprows=skip, dtype=dtype, ndmin=2)
     end = None if max_rows is None else skip_rows + max_rows
     return arr[skip_rows:end]

@@ -353,14 +353,14 @@ def mmd_loss_constrained(
     """Constrained MMD loss: biased MMD^2 + ``weight`` * coverage penalty.
 
     Returns ``(loss, bandwidth_used)``. ``impl``: 'jnp' forces the pure-jnp
-    path, 'pallas' the fused TPU kernel, 'auto' picks Pallas on TPU when the
-    shapes are supported.
+    path, 'pallas' the fused TPU kernel, 'chunked' the row-blocked remat
+    path, 'auto' dispatches by platform/shape (incl. the large-m escape to
+    'chunked' — ONE dispatcher, shared with the stateful train path).
     """
-    if impl != "jnp":
-        from vgan_tpu.ops.pallas.mmd_gram import mmd2_biased_pallas, pallas_supported
-
-        if impl == "pallas" or (impl == "auto" and pallas_supported(x, y)):
-            mmd2, bw = mmd2_biased_pallas(x, y, bandwidth=bandwidth, mults=mults)
-            return mmd2 + weight * coverage_penalty(u), bw
-    mmd2, bw = mmd2_biased(x, y, bandwidth=bandwidth, mults=mults)
-    return mmd2 + weight * coverage_penalty(u), bw
+    if bandwidth is None:
+        bw_value, bw_is_set = jnp.zeros((), x.dtype), jnp.asarray(False)
+    else:
+        bw_value, bw_is_set = jnp.asarray(bandwidth, x.dtype), jnp.asarray(True)
+    return mmd_loss_constrained_stateful(
+        x, y, u, weight, bw_value, bw_is_set, mults, impl
+    )

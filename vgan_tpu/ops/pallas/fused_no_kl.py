@@ -514,7 +514,8 @@ def fused_no_kl_fit(
     x_perm = x[perm]
     x3 = np.zeros((n + BSP, DP), np.float32)
     x3[:n, :d] = x_perm
-    x3[n:, :d] = x_perm[:BSP, :]  # wraparound copy
+    # wraparound tail: np.resize cycles rows, so n < BSP also works
+    x3[n:, :d] = np.resize(x_perm, (BSP, d))
 
     if offsets is None:
         offsets = np.asarray(

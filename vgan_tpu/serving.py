@@ -20,10 +20,10 @@ import numpy as np
 from vgan_tpu.ops.activations import binarize_mask
 
 
-def export_sampler(model, path, max_batch: int = 4096) -> None:
+def export_sampler(model, path) -> None:
     """Serialize the fitted model's mask sampler to ``path``.
 
-    The exported function maps noise ``z (b, latent)`` (b <= max_batch via
+    The exported function maps noise ``z (b, latent)`` (unconstrained
     symbolic batch dimension) to boolean masks ``(b, d)``. Weights are
     embedded as constants.
     """
@@ -65,7 +65,11 @@ def export_ensemble_scorer(ensemble, path) -> None:
     The training set, subspace masks, probabilities, and the base-scorer
     program are all embedded; a serving process needs only jax to score.
     """
-    from vgan_tpu.ensemble.od import _BASE_SCORERS, _local_chunked_scores
+    from vgan_tpu.ensemble.od import (
+        _BASE_SCORERS,
+        _chunked_masks,
+        _local_chunked_scores,
+    )
 
     assert ensemble._x_train is not None, "fit the ensemble first"
     assert isinstance(ensemble.base, str) and ensemble.base in _BASE_SCORERS, (
@@ -75,16 +79,11 @@ def export_ensemble_scorer(ensemble, path) -> None:
     k = ensemble.n_trees if ensemble.base == "iforest" else ensemble.k
     x_train = ensemble._x_train
     d = x_train.shape[1]
-
-    masks_np = np.asarray(ensemble.subspaces, dtype=bool)
-    proba_np = np.asarray(ensemble.proba, dtype=np.float32)
-    pad = (-len(masks_np)) % ensemble.chunk
-    if pad:
-        masks_np = np.concatenate([masks_np, np.zeros((pad, d), bool)])
-        proba_np = np.concatenate([proba_np, np.zeros((pad,), np.float32)])
-    n_chunks = masks_np.shape[0] // ensemble.chunk
-    masks = jnp.asarray(masks_np.reshape(n_chunks, ensemble.chunk, d))
-    proba = jnp.asarray(proba_np.reshape(n_chunks, ensemble.chunk))
+    masks_np, proba_np = _chunked_masks(
+        ensemble.subspaces, ensemble.proba, ensemble.chunk
+    )
+    masks = jnp.asarray(masks_np)
+    proba = jnp.asarray(proba_np)
 
     def score(x_test):
         return _local_chunked_scores(
