@@ -22,7 +22,10 @@ from vgan_tpu.ensemble import SubspaceEnsemble
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="knn",
-                    choices=["knn", "knn_mean", "lof", "iforest", "copod"])
+                    choices=["knn", "knn_mean", "lof", "iforest", "copod",
+                             "hbos"])
+    ap.add_argument("--aggregation", default="average",
+                    choices=["average", "max", "aom", "moa"])
     ap.add_argument("--epochs", type=int, default=20)
     args = ap.parse_args()
 
@@ -39,15 +42,20 @@ def main():
     model.fit(x_train)
 
     ens = SubspaceEnsemble.from_model(
-        model, subspace_count=1000, base=args.base, k=15
+        model, subspace_count=1000, base=args.base, k=15,
+        aggregation=args.aggregation,
     ).fit(x_train)
     scores = ens.decision_function(x_test)
+    labels = ens.predict(x_test)  # pyod-style contamination thresholding
 
     order = np.argsort(-scores)
     top20 = set(order[:20])
     hits = len(top20 & set(np.where(y_true == 1)[0]))
-    print(f"{len(ens.subspaces)} unique subspaces; base={args.base}")
+    print(f"{len(ens.subspaces)} unique subspaces; base={args.base}; "
+          f"aggregation={args.aggregation}")
     print(f"precision@20: {hits / 20:.2f}")
+    print(f"predict: {int(labels.sum())} flagged at threshold "
+          f"{ens.threshold_:.3f} (contamination={ens.contamination})")
 
 
 if __name__ == "__main__":

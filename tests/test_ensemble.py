@@ -306,3 +306,105 @@ def test_knn_fused_zero_proba_max_and_small_train(rng):
     generic = ens.decision_function(xte)
     fused = ens._knn_fused_decision_function(jnp.asarray(xte), force=True)
     np.testing.assert_allclose(fused, generic, rtol=1e-5, atol=1e-6)
+
+
+def test_hbos_dim_scores_match_numpy(rng):
+    from vgan_tpu.ensemble import hbos_dim_scores
+
+    xtr = rng.normal(size=(80, 5)).astype(np.float32)
+    xte = rng.normal(size=(30, 5)).astype(np.float32) * 2.0  # some out-of-range
+    n_bins, eps = 10, 1e-12
+
+    ours = np.asarray(
+        hbos_dim_scores(jnp.asarray(xte), jnp.asarray(xtr), n_bins=n_bins)
+    )
+
+    expected = np.zeros_like(ours)
+    for j in range(xtr.shape[1]):
+        lo, hi = xtr[:, j].min(), xtr[:, j].max()
+        width = max((hi - lo) / n_bins, eps)
+        idx_tr = np.clip(((xtr[:, j] - lo) / width).astype(int), 0, n_bins - 1)
+        counts = np.bincount(idx_tr, minlength=n_bins).astype(np.float64)
+        density = counts / (len(xtr) * width)
+        idx_te = np.clip(((xte[:, j] - lo) / width).astype(int), 0, n_bins - 1)
+        expected[:, j] = -np.log(density[idx_te] + eps)
+    np.testing.assert_allclose(ours, expected, rtol=1e-4)
+
+
+def test_hbos_ensemble_weighted_sum(rng):
+    """base='hbos' ensemble == probability-weighted sum of per-mask sums of
+    the per-dim scores (the one-matmul identity)."""
+    from vgan_tpu.ensemble import hbos_dim_scores
+
+    xtr = rng.normal(size=(50, 6)).astype(np.float32)
+    xte = rng.normal(size=(15, 6)).astype(np.float32)
+    subs = np.asarray([[1, 1, 0, 0, 0, 0], [0, 0, 1, 1, 1, 1]], bool)
+    proba = np.asarray([0.6, 0.4], np.float32)
+
+    ens = SubspaceEnsemble(subs, proba, base="hbos", normalize=None)
+    ens.fit(xtr)
+    scores = ens.decision_function(xte)
+
+    dim = np.asarray(hbos_dim_scores(jnp.asarray(xte), jnp.asarray(xtr)))
+    expected = 0.6 * dim[:, subs[0]].sum(1) + 0.4 * dim[:, subs[1]].sum(1)
+    np.testing.assert_allclose(scores, expected, rtol=1e-5)
+
+
+def test_per_subspace_scores_consistent_with_average(rng):
+    xtr = rng.normal(size=(40, 6)).astype(np.float32)
+    xte = rng.normal(size=(12, 6)).astype(np.float32)
+    subs = np.asarray(
+        [[1, 1, 0, 0, 0, 0], [0, 0, 1, 1, 1, 0], [1, 0, 0, 0, 0, 1]], bool
+    )
+    proba = np.asarray([0.5, 0.3, 0.2], np.float32)
+
+    for base in ("knn", "copod", "hbos"):
+        ens = SubspaceEnsemble(subs, proba, base=base, k=3, chunk=2)
+        ens.fit(xtr)
+        s = ens.per_subspace_scores(xte)
+        assert s.shape == (3, 12)
+        expected = (proba[:, None] * s).sum(0)
+        np.testing.assert_allclose(
+            ens.decision_function(xte), expected, rtol=1e-4, atol=1e-5
+        )
+
+
+def test_aom_moa_bucketed_aggregation(rng):
+    """'aom'/'moa' (combo parity) against a hand-computed bucketing of
+    per_subspace_scores (round-robin buckets)."""
+    xtr = rng.normal(size=(40, 6)).astype(np.float32)
+    xte = rng.normal(size=(10, 6)).astype(np.float32)
+    subs = np.stack([np.roll([1, 1, 1, 0, 0, 0], i) for i in range(4)]).astype(bool)
+    proba = np.full((4,), 0.25, np.float32)
+
+    ens = SubspaceEnsemble(subs, proba, base="knn", k=3, chunk=2,
+                           aggregation="aom", n_buckets=2)
+    ens.fit(xtr)
+    s = ens.per_subspace_scores(xte)
+
+    # round-robin buckets: {0, 2} and {1, 3}
+    aom = 0.5 * (np.maximum(s[0], s[2]) + np.maximum(s[1], s[3]))
+    np.testing.assert_allclose(ens.decision_function(xte), aom, rtol=1e-5)
+
+    ens.aggregation = "moa"
+    moa = np.maximum((s[0] + s[2]) / 2, (s[1] + s[3]) / 2)
+    np.testing.assert_allclose(ens.decision_function(xte), moa, rtol=1e-5)
+
+
+def test_predict_contamination_threshold(rng):
+    xtr = rng.normal(size=(100, 5)).astype(np.float32)
+    xte = np.concatenate(
+        [rng.normal(size=(20, 5)), rng.normal(size=(5, 5)) + 6.0]
+    ).astype(np.float32)
+    subs = np.ones((1, 5), bool)
+    ens = SubspaceEnsemble(subs, np.ones(1), base="knn", k=5,
+                           contamination=0.1, normalize=None)
+    ens.fit(xtr)
+    labels = ens.predict(xte)
+    train_scores = ens.decision_function(xtr)
+    assert ens.threshold_ == pytest.approx(
+        float(np.quantile(train_scores, 0.9))
+    )
+    assert labels.shape == (25,)
+    assert labels[20:].all()  # planted outliers flagged
+    assert labels[:20].sum() <= 4  # inliers mostly clean

@@ -244,6 +244,35 @@ def test_sharded_ensemble_matches_single_device(rng):
             np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_per_subspace_scores_match_single_device(rng):
+    """Mask-sharded per_subspace_scores (the 'aom'/'moa' intermediate) ==
+    single-device; bucketed aggregation identical over the mesh."""
+    from vgan_tpu.ensemble import SubspaceEnsemble
+
+    d = 10
+    xtr = rng.normal(size=(50, d)).astype(np.float32)
+    xte = rng.normal(size=(15, d)).astype(np.float32)
+    n_masks = 11  # not a multiple of chunk * n_devices
+    masks = rng.random(size=(n_masks, d)) < 0.5
+    masks[:, 0] |= ~masks.any(axis=1)
+    proba = np.full((n_masks,), 1.0 / n_masks, np.float32)
+
+    mesh = data_mesh()
+    kw = dict(base="knn", k=4, chunk=2, aggregation="aom", n_buckets=3)
+    single = SubspaceEnsemble(masks, proba, **kw).fit(xtr)
+    sharded = SubspaceEnsemble(masks, proba, mesh=mesh, **kw).fit(xtr)
+    np.testing.assert_allclose(
+        sharded.per_subspace_scores(xte),
+        single.per_subspace_scores(xte),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        sharded.decision_function(xte),
+        single.decision_function(xte),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
 def test_make_mesh_rejects_oversubscription():
     import pytest as _pytest
 

@@ -101,7 +101,8 @@ def build_parser() -> argparse.ArgumentParser:
                        help="data to score (defaults to --train)")
     score.add_argument("--generator", required=True)
     score.add_argument("--base",
-                       choices=["knn", "knn_mean", "lof", "iforest", "copod"],
+                       choices=["knn", "knn_mean", "lof", "iforest", "copod",
+                                "hbos"],
                        default="knn")
     score.add_argument("--k", type=int, default=10)
     score.add_argument("--n-trees", type=int, default=100,
@@ -109,7 +110,8 @@ def build_parser() -> argparse.ArgumentParser:
     score.add_argument("--mesh", default=None, metavar="data=N",
                        help="shard the subspace axis over a device mesh")
     score.add_argument("--subspaces", type=int, default=500)
-    score.add_argument("--aggregation", choices=["average", "max"],
+    score.add_argument("--aggregation",
+                       choices=["average", "max", "aom", "moa"],
                        default="average")
     score.add_argument("--seed", type=int, default=777)
     score.add_argument("--out", default=None, help="write scores to .npy")

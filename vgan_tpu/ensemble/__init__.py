@@ -3,6 +3,8 @@
 from vgan_tpu.ensemble.iforest import iforest_scores, iforest_scores_masked
 from vgan_tpu.ensemble.od import (
     SubspaceEnsemble,
+    copod_dim_scores,
+    hbos_dim_scores,
     knn_scores_masked,
     lof_scores_masked,
     mean_dist_scores_masked,
@@ -10,6 +12,8 @@ from vgan_tpu.ensemble.od import (
 
 __all__ = [
     "SubspaceEnsemble",
+    "copod_dim_scores",
+    "hbos_dim_scores",
     "iforest_scores",
     "iforest_scores_masked",
     "knn_scores_masked",

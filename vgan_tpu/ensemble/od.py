@@ -113,6 +113,37 @@ def copod_dim_scores(x_test: jax.Array, x_train: jax.Array) -> jax.Array:
     return jax.vmap(per_dim, in_axes=(1, 1), out_axes=1)(sorted_cols, x_test)
 
 
+def hbos_dim_scores(
+    x_test: jax.Array, x_train: jax.Array, n_bins: int = 10
+) -> jax.Array:
+    """Per-dimension histogram tail scores, HBOS-style (pyod HBOS; the
+    reference's pyod pin at requirements.txt:58 makes the histogram family
+    part of the downstream-capability surface).
+
+    ``O[i, j] = -log(density_j(bin(x_ij)) + eps)`` with equal-width
+    histograms of the train column. Like COPOD, the per-dim structure makes
+    the whole subspace ensemble ONE matmul ``O @ masks.T``.
+    Simplifications vs pyod's HBOS (documented): test values outside the
+    train range are clipped into the edge bins, and no bin-width smoothing
+    parameter (``alpha``/``tol``) is applied.
+    """
+    n_tr = x_train.shape[0]
+    eps = 1e-12
+
+    def per_dim(col, queries):
+        lo, hi = jnp.min(col), jnp.max(col)
+        width = jnp.maximum((hi - lo) / n_bins, eps)
+        idx_tr = jnp.clip(((col - lo) / width).astype(jnp.int32), 0, n_bins - 1)
+        counts = jnp.zeros((n_bins,), jnp.float32).at[idx_tr].add(1.0)
+        density = counts / (n_tr * width)
+        idx_te = jnp.clip(
+            ((queries - lo) / width).astype(jnp.int32), 0, n_bins - 1
+        )
+        return -jnp.log(density[idx_te] + eps)
+
+    return jax.vmap(per_dim, in_axes=(1, 1), out_axes=1)(x_train, x_test)
+
+
 def _iforest_adapter(x_test, x_train, mask, k):
     """SubspaceEnsemble scorer signature -> iforest (k = number of trees)."""
     from vgan_tpu.ensemble.iforest import iforest_scores_masked
@@ -147,6 +178,24 @@ def _zscore(s):
     return (s - mu) / sd
 
 
+def _bucket_aggregate(s: np.ndarray, aggregation: str, n_buckets: int):
+    """AOM / MOA bucketed combination (the combo library's other two modes;
+    reference pin at requirements.txt:6). Subspaces are assigned to buckets
+    round-robin (deterministic stand-in for combo's random subgroups):
+    'aom' averages the per-bucket maxima, 'moa' takes the max of the
+    per-bucket averages. Probability-ignoring, like 'max'."""
+    n = s.shape[0]
+    n_buckets = max(1, min(n_buckets, n))
+    idx = np.arange(n) % n_buckets
+    if aggregation == "aom":
+        return np.mean(
+            [s[idx == b].max(axis=0) for b in range(n_buckets)], axis=0
+        )
+    return np.max(
+        [s[idx == b].mean(axis=0) for b in range(n_buckets)], axis=0
+    )
+
+
 _BASE_SCORERS = {
     "knn": knn_scores_masked,
     "knn_mean": mean_dist_scores_masked,
@@ -172,12 +221,21 @@ class SubspaceEnsemble:
     n_trees:
         forest size for base='iforest'.
     aggregation:
-        'average' (probability-weighted mean of per-subspace scores) or
+        'average' (probability-weighted mean of per-subspace scores),
         'max' (probability-ignoring maximum) — the two pyod combination
-        modes the reference experiments use.
+        modes the reference experiments use — or the combo library's
+        bucketed modes 'aom' (average of per-bucket maxima) / 'moa'
+        (max of per-bucket averages); see ``n_buckets``.
     normalize:
         'zscore' standardizes each subspace's scores before aggregation
         (suod-style), None aggregates raw scores.
+    n_buckets:
+        bucket count for 'aom'/'moa' (combo's default 5).
+    n_bins:
+        histogram resolution for base='hbos'.
+    contamination:
+        expected outlier fraction; sets the ``predict`` threshold at the
+        (1 - contamination) quantile of the train scores (pyod semantics).
     chunk:
         subspace-axis chunk size bounding the (chunk, nt, ntr) distance
         block in memory.
@@ -200,6 +258,9 @@ class SubspaceEnsemble:
         chunk: int = 128,
         mesh: Optional[Mesh] = None,
         n_trees: int = 100,
+        n_buckets: int = 5,
+        n_bins: int = 10,
+        contamination: float = 0.1,
     ):
         self.subspaces = np.asarray(subspaces, dtype=bool)
         proba = np.asarray(proba, dtype=np.float32)
@@ -211,7 +272,11 @@ class SubspaceEnsemble:
         self.chunk = chunk
         self.mesh = mesh
         self.n_trees = n_trees
+        self.n_buckets = n_buckets
+        self.n_bins = n_bins
+        self.contamination = contamination
         self._x_train = None
+        self._threshold = None
 
     @classmethod
     def from_model(cls, model, subspace_count: int = 500, **kwargs):
@@ -221,15 +286,19 @@ class SubspaceEnsemble:
 
     def fit(self, x_train: np.ndarray):
         self._x_train = jnp.asarray(np.asarray(x_train), dtype=jnp.float32)
+        self._threshold = None
         return self
 
     def decision_function(self, x_test: np.ndarray) -> np.ndarray:
         """Aggregated outlier scores (higher = more outlying)."""
         assert self._x_train is not None, "call fit(X_train) first"
+        if self.aggregation in ("aom", "moa"):
+            s = self.per_subspace_scores(x_test)
+            return _bucket_aggregate(s, self.aggregation, self.n_buckets)
         if not isinstance(self.base, str):
             return self._pyod_decision_function(x_test)
-        if self.base == "copod":
-            return self._copod_decision_function(x_test)
+        if self.base in ("copod", "hbos"):
+            return self._dim_decision_function(x_test)
 
         scorer = _BASE_SCORERS[self.base]
         k = self.n_trees if self.base == "iforest" else self.k
@@ -307,15 +376,98 @@ class SubspaceEnsemble:
             return np.asarray(jnp.max(s, axis=0))
         return np.asarray(jnp.sum(proba[:, None] * s, axis=0))
 
-    def _copod_decision_function(self, x_test) -> np.ndarray:
-        """COPOD-style path: per-dim tail scores shared across ALL masks, the
-        whole ensemble is one (nt, d) @ (d, n_masks) matmul."""
+    def predict(self, x_test: np.ndarray) -> np.ndarray:
+        """0/1 outlier labels (pyod convention): threshold at the
+        (1 - contamination) quantile of the TRAIN-set scores, computed
+        lazily on first call and cached until the next ``fit``."""
+        if self._threshold is None:
+            train_scores = self.decision_function(np.asarray(self._x_train))
+            self._threshold = float(
+                np.quantile(train_scores, 1.0 - self.contamination)
+            )
+        return (self.decision_function(x_test) > self._threshold).astype(
+            np.int64
+        )
+
+    @property
+    def threshold_(self) -> Optional[float]:
+        """Decision threshold once ``predict`` has been called (pyod name)."""
+        return self._threshold
+
+    def per_subspace_scores(self, x_test: np.ndarray) -> np.ndarray:
+        """Full (n_subspaces, nt) per-subspace score matrix, normalized per
+        ``normalize`` — the suod-style intermediate the bucketed
+        aggregations ('aom'/'moa') combine; also useful for per-subspace
+        analysis. Honors ``mesh`` (mask-chunk axis sharded; the output
+        gathers on host)."""
+        assert self._x_train is not None, "call fit(X_train) first"
+        if not isinstance(self.base, str):
+            s = self._pyod_per_subspace_raw(np.asarray(x_test))
+        elif self.base in ("copod", "hbos"):
+            x_test_j = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
+            masks = jnp.asarray(self.subspaces, dtype=jnp.float32)
+            dim_scores = _dim_scores_jit(
+                x_test_j, self._x_train, base=self.base, n_bins=self.n_bins
+            )
+            s = np.asarray(
+                jnp.dot(
+                    dim_scores, masks.T, preferred_element_type=jnp.float32
+                ).T
+            )
+        else:
+            scorer = _BASE_SCORERS[self.base]
+            k = self.n_trees if self.base == "iforest" else self.k
+            x_test_j = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
+            n_shards = self.mesh.shape["data"] if self.mesh is not None else 1
+            masks_np, proba_np = _chunked_masks(
+                self.subspaces, self.proba, self.chunk, n_shards
+            )
+            if self.mesh is None:
+                raw = _per_subspace_chunked(
+                    x_test_j,
+                    self._x_train,
+                    jnp.asarray(masks_np),
+                    scorer=scorer,
+                    k=k,
+                )
+            else:
+                fn = _sharded_per_subspace_fn(self.mesh, scorer, k)
+                repl = NamedSharding(self.mesh, PartitionSpec())
+                masks_sh = jax.device_put(
+                    masks_np,
+                    NamedSharding(self.mesh, PartitionSpec("data", None, None)),
+                )
+                raw = fn(
+                    jax.device_put(x_test_j, repl),
+                    jax.device_put(self._x_train, repl),
+                    masks_sh,
+                )
+            nt = x_test_j.shape[0]
+            s = np.asarray(raw).reshape(-1, nt)[: len(self.subspaces)]
+        if self.normalize == "zscore":
+            s = np.asarray(_zscore(jnp.asarray(s)))
+        return s
+
+    def _pyod_per_subspace_raw(self, x_test: np.ndarray) -> np.ndarray:
+        """(n_subspaces, nt) raw scores from a pyod-style detector loop."""
+        x_train = np.asarray(self._x_train)
+        all_scores = []
+        for mask in self.subspaces:
+            det = self.base.__class__(**self.base.get_params())
+            det.fit(x_train[:, mask])
+            all_scores.append(det.decision_function(x_test[:, mask]))
+        return np.stack(all_scores)
+
+    def _dim_decision_function(self, x_test) -> np.ndarray:
+        """Dim-decomposable path (COPOD / HBOS): per-dim scores shared across
+        ALL masks, the whole ensemble is one (nt, d) @ (d, n_masks) matmul."""
         x_test = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
         masks = jnp.asarray(self.subspaces, dtype=jnp.float32)
         proba = jnp.asarray(self.proba)
         return np.asarray(
-            _copod_ensemble_scores(
+            _dim_ensemble_scores(
                 x_test, self._x_train, masks, proba,
+                base=self.base, n_bins=self.n_bins,
                 aggregation=self.aggregation, normalize=self.normalize,
             )
         )
@@ -324,14 +476,7 @@ class SubspaceEnsemble:
         """CPU loop over subspaces with a pyod-style detector (clone per
         subspace). Used for parity checks; requires the detector to expose
         sklearn-style get_params/fit/decision_function."""
-        x_train = np.asarray(self._x_train)
-        x_test = np.asarray(x_test)
-        all_scores = []
-        for mask in self.subspaces:
-            det = self.base.__class__(**self.base.get_params())
-            det.fit(x_train[:, mask])
-            all_scores.append(det.decision_function(x_test[:, mask]))
-        scores = np.stack(all_scores)  # (n_subspaces, nt)
+        scores = self._pyod_per_subspace_raw(np.asarray(x_test))
         if self.normalize == "zscore":
             scores = np.asarray(_zscore(jnp.asarray(scores)))
         if self.aggregation == "max":
@@ -342,9 +487,22 @@ class SubspaceEnsemble:
         return (self.proba[:, None] * scores).sum(axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("aggregation", "normalize"))
-def _copod_ensemble_scores(x_test, x_train, masks, proba, *, aggregation, normalize):
-    dim_scores = copod_dim_scores(x_test, x_train)  # (nt, d)
+def _dim_scores_impl(x_test, x_train, *, base, n_bins):
+    if base == "hbos":
+        return hbos_dim_scores(x_test, x_train, n_bins=n_bins)
+    return copod_dim_scores(x_test, x_train)
+
+
+_dim_scores_jit = jax.jit(_dim_scores_impl, static_argnames=("base", "n_bins"))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("base", "n_bins", "aggregation", "normalize")
+)
+def _dim_ensemble_scores(
+    x_test, x_train, masks, proba, *, base, n_bins, aggregation, normalize
+):
+    dim_scores = _dim_scores_impl(x_test, x_train, base=base, n_bins=n_bins)
     s = jnp.dot(dim_scores, masks.T, preferred_element_type=jnp.float32).T
     if normalize == "zscore":
         s = _zscore(s)
@@ -392,6 +550,42 @@ def _ensemble_scores(
     return _local_chunked_scores(
         x_test, x_train, masks, proba,
         scorer=scorer, k=k, aggregation=aggregation, normalize=normalize,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("scorer", "k"))
+def _per_subspace_chunked(x_test, x_train, masks, *, scorer, k):
+    """(n_chunks, chunk, nt) raw per-subspace scores (no reduction)."""
+    return jax.lax.map(
+        lambda mk: jax.vmap(lambda m: scorer(x_test, x_train, m, k))(mk),
+        masks,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_per_subspace_fn(mesh, scorer, k):
+    """shard_map per-subspace scoring: each device scores its local mask
+    chunks; the output stays sharded along the chunk axis (no collective —
+    the host gather in ``per_subspace_scores`` assembles it)."""
+    from jax import shard_map
+
+    def local(x_test, x_train, masks_loc):
+        return _per_subspace_chunked(
+            x_test, x_train, masks_loc, scorer=scorer, k=k
+        )
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                PartitionSpec(),
+                PartitionSpec(),
+                PartitionSpec("data", None, None),
+            ),
+            out_specs=PartitionSpec("data", None, None),
+            check_vma=False,
+        )
     )
 
 
