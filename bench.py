@@ -108,11 +108,11 @@ def main() -> None:
         xs = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
         u = jnp.asarray(rng.uniform(size=(n, d)).astype(np.float32))
 
-        iters = 20
-
-        # Per-dispatch tunnel latency (~4ms) would swamp a ~2ms kernel, so
-        # iterate inside ONE jitted program and fetch once (the same
-        # methodology as the train-step headline).
+        # The axon tunnel adds ~20 ms of dispatch+fetch overhead per program
+        # call; at ~1 ms/step that must amortize over hundreds of in-program
+        # iterations or it inflates the per-step number ~2x (round-2 finding:
+        # 20 iters read 2.09 ms/step for a 1.04 ms loss).
+        iters = 200
         @jax.jit
         def loss_grad_many(xs, u):
             def f(u_):

@@ -273,6 +273,23 @@ def test_sharded_per_subspace_scores_match_single_device(rng):
     )
 
 
+def test_sharded_tiled_gof_matches_single_device(rng):
+    """Permutation-sharded streaming GoF (mesh=) == single-device tiled path
+    (identical permutation draws; rows of C = A @ K are independent)."""
+    from vgan_tpu.ops.pallas.gof_gram import mmd_permutation_test_tiled
+
+    x = rng.normal(size=(40, 5)).astype(np.float32)
+    y = (rng.normal(size=(36, 5)) * 1.2 + 0.4).astype(np.float32)
+    key = jax.random.PRNGKey(7)
+    # 61 rows (observed + 60 perms): not a multiple of 8 devices
+    s1, p1 = mmd_permutation_test_tiled(x, y, [0.5], key, n_permutations=60)
+    s8, p8 = mmd_permutation_test_tiled(
+        x, y, [0.5], key, n_permutations=60, mesh=data_mesh()
+    )
+    np.testing.assert_allclose(float(s8), float(s1), rtol=1e-6)
+    np.testing.assert_allclose(float(p8), float(p1), atol=1e-9)
+
+
 def test_make_mesh_rejects_oversubscription():
     import pytest as _pytest
 

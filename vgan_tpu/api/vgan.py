@@ -212,6 +212,7 @@ class _VGANCommon(EstimatorBase):
                 alphas=alphas,
                 key=key,
                 n_permutations=n_permutations,
+                mesh=self.mesh,
             )
         results = [float(p) for p in np.asarray(pvals)]
 

@@ -138,12 +138,14 @@ def mmd_permutation_test_sweep(
     alphas: Sequence[float],
     key: jax.Array,
     n_permutations: int = 1000,
+    mesh=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Single-alpha tests for each alpha, batched into ONE compiled dispatch.
 
     Returns ``(statistics, p_values)``, each shape (len(alphas),).
     Sample counts past ``DENSE_GOF_MAX_M`` stream the Gram tile-by-tile
-    (one dispatch per alpha) instead of materializing it.
+    (one dispatch per alpha) instead of materializing it; on that route a
+    ``mesh`` with a 'data' axis shards the permutation rows over devices.
     """
     import numpy as np
 
@@ -153,7 +155,8 @@ def mmd_permutation_test_sweep(
         stats, pvals = zip(
             *(
                 mmd_permutation_test_tiled(
-                    x, y, [float(a)], key, n_permutations=n_permutations
+                    x, y, [float(a)], key, n_permutations=n_permutations,
+                    mesh=mesh,
                 )
                 for a in np.asarray(alphas).ravel()
             )

@@ -128,6 +128,58 @@ def _a_times_k(
       alphas.reshape(1, -1).astype(jnp.float32))
 
 
+def _stats_for_rows(
+    a_rows: jax.Array,
+    z_pad: jax.Array,
+    norms: jax.Array,
+    alphas_arr: jax.Array,
+    n1: int,
+    n2: int,
+    m: int,
+    tile_d: int,
+    interpret: bool,
+) -> jax.Array:
+    """Unbiased two-sample MMD statistics for a block of indicator rows.
+
+    ``a_rows`` is (n_rows, M) with the indicator in the first ``m`` columns
+    (zero-padded); rows are independent (C = A @ K row-wise), which is what
+    makes the permutation axis embarrassingly parallel. An all-ones row is
+    appended internally for the pooled total; padding rows return garbage
+    statistics the caller drops.
+    """
+    n_rows, M = a_rows.shape
+    ones_row = jnp.zeros((1, M), jnp.float32).at[0, :m].set(1.0)
+    stacked = jnp.concatenate([a_rows, ones_row], axis=0)
+    P = _round_up(stacked.shape[0], 8)
+    a_pad = jnp.zeros((P, M), jnp.float32).at[: stacked.shape[0]].set(stacked)
+
+    c = _a_times_k(
+        z_pad, norms, a_pad, alphas_arr, m,
+        n_alphas=int(alphas_arr.shape[0]), tile_d=tile_d,
+        interpret=interpret,
+    )
+
+    # statistics from C and A in O(P m): the pooled-Gram diagonal is
+    # n_alphas at every valid index (d2 = 0), subtracted exactly.
+    total = jnp.sum(c[n_rows, :m])  # 1 K 1^T from the ones row
+    a = a_pad[:n_rows, :m]
+    c = c[:n_rows, :m]
+    b = 1.0 - a
+    n_alphas = float(alphas_arr.shape[0])
+    s_xx_full = jnp.sum(c * a, axis=1)
+    s_xy = jnp.sum(c * b, axis=1)
+    s_yy_full = total - s_xx_full - 2.0 * s_xy
+    a_diag = n_alphas * jnp.sum(a, axis=1)   # = n_alphas * n1
+    diag_total = n_alphas * m
+    s_xx = s_xx_full - a_diag
+    s_yy = s_yy_full - (diag_total - a_diag)
+    return (
+        s_xx / (n1 * (n1 - 1))
+        + s_yy / (n2 * (n2 - 1))
+        - 2.0 * s_xy / (n1 * n2)
+    )
+
+
 def mmd_permutation_test_tiled(
     x: jax.Array,
     y: jax.Array,
@@ -135,6 +187,7 @@ def mmd_permutation_test_tiled(
     key: jax.Array,
     n_permutations: int = 1000,
     interpret: bool = None,
+    mesh=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Large-m counterpart of ``mmd_permutation_test`` (f32, streaming K).
 
@@ -143,6 +196,12 @@ def mmd_permutation_test_tiled(
     indicator rows. Use for screening at sample counts where the dense
     path's m^2 buffer cannot exist; the float64 host path remains the
     precision reference for null-regime p-values.
+
+    With ``mesh`` (a ``jax.sharding.Mesh`` with a 'data' axis) the
+    permutation rows shard over devices — each device streams C = A_loc @ K
+    for its local rows against replicated z (SURVEY.md section 2b: the GoF
+    test's parallel axis; scales linearly, no collectives until the host
+    gather of the (P,) statistics).
     """
     import numpy as np
 
@@ -165,40 +224,50 @@ def mmd_permutation_test_tiled(
     )
     perm_keys = jax.random.split(key, n_permutations)
     perms = jax.vmap(lambda kk: jax.random.permutation(kk, base))(perm_keys)
-    # rows: [observed, permutations..., all-ones]; the ones row yields
-    # 1 K 1^T (needed for the YY sums), excluded from the statistics
-    a_rows = jnp.concatenate(
-        [base[None, :], perms, jnp.ones((1, m), jnp.float32)], axis=0
-    )
-    P = _round_up(a_rows.shape[0], 8)
-    a_pad = jnp.zeros((P, M), jnp.float32).at[: a_rows.shape[0], :m].set(a_rows)
+    # rows: [observed, permutations...]; padded to M columns
+    a_rows = jnp.concatenate([base[None, :], perms], axis=0)
+    n_rows = a_rows.shape[0]
+    a_rows = jnp.zeros((n_rows, M), jnp.float32).at[:, :m].set(a_rows)
 
     alphas_arr = jnp.asarray([float(a) for a in np.asarray(alphas).ravel()])
-    c = _a_times_k(
-        z_pad, norms, a_pad, alphas_arr, m,
-        n_alphas=int(alphas_arr.shape[0]), tile_d=tile_d,
-        interpret=interpret,
-    )
 
-    # statistics from C and A in O(P m): the pooled-Gram diagonal is
-    # n_alphas at every valid index (d2 = 0), subtracted exactly.
-    total = jnp.sum(c[a_rows.shape[0] - 1, :m])  # 1 K 1^T from the ones row
-    a = a_pad[: a_rows.shape[0] - 1, :m]
-    c = c[: a_rows.shape[0] - 1, :m]
-    b = 1.0 - a
-    n_alphas = float(alphas_arr.shape[0])
-    s_xx_full = jnp.sum(c * a, axis=1)
-    s_xy = jnp.sum(c * b, axis=1)
-    s_yy_full = total - s_xx_full - 2.0 * s_xy
-    a_diag = n_alphas * jnp.sum(a, axis=1)   # = n_alphas * n1
-    diag_total = n_alphas * m
-    s_xx = s_xx_full - a_diag
-    s_yy = s_yy_full - (diag_total - a_diag)
-    stats = (
-        s_xx / (n1 * (n1 - 1))
-        + s_yy / (n2 * (n2 - 1))
-        - 2.0 * s_xy / (n1 * n2)
-    )
+    if mesh is None:
+        stats = _stats_for_rows(
+            a_rows, z_pad, norms, alphas_arr, n1, n2, m, tile_d, interpret
+        )
+    else:
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_dev = mesh.shape["data"]
+        pad = (-n_rows) % n_dev
+        a_sh = jnp.concatenate(
+            [a_rows, jnp.zeros((pad, M), jnp.float32)], axis=0
+        )
+
+        def local(a_loc, z_pad, norms):
+            return _stats_for_rows(
+                a_loc, z_pad, norms, alphas_arr, n1, n2, m, tile_d, interpret
+            )
+
+        fn = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                PartitionSpec("data", None),
+                PartitionSpec(),
+                PartitionSpec(),
+            ),
+            out_specs=PartitionSpec("data"),
+            check_vma=False,
+        )
+        repl = NamedSharding(mesh, PartitionSpec())
+        stats = fn(
+            jax.device_put(a_sh, NamedSharding(mesh, PartitionSpec("data", None))),
+            jax.device_put(z_pad, repl),
+            jax.device_put(norms, repl),
+        )[:n_rows]
+
     observed = stats[0]
     pval = jnp.mean((stats[1:] >= observed).astype(jnp.float32))
     return observed, pval
