@@ -174,9 +174,21 @@ def run(n_devices: int) -> None:
     scores = ens.fit(x_tr).decision_function(x_te)
     assert np.all(np.isfinite(np.asarray(scores)))
 
+    # --- GoF axis: permutation-sharded streaming two-sample test ---
+    from vgan_tpu.ops.pallas.gof_gram import mmd_permutation_test_tiled
+
+    gx = rng.normal(size=(24, 5)).astype(np.float32)
+    gy = (rng.normal(size=(24, 5)) + 1.0).astype(np.float32)
+    stat, pval = mmd_permutation_test_tiled(
+        gx, gy, [0.5], jax.random.PRNGKey(3),
+        n_permutations=2 * n_devices - 1, mesh=ring_mesh,
+    )
+    assert np.isfinite(float(stat)) and 0.0 <= float(pval) <= 1.0
+
     print(
         f"dryrun_multichip OK: mesh=({data}x{model}) dp+tp kl fit, "
-        f"{n_devices}-way ring-MMD step, mask-sharded ensemble executed"
+        f"{n_devices}-way ring-MMD step, mask-sharded ensemble, "
+        "permutation-sharded GoF executed"
     )
 
 
