@@ -392,19 +392,76 @@ def test_aom_moa_bucketed_aggregation(rng):
 
 
 def test_predict_contamination_threshold(rng):
+    """predict: one-batch scoring (shared zscore stats), self-pairs excluded
+    on the train rows, threshold at the (1-contamination) train quantile."""
     xtr = rng.normal(size=(100, 5)).astype(np.float32)
     xte = np.concatenate(
         [rng.normal(size=(20, 5)), rng.normal(size=(5, 5)) + 6.0]
     ).astype(np.float32)
     subs = np.ones((1, 5), bool)
-    ens = SubspaceEnsemble(subs, np.ones(1), base="knn", k=5,
-                           contamination=0.1, normalize=None)
-    ens.fit(xtr)
-    labels = ens.predict(xte)
-    train_scores = ens.decision_function(xtr)
-    assert ens.threshold_ == pytest.approx(
-        float(np.quantile(train_scores, 0.9))
+    for normalize in (None, "zscore"):
+        ens = SubspaceEnsemble(subs, np.ones(1), base="knn", k=5,
+                               contamination=0.1, normalize=normalize)
+        ens.fit(xtr)
+        labels = ens.predict(xte)
+        # oracle: same one-batch scoring
+        both = ens.decision_function(
+            np.concatenate([xtr, xte]), exclude_self=True
+        )
+        assert ens.threshold_ == pytest.approx(
+            float(np.quantile(both[:100], 0.9))
+        )
+        np.testing.assert_array_equal(
+            labels, (both[100:] > ens.threshold_).astype(np.int64)
+        )
+        assert labels.shape == (25,)
+        assert labels[20:].all()  # planted outliers flagged
+        assert labels[:20].sum() <= 4  # inliers mostly clean
+
+
+def test_knn_exclude_self_matches_numpy(rng):
+    """exclude_self: the k-th NN of a train row against the train set must
+    skip the zero self-distance (== the (k+1)-th including self)."""
+    xtr = rng.normal(size=(40, 6)).astype(np.float32)
+    mask = np.ones(6, bool)
+    k = 4
+    ours = np.asarray(knn_scores_masked(
+        jnp.asarray(xtr), jnp.asarray(xtr), jnp.asarray(mask), k,
+        exclude_self=True,
+    ))
+    d = np.sqrt(((xtr[:, None] - xtr[None, :]) ** 2).sum(-1))
+    expected = np.sort(d, axis=1)[:, k]  # (k+1)-th incl. the self zero
+    np.testing.assert_allclose(ours, expected, rtol=1e-5)
+
+
+def test_aom_ignores_zero_probability_masks(rng):
+    """Zero-probability masks must not influence 'aom'/'moa' (the invariant
+    every aggregation path honors)."""
+    xtr = rng.normal(size=(30, 6)).astype(np.float32)
+    xte = rng.normal(size=(8, 6)).astype(np.float32)
+    subs = np.asarray(
+        [[1, 1, 0, 0, 0, 0], [0, 0, 1, 1, 0, 0], [0, 0, 0, 0, 1, 1]], bool
     )
-    assert labels.shape == (25,)
-    assert labels[20:].all()  # planted outliers flagged
-    assert labels[:20].sum() <= 4  # inliers mostly clean
+    with_dead = SubspaceEnsemble(
+        subs, np.asarray([0.5, 0.5, 0.0]), base="knn", k=3,
+        aggregation="aom", n_buckets=2, normalize=None,
+    ).fit(xtr)
+    without = SubspaceEnsemble(
+        subs[:2], np.asarray([0.5, 0.5]), base="knn", k=3,
+        aggregation="aom", n_buckets=2, normalize=None,
+    ).fit(xtr)
+    np.testing.assert_allclose(
+        with_dead.decision_function(xte), without.decision_function(xte),
+        rtol=1e-6,
+    )
+
+
+def test_export_rejects_bucketed_aggregation(rng, tmp_path):
+    from vgan_tpu.serving import export_ensemble_scorer
+
+    xtr = rng.normal(size=(20, 4)).astype(np.float32)
+    subs = np.ones((2, 4), bool)
+    ens = SubspaceEnsemble(subs, np.full(2, 0.5), base="knn", k=3,
+                           aggregation="aom").fit(xtr)
+    with pytest.raises(ValueError, match="aom"):
+        export_ensemble_scorer(ens, tmp_path / "scorer.bin")

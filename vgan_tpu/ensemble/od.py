@@ -37,12 +37,26 @@ def _masked_sq_dists(a: jax.Array, b: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.maximum(an[:, None] + bn[None, :] - 2.0 * cross, 0.0)
 
 
+def _mask_diagonal(d2: jax.Array) -> jax.Array:
+    """Exclude self-pairs: +big on d2[i, i]. Valid when query row i IS train
+    row i (e.g. scoring the train set against itself, pyod's unsupplied-X
+    ``kneighbors()`` semantics). Iota-based — no scatter."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    big = jnp.asarray(jnp.finfo(d2.dtype).max / 4, d2.dtype)
+    return jnp.where(rows == cols, big, d2)
+
+
 def knn_scores_masked(
-    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int,
+    exclude_self: bool = False,
 ) -> jax.Array:
     """k-th nearest-neighbor distance in the masked space (pyod KNN
-    'largest' semantics)."""
+    'largest' semantics). ``exclude_self`` drops the (i, i) pair — use when
+    the leading query rows are the training rows themselves."""
     d2 = _masked_sq_dists(x_test, x_train, mask)
+    if exclude_self:
+        d2 = _mask_diagonal(d2)
     # approx_min_k(recall_target=1.0) is exact and ~2.3x faster than
     # top_k on TPU (the sort dominates the whole ensemble otherwise)
     vals, _ = jax.lax.approx_min_k(d2, k, recall_target=1.0)
@@ -50,16 +64,20 @@ def knn_scores_masked(
 
 
 def mean_dist_scores_masked(
-    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int,
+    exclude_self: bool = False,
 ) -> jax.Array:
     """Mean distance to the k nearest neighbors (pyod KNN 'mean')."""
     d2 = _masked_sq_dists(x_test, x_train, mask)
+    if exclude_self:
+        d2 = _mask_diagonal(d2)
     vals, _ = jax.lax.approx_min_k(d2, k, recall_target=1.0)
     return jnp.mean(jnp.sqrt(vals), axis=-1)
 
 
 def lof_scores_masked(
-    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int,
+    exclude_self: bool = False,
 ) -> jax.Array:
     """Local outlier factor in the masked space (novelty-style: test points
     scored against the train set, matching sklearn/pyod LOF(novelty=True)).
@@ -82,6 +100,8 @@ def lof_scores_masked(
 
     # test points vs train set
     d2_te = _masked_sq_dists(x_test, x_train, mask)
+    if exclude_self:
+        d2_te = _mask_diagonal(d2_te)
     d_te = jnp.sqrt(d2_te)
     knn_d_te, nbr_te = jax.lax.approx_min_k(d_te, k, recall_target=1.0)
     reach_te = jnp.maximum(kdist_tr[nbr_te], knn_d_te)
@@ -178,12 +198,18 @@ def _zscore(s):
     return (s - mu) / sd
 
 
-def _bucket_aggregate(s: np.ndarray, aggregation: str, n_buckets: int):
+def _bucket_aggregate(
+    s: np.ndarray, proba: np.ndarray, aggregation: str, n_buckets: int
+):
     """AOM / MOA bucketed combination (the combo library's other two modes;
     reference pin at requirements.txt:6). Subspaces are assigned to buckets
     round-robin (deterministic stand-in for combo's random subgroups):
     'aom' averages the per-bucket maxima, 'moa' takes the max of the
-    per-bucket averages. Probability-ignoring, like 'max'."""
+    per-bucket averages. Probability-ignoring, like 'max' — except
+    zero-probability masks, which are dropped (the invariant every
+    aggregation path honors: proba == 0 rows never influence scores)."""
+    keep = np.asarray(proba) > 0
+    s = s[keep]
     n = s.shape[0]
     n_buckets = max(1, min(n_buckets, n))
     idx = np.arange(n) % n_buckets
@@ -200,6 +226,17 @@ _BASE_SCORERS = {
     "knn": knn_scores_masked,
     "knn_mean": mean_dist_scores_masked,
     "lof": lof_scores_masked,
+    "iforest": _iforest_adapter,
+}
+
+# Self-excluding variants for scoring the train set itself (pyod's
+# unsupplied-X kneighbors semantics). Module-level singletons so the jitted
+# paths see one hashable static per base. iforest is distribution-based —
+# self-inclusion is inherent there (as in pyod's IForest).
+_BASE_SCORERS_EXCL = {
+    "knn": functools.partial(knn_scores_masked, exclude_self=True),
+    "knn_mean": functools.partial(mean_dist_scores_masked, exclude_self=True),
+    "lof": functools.partial(lof_scores_masked, exclude_self=True),
     "iforest": _iforest_adapter,
 }
 
@@ -289,22 +326,34 @@ class SubspaceEnsemble:
         self._threshold = None
         return self
 
-    def decision_function(self, x_test: np.ndarray) -> np.ndarray:
-        """Aggregated outlier scores (higher = more outlying)."""
+    def decision_function(
+        self, x_test: np.ndarray, exclude_self: bool = False
+    ) -> np.ndarray:
+        """Aggregated outlier scores (higher = more outlying).
+
+        ``exclude_self`` drops (i, i) distance pairs for the neighbor-based
+        bases (knn/knn_mean/lof) — set it when the leading rows of
+        ``x_test`` ARE the training rows (pyod's unsupplied-X kneighbors
+        semantics; ``predict`` uses this for its train-score threshold).
+        Distribution-based bases (iforest/copod/hbos/pyod instances)
+        inherently include the point, as in pyod."""
         assert self._x_train is not None, "call fit(X_train) first"
         if self.aggregation in ("aom", "moa"):
-            s = self.per_subspace_scores(x_test)
-            return _bucket_aggregate(s, self.aggregation, self.n_buckets)
+            s = self.per_subspace_scores(x_test, exclude_self=exclude_self)
+            return _bucket_aggregate(
+                s, self.proba, self.aggregation, self.n_buckets
+            )
         if not isinstance(self.base, str):
             return self._pyod_decision_function(x_test)
         if self.base in ("copod", "hbos"):
             return self._dim_decision_function(x_test)
 
-        scorer = _BASE_SCORERS[self.base]
+        scorers = _BASE_SCORERS_EXCL if exclude_self else _BASE_SCORERS
+        scorer = scorers[self.base]
         k = self.n_trees if self.base == "iforest" else self.k
         x_test = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
 
-        if self.base == "knn" and self.mesh is None:
+        if self.base == "knn" and self.mesh is None and not exclude_self:
             fast = self._knn_fused_decision_function(x_test)
             if fast is not None:
                 return fast
@@ -378,28 +427,47 @@ class SubspaceEnsemble:
 
     def predict(self, x_test: np.ndarray) -> np.ndarray:
         """0/1 outlier labels (pyod convention): threshold at the
-        (1 - contamination) quantile of the TRAIN-set scores, computed
-        lazily on first call and cached until the next ``fit``."""
-        if self._threshold is None:
-            train_scores = self.decision_function(np.asarray(self._x_train))
-            self._threshold = float(
-                np.quantile(train_scores, 1.0 - self.contamination)
+        (1 - contamination) quantile of the TRAIN-set scores.
+
+        Train and test rows are scored in ONE batch so per-subspace
+        ``zscore`` statistics are shared (a per-batch standardization would
+        otherwise make the train-derived threshold incomparable to test
+        scores), and the train rows' self-pairs are excluded for the
+        neighbor-based detectors (pyod's kneighbors semantics — scoring a
+        point against a train set containing itself would bias its k-th
+        neighbor down to the (k-1)-th). ``threshold_`` is refreshed on
+        every call (with ``zscore`` it is batch-dependent by construction).
+        """
+        x_train = np.asarray(self._x_train)
+        x_test = np.asarray(x_test)
+        if isinstance(self.base, str) and self.base in (
+            "knn", "knn_mean", "lof",
+        ):
+            assert self.k < len(x_train), (
+                "predict needs k < n_train (self-pairs are excluded when "
+                "scoring the train rows)"
             )
-        return (self.decision_function(x_test) > self._threshold).astype(
-            np.int64
+        both = np.concatenate([x_train, x_test], axis=0)
+        scores = self.decision_function(both, exclude_self=True)
+        n_tr = len(x_train)
+        self._threshold = float(
+            np.quantile(scores[:n_tr], 1.0 - self.contamination)
         )
+        return (scores[n_tr:] > self._threshold).astype(np.int64)
 
     @property
     def threshold_(self) -> Optional[float]:
         """Decision threshold once ``predict`` has been called (pyod name)."""
         return self._threshold
 
-    def per_subspace_scores(self, x_test: np.ndarray) -> np.ndarray:
+    def per_subspace_scores(
+        self, x_test: np.ndarray, exclude_self: bool = False
+    ) -> np.ndarray:
         """Full (n_subspaces, nt) per-subspace score matrix, normalized per
         ``normalize`` — the suod-style intermediate the bucketed
         aggregations ('aom'/'moa') combine; also useful for per-subspace
         analysis. Honors ``mesh`` (mask-chunk axis sharded; the output
-        gathers on host)."""
+        gathers on host). ``exclude_self`` as in ``decision_function``."""
         assert self._x_train is not None, "call fit(X_train) first"
         if not isinstance(self.base, str):
             s = self._pyod_per_subspace_raw(np.asarray(x_test))
@@ -415,7 +483,8 @@ class SubspaceEnsemble:
                 ).T
             )
         else:
-            scorer = _BASE_SCORERS[self.base]
+            scorers = _BASE_SCORERS_EXCL if exclude_self else _BASE_SCORERS
+            scorer = scorers[self.base]
             k = self.n_trees if self.base == "iforest" else self.k
             x_test_j = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
             n_shards = self.mesh.shape["data"] if self.mesh is not None else 1

@@ -200,8 +200,12 @@ def mmd_permutation_test_tiled(
     With ``mesh`` (a ``jax.sharding.Mesh`` with a 'data' axis) the
     permutation rows shard over devices — each device streams C = A_loc @ K
     for its local rows against replicated z (SURVEY.md section 2b: the GoF
-    test's parallel axis; scales linearly, no collectives until the host
-    gather of the (P,) statistics).
+    test's parallel axis; no collectives until the host gather of the (P,)
+    statistics). Scaling note: the A@K term (2 m^2 P_loc flops) shards, but
+    every device still recomputes the full distance/kernel stream
+    (2 m^2 d flops + m^2 n_alphas exps), so near-linear speedup requires
+    the permutation count to dominate (P >> d) — the regime of bootstrap
+    p-values at P in the hundreds-to-thousands with moderate d.
     """
     import numpy as np
 

@@ -75,6 +75,13 @@ def export_ensemble_scorer(ensemble, path) -> None:
     assert isinstance(ensemble.base, str) and ensemble.base in _BASE_SCORERS, (
         "only native base scorers export"
     )
+    if ensemble.aggregation not in ("average", "max"):
+        raise ValueError(
+            f"aggregation={ensemble.aggregation!r} does not export: the "
+            "serialized program reduces inside mask chunks, which cannot "
+            "express the bucketed 'aom'/'moa' combination — export with "
+            "aggregation='average'/'max' or serve per_subspace_scores"
+        )
     scorer = _BASE_SCORERS[ensemble.base]
     k = ensemble.n_trees if ensemble.base == "iforest" else ensemble.k
     x_train = ensemble._x_train
