@@ -166,3 +166,25 @@ def test_fused_fit_small_dataset(rng):
                    fit_impl="fused")
     m.fit(x)
     assert np.isfinite(m.train_history["generator_loss"][-1])
+
+
+def test_fused_fit_zero_epochs_is_noop(rng):
+    """epochs=0 must return the initial params, not uninitialized output
+    buffers (review finding: the zero-size grid skips every kernel write)."""
+    n, d, bs = 128, 16, 64
+    config = TrainConfig(ndims=d, batch_size=bs)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    state = init_no_kl_state(config, jax.random.PRNGKey(0))
+    params, (sq, acc), (bw, bw_set), losses, _, _ = fused_no_kl_fit(
+        x, state.params, config, 0, jax.random.PRNGKey(1)
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        params, state.params,
+    )
+    assert losses.shape == (0, n // bs)
+    assert not bool(bw_set)
+    for leaf in jax.tree.leaves(sq):
+        assert not np.asarray(leaf).any()

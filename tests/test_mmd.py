@@ -182,3 +182,32 @@ def test_mmd_identical_samples_near_zero(rng):
     x = rng.normal(size=(15, 4)).astype(np.float32)
     mmd2, _ = mmd2_biased(jnp.asarray(x), jnp.asarray(x))
     np.testing.assert_allclose(float(mmd2), 0.0, atol=1e-5)
+
+
+def test_unknown_impl_raises(rng):
+    from vgan_tpu.ops.mmd import mmd2_biased_stateful
+
+    x = jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32))
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown impl"):
+        mmd2_biased_stateful(
+            x, x, jnp.zeros(()), jnp.asarray(False), impl="ring"
+        )
+
+
+def test_chunked_honors_matmul_dtype(rng):
+    """matmul_dtype='bfloat16' must reach the chunked path's distance dots
+    (review finding: it was silently dropped on the chunked route)."""
+    from vgan_tpu.ops.mmd import mmd2_biased_stateful
+
+    x = jnp.asarray(rng.normal(size=(24, 9)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(20, 9)).astype(np.float32) + 0.3)
+    bw = jnp.asarray(5.0, jnp.float32)
+    f32, _ = mmd2_biased_stateful(x, y, bw, jnp.asarray(True), impl="chunked")
+    bf16, _ = mmd2_biased_stateful(
+        x, y, bw, jnp.asarray(True), impl="chunked", matmul_dtype="bfloat16"
+    )
+    # close (f32 accumulation) but NOT bitwise equal (operands were cast)
+    np.testing.assert_allclose(float(bf16), float(f32), rtol=2e-2)
+    assert float(bf16) != float(f32)

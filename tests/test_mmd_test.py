@@ -161,9 +161,9 @@ def test_tiled_gof_matches_dense(rng):
         s_t, p_t = mmd_permutation_test_tiled(
             x, y, [alpha], key, n_permutations=150
         )
-        # the f32 statistic is a near-cancellation; reduction-order
-        # differences between tiled and dense paths shift it ~1e-2 relative
-        np.testing.assert_allclose(float(s_t), float(s_d), rtol=2e-2,
+        # in-kernel diagonal zeroing makes the tiled statistic agree with
+        # the dense path to reduction-order noise (~3e-5 rel on chip)
+        np.testing.assert_allclose(float(s_t), float(s_d), rtol=2e-3,
                                    atol=1e-7)
         np.testing.assert_allclose(float(p_t), float(p_d), atol=0.03)
 
@@ -180,4 +180,50 @@ def test_tiled_gof_multi_alpha_sum(rng):
     alphas = [0.1, 1.0, 10.0]
     s_d, _ = mmd_permutation_test(x, y, alphas, key, n_permutations=50)
     s_t, _ = mmd_permutation_test_tiled(x, y, alphas, key, n_permutations=50)
-    np.testing.assert_allclose(float(s_t), float(s_d), rtol=2e-2, atol=1e-7)
+    np.testing.assert_allclose(float(s_t), float(s_d), rtol=2e-3, atol=1e-7)
+
+
+def test_permutation_test_routes_large_m_to_tiled(rng, monkeypatch):
+    """mmd_permutation_test must stream past DENSE_GOF_MAX_M instead of
+    materializing the (m, m) Gram (review finding: only the sweep routed)."""
+    import vgan_tpu.ops.mmd_test as mt
+    from vgan_tpu.ops.pallas import gof_gram
+
+    x = rng.normal(size=(30, 4)).astype(np.float32)
+    y = (rng.normal(size=(30, 4)) + 1.0).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+
+    calls = []
+    real = gof_gram.mmd_permutation_test_tiled
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(gof_gram, "mmd_permutation_test_tiled", spy)
+    monkeypatch.setattr(mt, "DENSE_GOF_MAX_M", 32)
+    s, p = mt.mmd_permutation_test(x, y, [0.5], key, n_permutations=40)
+    assert calls, "tiled path not used past DENSE_GOF_MAX_M"
+    s_d, _ = mt._test_impl(
+        jnp.concatenate([jnp.asarray(x), jnp.asarray(y)]), key,
+        n1=30, n2=30, n_permutations=40,
+        alphas=jnp.asarray([0.5], jnp.float32),
+    )
+    np.testing.assert_allclose(float(s), float(s_d), rtol=2e-3, atol=1e-7)
+
+
+def test_tiled_gof_chunks_permutation_axis(rng):
+    """Permutation counts past TILE_P chunk into multiple kernel calls with
+    identical statistics semantics (VMEM stays bounded)."""
+    from vgan_tpu.ops.pallas.gof_gram import TILE_P, mmd_permutation_test_tiled
+
+    x = rng.normal(size=(20, 3)).astype(np.float32)
+    y = (rng.normal(size=(20, 3)) * 1.4).astype(np.float32)
+    key = jax.random.PRNGKey(9)
+    n_perm = TILE_P + 37  # forces a second chunk
+    s, p = mmd_permutation_test_tiled(x, y, [1.0], key, n_permutations=n_perm)
+    from vgan_tpu.ops.mmd_test import mmd_permutation_test
+
+    s_d, p_d = mmd_permutation_test(x, y, [1.0], key, n_permutations=n_perm)
+    np.testing.assert_allclose(float(s), float(s_d), rtol=2e-3, atol=1e-7)
+    np.testing.assert_allclose(float(p), float(p_d), atol=0.05)

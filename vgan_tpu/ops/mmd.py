@@ -183,9 +183,12 @@ def mmd2_biased(
     """Biased squared MMD between samples ``x`` (n1, d) and ``y`` (n2, d).
 
     Returns ``(mmd2, bandwidth_used)``. If ``bandwidth`` is None it is
-    computed from the stacked batch by :func:`reference_bandwidth` (and
-    returned so callers can freeze it, mirroring the reference's first-batch
-    bandwidth cache at Mmd_loss_constrained.py:16-22).
+    computed from the stacked batch by :func:`candidate_bandwidth` (the
+    O(md) closed form shared by every impl — it differs from the
+    reference's :func:`reference_bandwidth` only when the per-entry clamp
+    at 0 engages, see the clamp note there) and returned so callers can
+    freeze it, mirroring the reference's first-batch bandwidth cache at
+    Mmd_loss_constrained.py:16-22.
     """
     if bandwidth is None:
         return mmd2_biased_stateful(
@@ -223,8 +226,15 @@ def mmd2_biased_stateful(
     ``bandwidth_used`` back into its state (with ``is_set=True``) to freeze.
     ``bw_is_set`` may be a traced bool, so the freeze lives inside jit.
     """
+    if impl not in ("jnp", "auto", "pallas", "chunked"):
+        raise ValueError(
+            f"unknown impl={impl!r}: expected 'jnp', 'auto', 'pallas', or "
+            "'chunked'"
+        )
     if impl == "chunked":
-        return mmd2_biased_chunked(x, y, bw_value, bw_is_set, mults)
+        return mmd2_biased_chunked(
+            x, y, bw_value, bw_is_set, mults, matmul_dtype=matmul_dtype
+        )
     if impl != "jnp":
         from vgan_tpu.ops.pallas.mmd_gram import (
             MAX_M_FOR_PALLAS,
@@ -249,7 +259,9 @@ def mmd2_biased_stateful(
         if impl == "auto" and m > MAX_M_FOR_PALLAS:
             # the dense jnp path would materialize the m x m matrix;
             # beyond the cap route to the row-blocked remat path
-            return mmd2_biased_chunked(x, y, bw_value, bw_is_set, mults)
+            return mmd2_biased_chunked(
+                x, y, bw_value, bw_is_set, mults, matmul_dtype=matmul_dtype
+            )
     n1 = x.shape[0]
     z = jnp.concatenate([x, y], axis=0)
     d2 = pairwise_sq_dists(z, matmul_dtype=matmul_dtype)
@@ -269,9 +281,11 @@ def mmd2_biased_chunked(
     bw_is_set: jax.Array,
     mults: Tuple[float, ...] = bandwidth_multipliers(),
     row_block: int = 2048,
+    matmul_dtype: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Unbounded-n biased MMD^2: row-blocked quadrant sums, O(block x m)
-    memory, rematerialized backward.
+    memory, rematerialized backward. ``matmul_dtype='bfloat16'`` feeds bf16
+    operands to the block distance matmuls (as on the jnp/Pallas paths).
 
     For sample counts where the (m x m) distance matrix cannot exist
     (m = n1 + n2 beyond the Pallas residual cap), the Gram is reduced one
@@ -292,15 +306,22 @@ def mmd2_biased_chunked(
     z_pad = jnp.concatenate([z, jnp.zeros((pad, z.shape[1]), z.dtype)])
     n_blocks = z_pad.shape[0] // row_block
     zn = jnp.sum(z * z, axis=-1)
+    z_dot = z.astype(jnp.dtype(matmul_dtype)) if matmul_dtype else z
+    z_pad_dot = (
+        z_pad.astype(jnp.dtype(matmul_dtype)) if matmul_dtype else z_pad
+    )
 
     @jax.checkpoint
     def block_sums(block_idx):
         start = block_idx * row_block
         rows = jax.lax.dynamic_slice_in_dim(z_pad, start, row_block, axis=0)
+        rows_dot = jax.lax.dynamic_slice_in_dim(
+            z_pad_dot, start, row_block, axis=0
+        )
         rn = jnp.sum(rows * rows, axis=-1)
         d2 = jnp.maximum(
             rn[:, None] + zn[None, :]
-            - 2.0 * jnp.dot(rows, z.T, preferred_element_type=z.dtype),
+            - 2.0 * jnp.dot(rows_dot, z_dot.T, preferred_element_type=z.dtype),
             0.0,
         )
         k = multi_rbf_gram(d2, bw, mults)

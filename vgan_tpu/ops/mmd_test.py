@@ -79,7 +79,6 @@ def _test_impl(
     n_permutations: int,
     alphas: jax.Array,
 ) -> Tuple[jax.Array, jax.Array]:
-    m = n1 + n2
     k = alpha_gram(z, alphas)
     base = jnp.concatenate(
         [jnp.ones((n1,), dtype=k.dtype), jnp.zeros((n2,), dtype=k.dtype)]
@@ -107,10 +106,7 @@ def _test_impl_multi(
     and shared across bandwidths (each bandwidth's kernel is an elementwise
     exp of the same d2); the statistic batch is a vmapped matmul stack.
     """
-    from vgan_tpu.ops.mmd import pairwise_sq_dists
-
     d2 = pairwise_sq_dists(z)
-    m = n1 + n2
     base = jnp.concatenate(
         [jnp.ones((n1,), dtype=d2.dtype), jnp.zeros((n2,), dtype=d2.dtype)]
     )
@@ -180,7 +176,18 @@ def mmd_permutation_test(
     key: jax.Array,
     n_permutations: int = 1000,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Run the two-sample MMD test. Returns ``(statistic, p_value)``."""
+    """Run the two-sample MMD test. Returns ``(statistic, p_value)``.
+
+    Sample counts past ``DENSE_GOF_MAX_M`` route to the streaming-Gram
+    kernel (same sum-over-alphas pooled-kernel semantics, f32) instead of
+    materializing the (m, m) Gram.
+    """
+    if x.shape[0] + y.shape[0] > DENSE_GOF_MAX_M:
+        from vgan_tpu.ops.pallas.gof_gram import mmd_permutation_test_tiled
+
+        return mmd_permutation_test_tiled(
+            x, y, alphas, key, n_permutations=n_permutations
+        )
     z = jnp.concatenate([jnp.asarray(x), jnp.asarray(y)], axis=0)
     return _test_impl(
         z,

@@ -511,6 +511,20 @@ def fused_no_kl_fit(
 
     k_perm, k_off, k_seed = jax.random.split(key, 3)
     perm = np.asarray(jax.random.permutation(k_perm, n))
+    if total_steps == 0:
+        # zero-size grid would skip every kernel write and return
+        # uninitialized output buffers — mirror the scan path's clean no-op
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return (
+            params,
+            (zeros, jax.tree.map(jnp.zeros_like, params)),
+            (jnp.zeros(()), jnp.asarray(False)),
+            jnp.zeros((epochs, nb), jnp.float32),
+            perm,
+            np.asarray(offsets, np.int32).reshape(epochs)
+            if offsets is not None
+            else np.zeros((epochs,), np.int32),
+        )
     x_perm = x[perm]
     x3 = np.zeros((n + BSP, DP), np.float32)
     x3[:n, :d] = x_perm

@@ -9,8 +9,9 @@ kernel computes ``C = A @ K`` with K RECOMPUTED from z tile-by-tile
 the VPU, and the (P, TILE) output streamed) — no m x m buffer at any point,
 so the f32 GoF scales with the same structure as the training kernels.
 
-All per-permutation statistics then come from C and A in O(P m):
-  s_xx(p) = sum_j A[p, j] C[p, j] - diag-mass,   s_xy, s_yy analogous.
+The kernel zeroes the Gram diagonal (the unbiased statistic excludes
+self-pairs), and all per-permutation statistics then come from C and A in
+O(P m):  s_xx(p) = sum_j A[p, j] C[p, j],   s_xy, s_yy analogous.
 
 Reference obligation: torch_two_sample.MMDStatistic usage at
 /root/reference/src/vgan.py:419-428 (the capability being scaled).
@@ -70,7 +71,13 @@ def _ak_kernel(
             k = k + jnp.exp(-alphas_ref[0, a_idx] * d2)
         rows = j * TILE_M + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
         cols = i * TILE_M + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-        valid = jnp.logical_and(rows < m, cols < m)
+        # zero the diagonal in-kernel: the unbiased statistic excludes
+        # self-pairs, and the numerical diagonal of the streamed Gram is
+        # NOT exactly n_alphas (the chunked dot's d2_ii has f32 residual),
+        # so a constant host-side correction would bias the statistic —
+        # excluding it here matches the dense path's actual-diagonal
+        # subtraction exactly-by-construction
+        valid = (rows < m) & (cols < m) & (rows != cols)
         k = jnp.where(valid, k, 0.0)
         # C[:, i-cols] += A[:, j-rows] @ K[j-rows, i-cols]
         c_ref[:] += jnp.dot(a_ref[:], k, preferred_element_type=jnp.float32)
@@ -143,41 +150,49 @@ def _stats_for_rows(
 
     ``a_rows`` is (n_rows, M) with the indicator in the first ``m`` columns
     (zero-padded); rows are independent (C = A @ K row-wise), which is what
-    makes the permutation axis embarrassingly parallel. An all-ones row is
-    appended internally for the pooled total; padding rows return garbage
-    statistics the caller drops.
+    makes the permutation axis embarrassingly parallel. Rows are processed
+    in TILE_P-sized chunks (the kernel's A/C blocks live whole in VMEM), an
+    all-ones row appended per chunk for the pooled total. All-zero caller
+    padding rows yield garbage statistics the caller drops.
     """
     n_rows, M = a_rows.shape
     ones_row = jnp.zeros((1, M), jnp.float32).at[0, :m].set(1.0)
-    stacked = jnp.concatenate([a_rows, ones_row], axis=0)
-    P = _round_up(stacked.shape[0], 8)
-    a_pad = jnp.zeros((P, M), jnp.float32).at[: stacked.shape[0]].set(stacked)
 
-    c = _a_times_k(
-        z_pad, norms, a_pad, alphas_arr, m,
-        n_alphas=int(alphas_arr.shape[0]), tile_d=tile_d,
-        interpret=interpret,
-    )
-
-    # statistics from C and A in O(P m): the pooled-Gram diagonal is
-    # n_alphas at every valid index (d2 = 0), subtracted exactly.
-    total = jnp.sum(c[n_rows, :m])  # 1 K 1^T from the ones row
-    a = a_pad[:n_rows, :m]
-    c = c[:n_rows, :m]
-    b = 1.0 - a
-    n_alphas = float(alphas_arr.shape[0])
-    s_xx_full = jnp.sum(c * a, axis=1)
-    s_xy = jnp.sum(c * b, axis=1)
-    s_yy_full = total - s_xx_full - 2.0 * s_xy
-    a_diag = n_alphas * jnp.sum(a, axis=1)   # = n_alphas * n1
-    diag_total = n_alphas * m
-    s_xx = s_xx_full - a_diag
-    s_yy = s_yy_full - (diag_total - a_diag)
-    return (
-        s_xx / (n1 * (n1 - 1))
-        + s_yy / (n2 * (n2 - 1))
-        - 2.0 * s_xy / (n1 * n2)
-    )
+    # chunk the permutation axis: the kernel holds its whole A/C block in
+    # VMEM (a (P, TILE_M) pair), so P must be bounded — TILE_P rows per
+    # kernel call keeps the blocks ~0.5 MB each while amortizing the
+    # distance stream over TILE_P permutations
+    stats_chunks = []
+    total = None
+    for start in range(0, n_rows, TILE_P):
+        block = a_rows[start : start + TILE_P]
+        n_blk = block.shape[0]
+        stacked = jnp.concatenate([block, ones_row], axis=0)
+        P = _round_up(stacked.shape[0], 8)
+        a_pad = (
+            jnp.zeros((P, M), jnp.float32).at[: stacked.shape[0]].set(stacked)
+        )
+        c = _a_times_k(
+            z_pad, norms, a_pad, alphas_arr, m,
+            n_alphas=int(alphas_arr.shape[0]), tile_d=tile_d,
+            interpret=interpret,
+        )
+        if total is None:
+            total = jnp.sum(c[n_blk, :m])  # 1 K_offdiag 1^T (ones row)
+        a = a_pad[:n_blk, :m]
+        cb = c[:n_blk, :m]
+        b = 1.0 - a
+        # the kernel zeroes the Gram diagonal, so C and the pooled total
+        # are diagonal-free already — no host-side correction
+        s_xx = jnp.sum(cb * a, axis=1)
+        s_xy = jnp.sum(cb * b, axis=1)
+        s_yy = total - s_xx - 2.0 * s_xy
+        stats_chunks.append(
+            s_xx / (n1 * (n1 - 1))
+            + s_yy / (n2 * (n2 - 1))
+            - 2.0 * s_xy / (n1 * n2)
+        )
+    return jnp.concatenate(stats_chunks, axis=0)
 
 
 def mmd_permutation_test_tiled(

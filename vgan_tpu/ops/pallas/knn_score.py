@@ -131,6 +131,13 @@ def _knn_scores_call(
             + NM * NT * 4,
             transcendentals=0,
         ),
+        # worst gated case (NTR=8192, D=128): xtr+xtr2 8 MB resident plus
+        # the two live (TILE_NT, NTR) temporaries 16 MB — past the 16 MB
+        # default scoped limit, so raise it explicitly (validated on-chip
+        # at exactly that shape)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(masks_pad, xte_pad, xte_pad * xte_pad, xtr_pad, xtr_pad * xtr_pad)
 
