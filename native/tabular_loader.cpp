@@ -149,6 +149,13 @@ int parse_rows(const char* p, const char* end, T* out, long cols,
     if (p >= end) break;
     T* row_out = out + r * cols;
     for (long c = 0; c < cols; ++c) {
+      // strtof/strtod skip ALL leading whitespace including newlines, so a
+      // short row (e.g. a trailing comma making an empty last field) would
+      // silently consume the next line's first value and shift every
+      // subsequent row. Skip intra-line whitespace ourselves and require
+      // the cell to start on THIS line.
+      while (p < end && (*p == ' ' || *p == '\t')) ++p;
+      if (p >= end || *p == '\n' || *p == '\r') return 2;  // missing field
       char* parse_end = nullptr;
       if constexpr (sizeof(T) == 4) row_out[c] = strtof(p, &parse_end);
       else row_out[c] = strtod(p, &parse_end);
@@ -160,6 +167,10 @@ int parse_rows(const char* p, const char* end, T* out, long cols,
         else return 2;
       }
     }
+    // the row must END here (modulo whitespace): extra fields beyond the
+    // first content line's column count are an error, not silently dropped
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
+    if (p < end && *p != '\n') return 2;  // ragged row (extra fields)
     p = next_line(p, end);
   }
   return 0;

@@ -158,3 +158,32 @@ def test_get_the_networks():
     gen, det = m.get_the_networks(32, 2)
     assert gen.out_features == 32 and gen.latent_size == 2
     assert det.in_features == 32 and det.latent_size == 2
+
+
+def test_count_runs_scans_indices(tmp_path):
+    """Review finding: run counting by raw file count / files_per_run
+    overwrites existing runs when foreign files or both estimator classes
+    share a models/ directory. Now: one past the highest generator index."""
+    from vgan_tpu.api.base import EstimatorBase
+
+    models = tmp_path / "models"
+    models.mkdir()
+    assert EstimatorBase._count_runs(models, 2) == 0
+    (models / "generator_0.msgpack").write_bytes(b"x")
+    assert EstimatorBase._count_runs(models, 2) == 1  # not int(1/2)==0
+    (models / "generator_3.msgpack").write_bytes(b"x")
+    (models / "detector_3.msgpack").write_bytes(b"x")
+    (models / "notes.txt").write_bytes(b"x")  # foreign file: ignored
+    assert EstimatorBase._count_runs(models, 1) == 4
+
+
+def test_ensemble_rejects_unknown_modes(rng):
+    from vgan_tpu.ensemble import SubspaceEnsemble
+
+    subs = np.ones((1, 4), bool)
+    with pytest.raises(ValueError, match="aggregation"):
+        SubspaceEnsemble(subs, np.ones(1), aggregation="avg")
+    with pytest.raises(ValueError, match="normalize"):
+        SubspaceEnsemble(subs, np.ones(1), normalize="z-score")
+    with pytest.raises(ValueError, match="base"):
+        SubspaceEnsemble(subs, np.ones(1), base="knnn")

@@ -140,3 +140,19 @@ def test_checkpoint_class_mismatch_rejected(tmp_path, rng):
 
     with pytest.raises(AssertionError, match="checkpoint is for"):
         VGAN(verbose=False).restore_checkpoint(tmp_path / "ckpt")
+
+
+def test_refit_checkpoint_stores_live_bandwidth(tmp_path, rng):
+    """Review finding: a second fit's periodic checkpoints persisted the
+    FIRST fit's self.bandwidth instead of the live state's frozen value."""
+    x1 = data(rng)
+    x2 = data(rng) * 5.0  # very different scale -> different bandwidth
+    ck = tmp_path / "bw2"
+    m = VGAN_no_kl(batch_size=32, epochs=4, verbose=False,
+                   checkpoint_dir=ck, checkpoint_every=2)
+    m.fit(x1)
+    bw1 = m.bandwidth
+    m.fit(x2)
+    m2 = VGAN_no_kl(batch_size=32, verbose=False).restore_checkpoint(ck)
+    assert m2.bandwidth != bw1
+    np.testing.assert_allclose(m2.bandwidth, m.bandwidth, rtol=1e-6)

@@ -198,3 +198,35 @@ def test_single_column_csv(tmp_path):
     np.testing.assert_allclose(fb, [[1.5], [2.5], [3.5]])
     part = io_native.load_csv(f, dtype=np.float64, skip_rows=1)
     np.testing.assert_allclose(part, [[2.5], [3.5]])
+
+
+def test_trailing_comma_not_silently_shifted(tmp_path):
+    """Review finding: strtof skips newlines, so a trailing comma consumed
+    the next line's first value and shifted all rows. Must error (numpy
+    errors on the empty field too), never return shifted data."""
+    p = tmp_path / "trail.csv"
+    p.write_text("1,2,3,\n4,5,6,\n")
+    with pytest.raises(ValueError):
+        load_csv(p)
+
+
+def test_ragged_extra_fields_rejected(tmp_path):
+    """Extra fields beyond the first content line's column count must error,
+    not be silently dropped."""
+    p = tmp_path / "ragged.csv"
+    p.write_text("h1,h2,h3\n1,2,3\n4,5,6,7\n")
+    with pytest.raises(ValueError):
+        load_csv(p)
+
+
+def test_leading_blank_then_header(tmp_path):
+    """A blank first line followed by a header parses on both the native
+    path and the numpy fallback (the fallback previously sniffed only the
+    first physical line)."""
+    from vgan_tpu.io_native import _numpy_fallback
+
+    p = tmp_path / "blankhdr.csv"
+    p.write_text("\ncol_a,col_b\n1,2\n3,4\n")
+    expected = np.asarray([[1.0, 2.0], [3.0, 4.0]])
+    np.testing.assert_array_equal(load_csv(p), expected)
+    np.testing.assert_array_equal(_numpy_fallback(str(p), np.float64), expected)

@@ -22,6 +22,7 @@ Divergences (documented, deliberate):
 from __future__ import annotations
 
 import os
+import re
 from collections import defaultdict
 from pathlib import Path
 from typing import Optional
@@ -153,9 +154,20 @@ class EstimatorBase:
 
     @staticmethod
     def _count_runs(models_dir: Path, files_per_run: int) -> int:
+        """Next free run number: one past the highest existing generator
+        index. (The reference divides the raw file count by files-per-run,
+        vgan.py:341-345 — that overwrites existing runs whenever foreign
+        files or the two estimator classes share one directory, so we scan
+        the actual indices instead; documented divergence.)"""
+        del files_per_run
         if not models_dir.exists():
             return 0
-        return int(len(os.listdir(models_dir)) / files_per_run)
+        best = -1
+        for name in os.listdir(models_dir):
+            m = re.match(r"generator_(\d+)\.(msgpack|pt)$", name)
+            if m:
+                best = max(best, int(m.group(1)))
+        return best + 1
 
     @staticmethod
     def _load_params_file(path, template):

@@ -244,6 +244,41 @@ class _VGANCommon(EstimatorBase):
 
     # -- checkpoint / resume (capability beyond the reference) ---------------
 
+    def _prepare_fit_config(self, X):
+        """Common fit prologue: clamp batch size (vgan.py:199), rebuild the
+        train config for this dataset's width."""
+        X = np.asarray(X)
+        self.batch_size = min(self.batch_size, X.shape[0])
+        self._ndims = X.shape[1]
+        self._config = config = self._make_config(self._ndims, self.batch_size)
+        self._latent_size = config.latent_size
+        return X, config
+
+    def _place_dataset(self, X):
+        """Place the dataset on device: mesh-sharded (GSPMD fit) or plain."""
+        if self.mesh is not None:
+            from vgan_tpu.parallel.input import shard_dataset
+
+            return shard_dataset(X.astype(np.float32), self.mesh,
+                                 shard_features=self.shard_features)
+        return jnp.asarray(X, dtype=jnp.float32)
+
+    def _persist_artifacts(self, save_detector: bool):
+        """Common fit epilogue: reference-layout artifacts (vgan.py:339-350
+        minus its save bugs) — generator (+detector) weights and the
+        model_snapshot CSV/params/plot set."""
+        if self.path_to_directory is None:
+            return
+        path = Path(self.path_to_directory)
+        models_dir = path / "models"
+        run_number = self._count_runs(
+            models_dir, files_per_run=2 if save_detector else 1
+        )
+        self._save_generator(models_dir, run_number, self.generator_params)
+        if save_detector:
+            self._save_detector(models_dir, run_number, self.detector_params)
+        self.model_snapshot(path, run_number, show=False)
+
     def save_checkpoint(self, path):
         """Persist the FULL train state (params + optimizer + bandwidth +
         RNG key + schedule counters) for exact mid-training resume — the
@@ -252,10 +287,14 @@ class _VGANCommon(EstimatorBase):
         from vgan_tpu.utils.checkpoint import save_train_state
 
         assert getattr(self, "train_state", None) is not None, "fit first"
-        bandwidth = self.bandwidth
-        if bandwidth is None and bool(self.train_state.bw_is_set):
-            # mid-fit periodic save: the frozen bandwidth lives in the state
+        # the LIVE train state is authoritative: self.bandwidth can be stale
+        # here (set by a PREVIOUS fit or by check_if_myopic) while a new fit
+        # froze a different value in its state — persisting the stale one
+        # would poison check_if_myopic's recommended alpha after resume
+        if bool(self.train_state.bw_is_set):
             bandwidth = float(self.train_state.bw_value)
+        else:
+            bandwidth = self.bandwidth
         meta = {
             "class": type(self).__name__,
             "ndims": self._ndims,
@@ -464,20 +503,8 @@ class VGAN(_VGANCommon):
         import time as _time
 
         t_start = _time.time()
-        X = np.asarray(X)
-        n, ndims = X.shape[0], X.shape[1]
-        self.batch_size = min(self.batch_size, n)
-        self._ndims = ndims
-        self._config = config = self._make_config(ndims, self.batch_size)
-        self._latent_size = config.latent_size
-
-        if self.mesh is not None:
-            from vgan_tpu.parallel.input import shard_dataset
-
-            x_dev = shard_dataset(X.astype(np.float32), self.mesh,
-                                  shard_features=self.shard_features)
-        else:
-            x_dev = jnp.asarray(X, dtype=jnp.float32)
+        X, config = self._prepare_fit_config(X)
+        x_dev = self._place_dataset(X)
         self._schedule = AlternationSchedule(self.iternum_d, self.iternum_g)
         # The whole fit is ONE compiled program per chunk: a single dispatch
         # and a single device->host fetch of the loss history. Without
@@ -521,14 +548,7 @@ class VGAN(_VGANCommon):
         self.detector_params = state.det_params
         self._finalize_fit(state, X.shape)
         self._log_metrics_jsonl(_time.time() - t_start)
-
-        if self.path_to_directory is not None:
-            path = Path(self.path_to_directory)
-            models_dir = path / "models"
-            run_number = self._count_runs(models_dir, files_per_run=2)
-            self._save_generator(models_dir, run_number, self.generator_params)
-            self._save_detector(models_dir, run_number, self.detector_params)
-            self.model_snapshot(path, run_number, show=False)
+        self._persist_artifacts(save_detector=True)
 
 
 class VGAN_no_kl(_VGANCommon):
@@ -636,14 +656,7 @@ class VGAN_no_kl(_VGANCommon):
         self._log_metrics_jsonl(_time.time() - t_start)
         if self.checkpoint_dir is not None:
             self.save_checkpoint(self.checkpoint_dir)
-        if self.path_to_directory is not None:
-            from pathlib import Path as _Path
-
-            path = _Path(self.path_to_directory)
-            models_dir = path / "models"
-            run_number = self._count_runs(models_dir, files_per_run=1)
-            self._save_generator(models_dir, run_number, self.generator_params)
-            self.model_snapshot(path, run_number, show=False)
+        self._persist_artifacts(save_detector=False)
 
 
     def _make_config(self, ndims: int, batch_size: int) -> TrainConfig:
@@ -667,12 +680,7 @@ class VGAN_no_kl(_VGANCommon):
         import time as _time
 
         t_start = _time.time()
-        X = np.asarray(X)
-        n, ndims = X.shape[0], X.shape[1]
-        self.batch_size = min(self.batch_size, n)
-        self._ndims = ndims
-        self._config = config = self._make_config(ndims, self.batch_size)
-        self._latent_size = config.latent_size
+        X, config = self._prepare_fit_config(X)
 
         from vgan_tpu.train.steps import init_no_kl_state, no_kl_train_epochs
 
@@ -680,13 +688,7 @@ class VGAN_no_kl(_VGANCommon):
         if self.fit_impl == "fused":
             # the fused kernel stages the (pre-permuted) dataset itself
             return self._fit_fused(X, state, config, t_start)
-        if self.mesh is not None:
-            from vgan_tpu.parallel.input import shard_dataset
-
-            x_dev = shard_dataset(X.astype(np.float32), self.mesh,
-                                  shard_features=self.shard_features)
-        else:
-            x_dev = jnp.asarray(X, dtype=jnp.float32)
+        x_dev = self._place_dataset(X)
         # The whole fit is ONE compiled program per chunk: a single dispatch
         # and a single device->host fetch of the loss history. Without
         # checkpoint_every there is exactly one chunk.
@@ -711,10 +713,4 @@ class VGAN_no_kl(_VGANCommon):
         self.generator_params = state.params
         self._finalize_fit(state, X.shape)
         self._log_metrics_jsonl(_time.time() - t_start)
-
-        if self.path_to_directory is not None:
-            path = Path(self.path_to_directory)
-            models_dir = path / "models"
-            run_number = self._count_runs(models_dir, files_per_run=1)
-            self._save_generator(models_dir, run_number, self.generator_params)
-            self.model_snapshot(path, run_number, show=False)
+        self._persist_artifacts(save_detector=False)

@@ -299,6 +299,23 @@ class SubspaceEnsemble:
         n_bins: int = 10,
         contamination: float = 0.1,
     ):
+        if aggregation not in ("average", "max", "aom", "moa"):
+            raise ValueError(
+                f"unknown aggregation={aggregation!r}: expected 'average', "
+                "'max', 'aom', or 'moa'"
+            )
+        if normalize not in (None, "zscore"):
+            raise ValueError(
+                f"unknown normalize={normalize!r}: expected 'zscore' or None"
+            )
+        if isinstance(base, str) and base not in (
+            *_BASE_SCORERS, "copod", "hbos",
+        ):
+            raise ValueError(
+                f"unknown base={base!r}: expected one of "
+                f"{sorted(_BASE_SCORERS)} + ['copod', 'hbos'] or a "
+                "pyod-style detector instance"
+            )
         self.subspaces = np.asarray(subspaces, dtype=bool)
         proba = np.asarray(proba, dtype=np.float32)
         self.proba = proba / proba.sum()
@@ -348,9 +365,6 @@ class SubspaceEnsemble:
         if self.base in ("copod", "hbos"):
             return self._dim_decision_function(x_test)
 
-        scorers = _BASE_SCORERS_EXCL if exclude_self else _BASE_SCORERS
-        scorer = scorers[self.base]
-        k = self.n_trees if self.base == "iforest" else self.k
         x_test = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
 
         if self.base == "knn" and self.mesh is None and not exclude_self:
@@ -358,41 +372,59 @@ class SubspaceEnsemble:
             if fast is not None:
                 return fast
 
+        return np.asarray(
+            self._native_scores(x_test, exclude_self, reduce=True)
+        )
+
+    def _native_scores(
+        self, x_test: jax.Array, exclude_self: bool, reduce: bool
+    ):
+        """One dispatcher for the chunked native-scorer paths (shared by
+        ``decision_function`` and ``per_subspace_scores`` so the scorer
+        selection, mask chunking, and mesh placement exist once).
+
+        ``reduce=True`` applies the 'average'/'max' aggregation inside the
+        compiled program; ``reduce=False`` returns the raw
+        (n_chunks, chunk, nt) score blocks (padding rows included).
+        """
+        scorers = _BASE_SCORERS_EXCL if exclude_self else _BASE_SCORERS
+        scorer = scorers[self.base]
+        k = self.n_trees if self.base == "iforest" else self.k
         n_shards = self.mesh.shape["data"] if self.mesh is not None else 1
         masks_np, proba_np = _chunked_masks(
             self.subspaces, self.proba, self.chunk, n_shards
         )
 
         if self.mesh is None:
-            scores = _ensemble_scores(
-                x_test,
-                self._x_train,
-                jnp.asarray(masks_np),
-                jnp.asarray(proba_np),
-                scorer=scorer,
-                k=k,
-                aggregation=self.aggregation,
-                normalize=self.normalize,
+            if reduce:
+                return _ensemble_scores(
+                    x_test, self._x_train,
+                    jnp.asarray(masks_np), jnp.asarray(proba_np),
+                    scorer=scorer, k=k,
+                    aggregation=self.aggregation, normalize=self.normalize,
+                )
+            return _per_subspace_chunked(
+                x_test, self._x_train, jnp.asarray(masks_np),
+                scorer=scorer, k=k,
             )
-        else:
-            sharded_fn = _sharded_ensemble_fn(
-                self.mesh, scorer, k, self.aggregation, self.normalize
-            )
-            chunk_spec = PartitionSpec("data", None, None)
-            masks_sh = jax.device_put(
-                masks_np, NamedSharding(self.mesh, chunk_spec)
-            )
+
+        repl = NamedSharding(self.mesh, PartitionSpec())
+        x_r = jax.device_put(x_test, repl)
+        tr_r = jax.device_put(self._x_train, repl)
+        masks_sh = jax.device_put(
+            masks_np, NamedSharding(self.mesh, PartitionSpec("data", None, None))
+        )
+        if reduce:
             proba_sh = jax.device_put(
                 proba_np, NamedSharding(self.mesh, PartitionSpec("data", None))
             )
-            repl = NamedSharding(self.mesh, PartitionSpec())
-            scores = sharded_fn(
-                jax.device_put(x_test, repl),
-                jax.device_put(self._x_train, repl),
-                masks_sh,
-                proba_sh,
+            fn = _sharded_ensemble_fn(
+                self.mesh, scorer, k, self.aggregation, self.normalize
             )
-        return np.asarray(scores)
+            return fn(x_r, tr_r, masks_sh, proba_sh)
+        return _sharded_per_subspace_fn(self.mesh, scorer, k)(
+            x_r, tr_r, masks_sh
+        )
 
     def _knn_fused_decision_function(self, x_test, force: bool = False):
         """TPU fast path: the fused projection+KNN-score Pallas kernel
@@ -483,34 +515,8 @@ class SubspaceEnsemble:
                 ).T
             )
         else:
-            scorers = _BASE_SCORERS_EXCL if exclude_self else _BASE_SCORERS
-            scorer = scorers[self.base]
-            k = self.n_trees if self.base == "iforest" else self.k
             x_test_j = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
-            n_shards = self.mesh.shape["data"] if self.mesh is not None else 1
-            masks_np, proba_np = _chunked_masks(
-                self.subspaces, self.proba, self.chunk, n_shards
-            )
-            if self.mesh is None:
-                raw = _per_subspace_chunked(
-                    x_test_j,
-                    self._x_train,
-                    jnp.asarray(masks_np),
-                    scorer=scorer,
-                    k=k,
-                )
-            else:
-                fn = _sharded_per_subspace_fn(self.mesh, scorer, k)
-                repl = NamedSharding(self.mesh, PartitionSpec())
-                masks_sh = jax.device_put(
-                    masks_np,
-                    NamedSharding(self.mesh, PartitionSpec("data", None, None)),
-                )
-                raw = fn(
-                    jax.device_put(x_test_j, repl),
-                    jax.device_put(self._x_train, repl),
-                    masks_sh,
-                )
+            raw = self._native_scores(x_test_j, exclude_self, reduce=False)
             nt = x_test_j.shape[0]
             s = np.asarray(raw).reshape(-1, nt)[: len(self.subspaces)]
         if self.normalize == "zscore":

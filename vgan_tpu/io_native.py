@@ -143,13 +143,22 @@ def load_csv(
 
 def _numpy_fallback(path: str, dtype, skip_rows: int = 0,
                     max_rows: Optional[int] = None) -> np.ndarray:
+    # find the first content line (leading blank lines are not the header —
+    # the native parser skips them; mirror that here), then sniff whether
+    # it is a header row
     with open(path) as fh:
-        first = fh.readline()
+        first_idx = 0
+        first = ""
+        for line in fh:
+            if line.strip():
+                first = line
+                break
+            first_idx += 1
     try:
         [float(v) for v in first.strip().split(",")]
-        skip = 0
+        skip = first_idx  # numeric: physically skip only the blank lines
     except ValueError:
-        skip = 1
+        skip = first_idx + 1  # header: skip blanks + the header line
     # loadtxt's skiprows counts PHYSICAL lines (including blanks), but the
     # native path's skip_rows counts content rows: load fully, then slice.
     # ndmin=2 keeps single-column files as (n, 1), not a (1, n) row vector.

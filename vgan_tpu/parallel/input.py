@@ -20,21 +20,38 @@ def shard_dataset(
     x_local: np.ndarray,
     mesh: Mesh,
     shard_features: bool = False,
+    n_total: int | None = None,
 ) -> jax.Array:
     """Assemble the global, mesh-sharded dataset from process-local rows.
 
     ``x_local`` is this process's row block (the full array on single-host).
     Rows shard over 'data'; features optionally over 'model'.
+
+    Multi-host: pass ``n_total`` (the GLOBAL row count) whenever it is not
+    a multiple of the process count — ``process_row_range``'s ceil split
+    gives the last process fewer rows, and without the explicit global
+    shape ``make_array_from_process_local_data`` infers it from the local
+    block under a uniform-split assumption, so processes would disagree.
     """
+    x_local = np.asarray(x_local)
     spec = PartitionSpec("data", "model" if shard_features else None)
     sharding = NamedSharding(mesh, spec)
     if jax.process_count() == 1:
-        return jax.device_put(np.asarray(x_local), sharding)
-    return jax.make_array_from_process_local_data(sharding, np.asarray(x_local))
+        return jax.device_put(x_local, sharding)
+    if n_total is None:
+        return jax.make_array_from_process_local_data(sharding, x_local)
+    return jax.make_array_from_process_local_data(
+        sharding, x_local, global_shape=(n_total,) + x_local.shape[1:]
+    )
 
 
 def process_row_range(n_total: int) -> tuple[int, int]:
-    """[start, end) row range this process should load (contiguous split)."""
+    """[start, end) row range this process should load (contiguous split).
+
+    The split is a ceil division, so with ``n_total % process_count != 0``
+    the last process gets fewer rows — pass ``n_total`` to
+    :func:`shard_dataset` in that case (see its docstring).
+    """
     p = jax.process_count()
     i = jax.process_index()
     per = -(-n_total // p)
