@@ -70,7 +70,7 @@ def main() -> None:
         float(losses[-1])  # real completion barrier (value fetch)
         times.append(time.time() - t0)
     dt = float(np.median(times))
-    steps = epochs * (2000 // 500)
+    steps = epochs * (x.shape[0] // config.batch_size)
     steps_per_sec = steps / dt
     log(f"train: {steps} steps in median {dt:.3f}s (runs: "
         f"{', '.join(f'{t:.2f}' for t in times)}) -> {steps_per_sec:.0f} steps/s")
@@ -94,7 +94,7 @@ def main() -> None:
         )
         float(det_hist[-1])
         dt_kl = time.time() - t0
-        kl_steps = kl_epochs * (2000 // 500)
+        kl_steps = kl_epochs * (x.shape[0] // kl_config.batch_size)
         log(f"kl train: {kl_steps} steps in {dt_kl:.3f}s -> "
             f"{kl_steps/dt_kl:.0f} steps/s (ref CPU: 18.7)")
     except Exception as e:  # pragma: no cover

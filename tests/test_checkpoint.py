@@ -72,7 +72,9 @@ def test_auto_checkpointing_fit(tmp_path, rng):
     m = VGAN_no_kl(batch_size=32, epochs=6, verbose=False,
                    checkpoint_dir=ck, checkpoint_every=2)
     m.fit(x)
-    assert (ck / "meta.json").is_file()
+    from vgan_tpu.utils.checkpoint import load_meta
+
+    assert load_meta(ck) is not None
 
     m_ref = VGAN_no_kl(batch_size=32, epochs=6, verbose=False)
     m_ref.fit(x)
@@ -156,3 +158,40 @@ def test_refit_checkpoint_stores_live_bandwidth(tmp_path, rng):
     m2 = VGAN_no_kl(batch_size=32, verbose=False).restore_checkpoint(ck)
     assert m2.bandwidth != bw1
     np.testing.assert_allclose(m2.bandwidth, m.bandwidth, rtol=1e-6)
+
+
+def test_checkpoint_atomic_pointer_and_legacy_layout(tmp_path, rng):
+    """Crash-safety: an interrupted save (dir created, pointer not flipped)
+    must leave the previous checkpoint fully readable; pre-round-3 flat
+    layouts still restore."""
+    import shutil
+
+    import jax as _jax
+
+    from vgan_tpu.train.steps import TrainConfig, init_no_kl_state
+    from vgan_tpu.utils.checkpoint import (
+        load_meta,
+        restore_train_state,
+        save_train_state,
+    )
+
+    config = TrainConfig(ndims=8, batch_size=4)
+    state = init_no_kl_state(config, _jax.random.PRNGKey(0))
+    p = tmp_path / "atomic"
+    save_train_state(p, state, {"tag": 1})
+
+    # simulate a crash mid-save: a new dir exists but LATEST never flipped
+    (p / "ckpt_99").mkdir()
+    assert load_meta(p)["tag"] == 1
+    restored = restore_train_state(p, state)
+    np.testing.assert_array_equal(
+        np.asarray(restored.key), np.asarray(state.key)
+    )
+
+    # legacy (flat) layout: state/ + meta.json directly under the path
+    legacy = tmp_path / "legacy"
+    legacy.mkdir()
+    shutil.move(str(p / "ckpt_0" / "state"), str(legacy / "state"))
+    shutil.move(str(p / "ckpt_0" / "meta.json"), str(legacy / "meta.json"))
+    assert load_meta(legacy)["tag"] == 1
+    restore_train_state(legacy, state)

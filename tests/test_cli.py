@@ -26,7 +26,9 @@ def test_fit_sample_myopic_roundtrip(data_file, tmp_path, capsys):
     assert gen.is_file()
     assert (out / "params.csv").is_file()
     assert (out / "metrics.jsonl").is_file()
-    assert (tmp_path / "ck" / "meta.json").is_file()
+    from vgan_tpu.utils.checkpoint import load_meta
+
+    assert load_meta(tmp_path / "ck") is not None
 
     rc = main(["sample", "--generator", str(gen), "--ndims", "16",
                "--nsubs", "32", "--out", str(tmp_path / "u.npy")])

@@ -481,7 +481,6 @@ class VGAN(_VGANCommon):
             temperature=self.temperature,
             iternum_d=self.iternum_d,
             iternum_g=self.iternum_g,
-            seed=self.seed,
             freeze_bandwidth=True,
             replicate_encoder_freeze=self.replicate_reference_quirks,
             replicate_generator_detach=self.replicate_reference_quirks,
@@ -665,7 +664,6 @@ class VGAN_no_kl(_VGANCommon):
             batch_size=batch_size,
             lr_g=self.lr,
             weight_decay=self.weight_decay,
-            seed=self.seed,
             freeze_bandwidth=True,
             mmd_impl=self.mmd_impl,
             gram_matmul_dtype=self.gram_matmul_dtype,

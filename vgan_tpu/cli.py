@@ -134,6 +134,9 @@ def main(argv=None) -> int:
     from vgan_tpu import VGAN, VGAN_no_kl
 
     if args.cmd == "fit":
+        if args.shard_features and args.mesh is None:
+            build_parser().error("--shard-features requires --mesh "
+                                 "(it shards the feature axis over 'model')")
         x = _load_data(args.data)
         common = dict(
             batch_size=args.batch_size,
@@ -161,7 +164,10 @@ def main(argv=None) -> int:
         else:
             model = VGAN_no_kl(lr=args.lr, **common)
         model.fit(x)
-        print(f"final loss: {model.train_history['generator_loss'][-1]}")
+        if model.train_history["generator_loss"]:
+            print(f"final loss: {model.train_history['generator_loss'][-1]}")
+        else:
+            print("final loss: n/a (0 epochs)")
         if args.checkpoint:
             model.save_checkpoint(args.checkpoint)
             print(f"checkpoint written to {args.checkpoint}")

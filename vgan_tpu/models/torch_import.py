@@ -20,6 +20,13 @@ def generator_params_from_torch_state_dict(state_dict: Dict[str, Any]) -> Dict:
     layer_indices = sorted(
         {int(k.split(".")[1]) for k in state_dict if k.startswith("main.")}
     )
+    if len(layer_indices) != 4:
+        raise ValueError(
+            "state_dict does not look like a reference generator (expected "
+            "4 'main.<i>.weight/bias' Linear layers, Generator.py:58-67; "
+            f"found layer indices {layer_indices} among keys "
+            f"{sorted(state_dict)[:6]}...) — wrong checkpoint file?"
+        )
     for out_idx, torch_idx in enumerate(layer_indices):
         w = _to_numpy(state_dict[f"main.{torch_idx}.weight"])
         b = _to_numpy(state_dict[f"main.{torch_idx}.bias"])

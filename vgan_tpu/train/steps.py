@@ -61,7 +61,9 @@ class TrainConfig:
     penalty_weight: float = 10.0  # no-kl coverage-penalty weight (vgan.py:571)
     iternum_d: int = 1
     iternum_g: int = 5
-    seed: int = 777
+    # NOTE deliberately no `seed` field: the RNG key is a TRACED input to
+    # every train program, and a seed here would join the static jit hash —
+    # multi-seed sweeps would recompile bit-identical XLA programs per seed
     freeze_bandwidth: bool = True
     replicate_encoder_freeze: bool = True
     # Reference-exact kl-generator semantics: torch 2.x `Variable(tensor)`
@@ -130,8 +132,14 @@ def _l2(x: jax.Array, y: jax.Array) -> jax.Array:
     return jnp.mean((x - y) ** 2)
 
 
-def _epoch_batches(x: jax.Array, key: jax.Array, batch_size: int) -> jax.Array:
-    """Shuffle + drop-last batching: (nb, batch_size, d), all on device."""
+def _batches_from_perm(
+    x: jax.Array, perm: jax.Array, batch_size: int
+) -> jax.Array:
+    """Drop-last batching of a ready permutation: (nb, batch_size, d).
+
+    The single guard + reshape for BOTH the in-scan shuffle and the
+    precomputed-permutation path, so their semantics cannot diverge.
+    """
     n = x.shape[0]
     if n < batch_size:
         raise ValueError(
@@ -139,8 +147,14 @@ def _epoch_batches(x: jax.Array, key: jax.Array, batch_size: int) -> jax.Array:
             "batching would train zero batches (losses would be NaN)"
         )
     nb = n // batch_size
-    perm = jax.random.permutation(key, n)[: nb * batch_size]
-    return x[perm].reshape(nb, batch_size, x.shape[-1])
+    return x[perm[: nb * batch_size]].reshape(nb, batch_size, x.shape[-1])
+
+
+def _epoch_batches(x: jax.Array, key: jax.Array, batch_size: int) -> jax.Array:
+    """Shuffle + drop-last batching: (nb, batch_size, d), all on device."""
+    return _batches_from_perm(
+        x, jax.random.permutation(key, x.shape[0]), batch_size
+    )
 
 
 # Batched-permutation precompute: one vmapped sort for all epochs is ~7x
@@ -175,15 +189,7 @@ def _epoch_inputs(state_key, x, batch_size: int, rng):
     else:
         perm, noise_src = rng
         next_key = state_key
-        if x.shape[0] < batch_size:
-            raise ValueError(
-                f"dataset has {x.shape[0]} rows < batch_size {batch_size}: "
-                "drop-last batching would train zero batches"
-            )
-        nb_ = x.shape[0] // batch_size
-        batches = x[perm[: nb_ * batch_size]].reshape(
-            nb_, batch_size, x.shape[-1]
-        )
+        batches = _batches_from_perm(x, perm, batch_size)
     return batches, noise_src, next_key
 
 

@@ -9,6 +9,7 @@ trace directory for xprof/perfetto.dev inspection.
 from __future__ import annotations
 
 import contextlib
+import functools
 
 import jax
 
@@ -17,11 +18,11 @@ def annotate(name: str):
     """Decorator: wrap a function in a named TraceAnnotation."""
 
     def deco(fn):
+        @functools.wraps(fn)
         def wrapped(*args, **kwargs):
             with jax.profiler.TraceAnnotation(name):
                 return fn(*args, **kwargs)
 
-        wrapped.__name__ = getattr(fn, "__name__", name)
         return wrapped
 
     return deco
