@@ -465,3 +465,18 @@ def test_export_rejects_bucketed_aggregation(rng, tmp_path):
                            aggregation="aom").fit(xtr)
     with pytest.raises(ValueError, match="aom"):
         export_ensemble_scorer(ens, tmp_path / "scorer.bin")
+
+
+def test_knn_fused_per_subspace_matches_generic(rng):
+    """The fused (n_masks, nt) fast path for per_subspace_scores (used by
+    'aom'/'moa' on TPU) matches the generic chunked path."""
+    xtr = rng.normal(size=(60, 6)).astype(np.float32)
+    xte = rng.normal(size=(20, 6)).astype(np.float32)
+    masks = np.asarray(
+        [[1, 1, 1, 0, 0, 0], [0, 0, 0, 1, 1, 1], [1, 0, 1, 0, 1, 0]], bool
+    )
+    ens = SubspaceEnsemble(masks, np.full(3, 1 / 3), base="knn", k=5,
+                           normalize=None, chunk=2).fit(xtr)
+    generic = ens.per_subspace_scores(xte)
+    fused = ens._knn_fused_per_subspace(jnp.asarray(xte), force=True)
+    np.testing.assert_allclose(fused, generic, rtol=1e-5, atol=1e-6)

@@ -46,3 +46,30 @@ def test_ensemble_scorer_export_roundtrip(rng, tmp_path):
         np.testing.assert_allclose(
             fn(xte), ens.decision_function(xte), rtol=1e-5, atol=1e-6
         )
+
+
+def test_per_subspace_scorer_export_roundtrip(rng, tmp_path):
+    """Exported per-subspace matrix program == live per_subspace_scores
+    (the 'aom'/'moa' serving path), across batch sizes."""
+    from vgan_tpu.ensemble import SubspaceEnsemble
+    from vgan_tpu.serving import (
+        export_per_subspace_scorer,
+        load_ensemble_scorer,
+    )
+
+    d = 8
+    xtr = rng.normal(size=(40, d)).astype(np.float32)
+    masks = rng.random(size=(5, d)) < 0.5
+    masks[:, 0] |= ~masks.any(axis=1)
+    proba = np.full(5, 0.2, np.float32)
+    ens = SubspaceEnsemble(masks, proba, base="knn", k=4, chunk=2,
+                           aggregation="aom", n_buckets=2).fit(xtr)
+
+    path = tmp_path / "per_subspace.bin"
+    export_per_subspace_scorer(ens, path)
+    fn = load_ensemble_scorer(path)  # same loader: exported.call wrapper
+    for b in (3, 11):
+        xte = rng.normal(size=(b, d)).astype(np.float32)
+        np.testing.assert_allclose(
+            fn(xte), ens.per_subspace_scores(xte), rtol=1e-5, atol=1e-6
+        )

@@ -516,12 +516,36 @@ class SubspaceEnsemble:
             )
         else:
             x_test_j = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
-            raw = self._native_scores(x_test_j, exclude_self, reduce=False)
-            nt = x_test_j.shape[0]
-            s = np.asarray(raw).reshape(-1, nt)[: len(self.subspaces)]
+            s = None
+            if self.base == "knn" and self.mesh is None and not exclude_self:
+                s = self._knn_fused_per_subspace(x_test_j)
+            if s is None:
+                raw = self._native_scores(x_test_j, exclude_self, reduce=False)
+                nt = x_test_j.shape[0]
+                s = np.asarray(raw).reshape(-1, nt)[: len(self.subspaces)]
         if self.normalize == "zscore":
             s = np.asarray(_zscore(jnp.asarray(s)))
         return s
+
+    def _knn_fused_per_subspace(self, x_test, force: bool = False):
+        """TPU fast path for the raw (n_masks, nt) matrix (same fused kernel
+        as the aggregated path). Returns None when not applicable."""
+        import jax as _jax
+
+        from vgan_tpu.ops.pallas.knn_score import (
+            knn_kernel_supported,
+            knn_scores_all_masks,
+        )
+
+        on_tpu = _jax.default_backend() in ("tpu", "axon")
+        if not (on_tpu or force):
+            return None
+        nt, d = x_test.shape
+        if not knn_kernel_supported(nt, self._x_train.shape[0], d, self.k):
+            return None
+        return np.asarray(
+            knn_scores_all_masks(x_test, self._x_train, self.subspaces, self.k)
+        )
 
     def _pyod_per_subspace_raw(self, x_test: np.ndarray) -> np.ndarray:
         """(n_subspaces, nt) raw scores from a pyod-style detector loop."""

@@ -80,7 +80,8 @@ def export_ensemble_scorer(ensemble, path) -> None:
             f"aggregation={ensemble.aggregation!r} does not export: the "
             "serialized program reduces inside mask chunks, which cannot "
             "express the bucketed 'aom'/'moa' combination — export with "
-            "aggregation='average'/'max' or serve per_subspace_scores"
+            "aggregation='average'/'max', or use export_per_subspace_scorer "
+            "and bucket on the serving side"
         )
     scorer = _BASE_SCORERS[ensemble.base]
     k = ensemble.n_trees if ensemble.base == "iforest" else ensemble.k
@@ -113,3 +114,49 @@ def load_ensemble_scorer(path):
         return np.asarray(exported.call(jnp.asarray(x_test, jnp.float32)))
 
     return fn
+
+
+def export_per_subspace_scorer(ensemble, path) -> None:
+    """Serialize the RAW per-subspace score matrix program: ``x_test (b, d)
+    -> (n_subspaces, b)`` (normalized per the ensemble's ``normalize``).
+
+    The serving side applies whatever combination it wants — this is the
+    export path for the bucketed 'aom'/'moa' modes (and for suod-style
+    per-subspace analysis), which cannot ride the chunk-reduced
+    ``export_ensemble_scorer`` program.
+    """
+    from vgan_tpu.ensemble.od import (
+        _BASE_SCORERS,
+        _chunked_masks,
+        _per_subspace_chunked,
+        _zscore,
+    )
+
+    assert ensemble._x_train is not None, "fit the ensemble first"
+    assert isinstance(ensemble.base, str) and ensemble.base in _BASE_SCORERS, (
+        "only native base scorers export"
+    )
+    scorer = _BASE_SCORERS[ensemble.base]
+    k = ensemble.n_trees if ensemble.base == "iforest" else ensemble.k
+    x_train = ensemble._x_train
+    d = x_train.shape[1]
+    n_subs = len(ensemble.subspaces)
+    masks_np, _ = _chunked_masks(
+        ensemble.subspaces, ensemble.proba, ensemble.chunk
+    )
+    masks = jnp.asarray(masks_np)
+    normalize = ensemble.normalize
+
+    def score(x_test):
+        raw = _per_subspace_chunked(
+            x_test.astype(jnp.float32), x_train, masks, scorer=scorer, k=k
+        )
+        s = raw.reshape(-1, x_test.shape[0])[:n_subs]
+        if normalize == "zscore":
+            s = _zscore(s)
+        return s
+
+    batch = jax.export.symbolic_shape("b")[0]
+    x_spec = jax.ShapeDtypeStruct((batch, d), jnp.float32)
+    exported = jax.export.export(jax.jit(score))(x_spec)
+    Path(path).write_bytes(exported.serialize())
