@@ -211,3 +211,44 @@ def test_chunked_honors_matmul_dtype(rng):
     # close (f32 accumulation) but NOT bitwise equal (operands were cast)
     np.testing.assert_allclose(float(bf16), float(f32), rtol=2e-2)
     assert float(bf16) != float(f32)
+
+
+def test_cross_impl_fuzz_value_and_grad(rng):
+    """Randomized equivalence sweep: every impl route (dense jnp, chunked
+    remat, pallas-interpret flash and S-path) must agree on loss value AND
+    gradient for arbitrary shapes/bandwidth states."""
+    from vgan_tpu.ops.mmd import mmd2_biased_stateful
+
+    for trial in range(8):
+        n1 = int(rng.integers(3, 40))
+        n2 = int(rng.integers(3, 40))
+        d = int(rng.integers(1, 30))
+        x = jnp.asarray(rng.normal(size=(n1, d)).astype(np.float32))
+        y = jnp.asarray(
+            (rng.normal(size=(n2, d)) * rng.uniform(0.5, 2.0)).astype(
+                np.float32
+            )
+        )
+        if rng.random() < 0.5:
+            bw, is_set = jnp.asarray(float(rng.uniform(0.5, 50.0))), True
+        else:
+            bw, is_set = jnp.zeros(()), False
+        args = (bw, jnp.asarray(is_set))
+
+        def val(impl, y_):
+            return mmd2_biased_stateful(x, y_, *args, impl=impl)[0]
+
+        ref = float(val("jnp", y))
+        g_ref = np.asarray(jax.grad(lambda y_: val("jnp", y_))(y))
+        for impl in ("chunked", "pallas"):
+            got = float(val(impl, y))
+            np.testing.assert_allclose(
+                got, ref, rtol=5e-4, atol=1e-7,
+                err_msg=f"trial {trial} impl={impl} value",
+            )
+            g = np.asarray(jax.grad(lambda y_: val(impl, y_))(y))
+            scale = np.abs(g_ref).max() + 1e-12
+            np.testing.assert_allclose(
+                g / scale, g_ref / scale, rtol=0, atol=5e-3,
+                err_msg=f"trial {trial} impl={impl} grad",
+            )
