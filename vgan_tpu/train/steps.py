@@ -267,6 +267,11 @@ def _no_kl_epoch_body(
             )
             return loss, bw
 
+        # NOTE: jax.checkpoint(loss_fn) was tried here (round 2) and
+        # REGRESSED the whole-fit program 36k -> 31k steps/s: inside the
+        # epoch scan XLA's fusion already avoids materializing the m^2
+        # residuals, so forced recompute only adds matmul work. (It helps
+        # eager-style per-step loops, where residuals do hit HBM.)
         (loss, bw_used), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, new_opt = opt.update(grads, opt_state, params)
         new_params = jax.tree.map(lambda p, u_: p + u_, params, updates)
