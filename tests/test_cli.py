@@ -120,3 +120,31 @@ def test_score_iforest_with_mesh(data_file, tmp_path):
     assert rc == 0
     s = np.load(tmp_path / "s.npy")
     assert s.shape == (96,) and np.all(np.isfinite(s))
+
+
+def test_score_hbos_aom(data_file, tmp_path):
+    """CLI coverage for the round-2 additions: base=hbos + aggregation=aom."""
+    out = tmp_path / "run_hb"
+    rc = main([
+        "fit", "--data", str(data_file), "--variant", "no_kl",
+        "--epochs", "1", "--batch-size", "32", "--quiet",
+        "--out", str(out),
+    ])
+    assert rc == 0
+    gen = out / "models" / "generator_0.msgpack"
+    rc = main([
+        "score", "--train", str(data_file), "--generator", str(gen),
+        "--base", "hbos", "--aggregation", "aom",
+        "--subspaces", "16", "--out", str(tmp_path / "s.npy"),
+    ])
+    assert rc == 0
+    s = np.load(tmp_path / "s.npy")
+    assert s.shape == (96,) and np.all(np.isfinite(s))
+
+
+def test_fit_shard_features_requires_mesh(data_file, tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["fit", "--data", str(data_file), "--shard-features",
+              "--epochs", "1", "--quiet"])
