@@ -148,3 +148,28 @@ def test_fit_shard_features_requires_mesh(data_file, tmp_path):
     with pytest.raises(SystemExit):
         main(["fit", "--data", str(data_file), "--shard-features",
               "--epochs", "1", "--quiet"])
+
+
+def test_export_subcommand_roundtrip(data_file, tmp_path):
+    """CLI export -> serving.load_sampler produces the same masks as the
+    estimator's generate_subspaces."""
+    out = tmp_path / "run_exp"
+    rc = main(["fit", "--data", str(data_file), "--variant", "no_kl",
+               "--epochs", "1", "--batch-size", "32", "--quiet",
+               "--out", str(out)])
+    assert rc == 0
+    gen = out / "models" / "generator_0.msgpack"
+    art = tmp_path / "sampler.bin"
+    rc = main(["export", "--generator", str(gen), "--ndims", "16",
+               "--out", str(art)])
+    assert rc == 0
+
+    from vgan_tpu import VGAN_no_kl
+    from vgan_tpu.serving import load_sampler, sample_masks
+
+    model = VGAN_no_kl(verbose=False)
+    model.load_models(gen, ndims=16)
+    expected = model.generate_subspaces(32)
+    got = sample_masks(load_sampler(art), nsubs=32,
+                       latent_size=model._latent_size, seed=model.seed)
+    np.testing.assert_array_equal(got, expected)

@@ -86,6 +86,16 @@ def build_parser() -> argparse.ArgumentParser:
     sample.add_argument("--dist", action="store_true",
                         help="print the unique-mask distribution")
 
+    export = sub.add_parser(
+        "export", help="serialize the mask sampler to a serving artifact "
+        "(jax.export StableHLO; load via vgan_tpu.serving.load_sampler)"
+    )
+    export.add_argument("--generator", required=True,
+                        help=".msgpack or reference .pt checkpoint")
+    export.add_argument("--ndims", type=int, required=True)
+    export.add_argument("--out", required=True,
+                        help="artifact path (e.g. sampler.bin)")
+
     myopic = sub.add_parser("check-myopic", help="MMD GoF test")
     myopic.add_argument("--data", required=True)
     myopic.add_argument("--generator", required=True)
@@ -209,6 +219,16 @@ def main(argv=None) -> int:
             print(f"{scores.shape} scores -> {args.out}")
         else:
             print(scores)
+        return 0
+
+    if args.cmd == "export":
+        from vgan_tpu.serving import export_sampler
+
+        model = VGAN_no_kl(verbose=False)
+        model.load_models(args.generator, ndims=args.ndims)
+        export_sampler(model, args.out)
+        print(f"sampler artifact (latent_size={model._latent_size}) -> "
+              f"{args.out}")
         return 0
 
     if args.cmd == "check-myopic":
