@@ -480,3 +480,21 @@ def test_knn_fused_per_subspace_matches_generic(rng):
     generic = ens.per_subspace_scores(xte)
     fused = ens._knn_fused_per_subspace(jnp.asarray(xte), force=True)
     np.testing.assert_allclose(fused, generic, rtol=1e-5, atol=1e-6)
+
+
+def test_dim_path_max_aggregation(rng):
+    """'max' aggregation on the one-matmul (copod/hbos) path matches the
+    per-mask maximum of raw masked sums."""
+    from vgan_tpu.ensemble import copod_dim_scores
+
+    xtr = rng.normal(size=(50, 6)).astype(np.float32)
+    xte = rng.normal(size=(12, 6)).astype(np.float32)
+    subs = np.asarray([[1, 1, 1, 0, 0, 0], [0, 0, 0, 1, 1, 1]], bool)
+    proba = np.asarray([0.5, 0.5], np.float32)
+
+    ens = SubspaceEnsemble(subs, proba, base="copod", aggregation="max",
+                           normalize=None).fit(xtr)
+    scores = ens.decision_function(xte)
+    dim = np.asarray(copod_dim_scores(jnp.asarray(xte), jnp.asarray(xtr)))
+    expected = np.maximum(dim[:, subs[0]].sum(1), dim[:, subs[1]].sum(1))
+    np.testing.assert_allclose(scores, expected, rtol=1e-5)
