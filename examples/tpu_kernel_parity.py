@@ -158,8 +158,15 @@ def check_gof_tiled():
     t0 = _time.time()
     s, p = mmd_permutation_test_tiled(xb, yb, [1.0], key, n_permutations=200)
     s, p = float(s), float(p)
-    print(f"[perf] GoF tiled m=40000, 200 perms: {_time.time()-t0:.1f}s "
-          f"(stat {s:.2e}, p {p:.3f})")
+    t_first = _time.time() - t0
+    t0 = _time.time()
+    s2, _ = mmd_permutation_test_tiled(
+        xb, yb, [1.0], jax.random.PRNGKey(99), n_permutations=200
+    )
+    float(s2)
+    t_steady = _time.time() - t0
+    print(f"[perf] GoF tiled m=40000, 200 perms: {t_steady:.2f}s steady "
+          f"(one-time compile+first {t_first:.1f}s; stat {s:.2e}, p {p:.3f})")
     return ok
 
 
