@@ -138,6 +138,30 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         log(f"gram bench skipped: {e}")
 
+    # --- secondary: stress-config fit throughput (d=10240) ------------------
+    try:
+        xs_fit = jnp.asarray(
+            rng.normal(size=(2000, 10240)).astype(np.float32)
+        )
+        stress_cfg = TrainConfig(ndims=10240, batch_size=500, mmd_impl="auto")
+        s_epochs = 100  # 400 steps
+        state_s, losses_s = no_kl_fit_program(
+            xs_fit, jax.random.PRNGKey(3), stress_cfg, s_epochs
+        )
+        float(losses_s[-1])
+        t0 = time.time()
+        state_s, losses_s = no_kl_fit_program(
+            xs_fit, jax.random.PRNGKey(4), stress_cfg, s_epochs
+        )
+        float(losses_s[-1])
+        dt_s = time.time() - t0
+        s_steps = s_epochs * (xs_fit.shape[0] // stress_cfg.batch_size)
+        log(f"stress fit (d=10240): {s_steps} steps in {dt_s:.2f}s -> "
+            f"{s_steps/dt_s:.0f} steps/s (ref CPU: 0.040)")
+        del xs_fit, state_s
+    except Exception as e:  # pragma: no cover
+        log(f"stress fit bench skipped: {e}")
+
     # --- secondary: subspaces sampled/sec -----------------------------------
     try:
         from vgan_tpu.models.generator import GeneratorBig
