@@ -2,7 +2,9 @@
 sample the operator distribution, score test points with a vmap-batched base
 detector across all subspaces in one compiled program.
 
-Run: python examples/ensemble_od.py [--base knn|knn_mean|lof]
+Run: python examples/ensemble_od.py
+       [--base knn|knn_mean|lof|iforest|copod|hbos]
+       [--aggregation average|max|aom|moa]
 """
 
 import sys

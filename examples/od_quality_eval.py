@@ -37,9 +37,21 @@ from vgan_tpu.ensemble import SubspaceEnsemble
 
 
 def auc(scores, labels):
-    order = np.argsort(scores)
-    ranks = np.empty_like(order, dtype=float)
+    """ROC AUC with midranks (ties count 0.5, matching roc_auc_score)."""
+    scores = np.asarray(scores)
+    order = np.argsort(scores, kind="stable")
+    ranks = np.empty(len(scores), dtype=float)
     ranks[order] = np.arange(len(scores))
+    # midrank tie correction: average the ranks within each tied group
+    s_sorted = scores[order]
+    i = 0
+    while i < len(s_sorted):
+        j = i
+        while j + 1 < len(s_sorted) and s_sorted[j + 1] == s_sorted[i]:
+            j += 1
+        if j > i:
+            ranks[order[i : j + 1]] = (i + j) / 2.0
+        i = j + 1
     pos = labels == 1
     return (ranks[pos].mean() - (pos.sum() - 1) / 2) / max((~pos).sum(), 1)
 
@@ -70,12 +82,16 @@ def evaluate(name, x, y, anomaly_class, args, rng):
         verbose=False,
     )
     model.fit(x_tr)
+    # sample the operator distribution ONCE; every base scores the SAME
+    # mask set (from_model would re-sample per base)
     model.approx_subspace_dist(500)
 
     full_mask = np.ones((1, x.shape[1]), bool)
     rows = []
     for base in ("knn", "iforest"):
-        ens = SubspaceEnsemble.from_model(model, base=base, k=10)
+        ens = SubspaceEnsemble(
+            model.subspaces, model.proba, base=base, k=10
+        )
         ens.fit(x_tr)
         a_sub = auc(ens.decision_function(x_te), labels)
         full = SubspaceEnsemble(

@@ -96,6 +96,10 @@ def main():
     from vgan_tpu.train.steps import NoKLTrainState, TrainConfig, no_kl_epoch
 
     index = {row.tobytes(): i for i, row in enumerate(x)}
+    assert len(index) == len(x), (
+        "duplicate rows in the dataset: the byte-level row->index map "
+        "cannot replay the torch DataLoader's permutation unambiguously"
+    )
     config = TrainConfig(ndims=D, batch_size=BS, lr_g=0.001, mmd_impl="jnp")
     params = generator_params_from_torch_state_dict(cap["gen_init"])
     opt = adadelta(config.lr_g, weight_decay=config.weight_decay)
