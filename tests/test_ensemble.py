@@ -498,3 +498,49 @@ def test_dim_path_max_aggregation(rng):
     dim = np.asarray(copod_dim_scores(jnp.asarray(xte), jnp.asarray(xtr)))
     expected = np.maximum(dim[:, subs[0]].sum(1), dim[:, subs[1]].sum(1))
     np.testing.assert_allclose(scores, expected, rtol=1e-5)
+
+
+def test_knn_fused_mean_mode_matches_generic(rng):
+    """mode='mean' in the fused kernel == vmapped mean_dist_scores_masked
+    (pyod KNN 'mean'), including through the SubspaceEnsemble fast path."""
+    from vgan_tpu.ops.pallas.knn_score import knn_scores_all_masks
+
+    xtr = rng.normal(size=(70, 6)).astype(np.float32)
+    xte = rng.normal(size=(20, 6)).astype(np.float32)
+    masks = np.asarray(
+        [[1, 1, 1, 0, 0, 0], [0, 0, 0, 1, 1, 1], [1, 0, 1, 0, 1, 0]], bool
+    )
+    k = 5
+    fused = np.asarray(knn_scores_all_masks(
+        jnp.asarray(xte), jnp.asarray(xtr), masks, k, interpret=True,
+        mode="mean",
+    ))
+    expected = np.stack([
+        np.asarray(mean_dist_scores_masked(
+            jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(m), k))
+        for m in masks
+    ])
+    np.testing.assert_allclose(fused, expected, rtol=1e-5, atol=1e-6)
+
+    ens = SubspaceEnsemble(masks, np.full(3, 1 / 3), base="knn_mean", k=k,
+                           normalize=None, chunk=2).fit(xtr)
+    generic = ens.decision_function(xte)
+    fast = ens._knn_fused_decision_function(jnp.asarray(xte), force=True)
+    np.testing.assert_allclose(fast, generic, rtol=1e-5, atol=1e-6)
+
+
+def test_knn_fused_mean_mode_with_duplicates(rng):
+    """Tie groups must contribute the right multiplicity to the k-NN mean."""
+    from vgan_tpu.ops.pallas.knn_score import knn_scores_all_masks
+
+    xtr = np.repeat(rng.normal(size=(10, 4)), 3, axis=0).astype(np.float32)
+    xte = rng.normal(size=(8, 4)).astype(np.float32)
+    mask = np.ones((1, 4), bool)
+    k = 4  # crosses tie-group boundaries (groups of 3 duplicates)
+    fused = np.asarray(knn_scores_all_masks(
+        jnp.asarray(xte), jnp.asarray(xtr), mask, k, interpret=True,
+        mode="mean",
+    ))[0]
+    d = np.sqrt(((xte[:, None] - xtr[None, :]) ** 2).sum(-1))
+    expected = np.sort(d, axis=1)[:, :k].mean(1)
+    np.testing.assert_allclose(fused, expected, rtol=1e-5, atol=1e-6)

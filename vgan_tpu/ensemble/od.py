@@ -367,7 +367,8 @@ class SubspaceEnsemble:
 
         x_test = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
 
-        if self.base == "knn" and self.mesh is None and not exclude_self:
+        if (self.base in ("knn", "knn_mean") and self.mesh is None
+                and not exclude_self):
             fast = self._knn_fused_decision_function(x_test)
             if fast is not None:
                 return fast
@@ -446,7 +447,8 @@ class SubspaceEnsemble:
         if not knn_kernel_supported(nt, self._x_train.shape[0], d, self.k):
             return None
         s = knn_scores_all_masks(
-            x_test, self._x_train, self.subspaces, self.k
+            x_test, self._x_train, self.subspaces, self.k,
+            mode="mean" if self.base == "knn_mean" else "kth",
         )  # (n_masks, nt)
         proba = jnp.asarray(self.proba)
         if self.normalize == "zscore":
@@ -517,7 +519,8 @@ class SubspaceEnsemble:
         else:
             x_test_j = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
             s = None
-            if self.base == "knn" and self.mesh is None and not exclude_self:
+            if (self.base in ("knn", "knn_mean") and self.mesh is None
+                    and not exclude_self):
                 s = self._knn_fused_per_subspace(x_test_j)
             if s is None:
                 raw = self._native_scores(x_test_j, exclude_self, reduce=False)
@@ -544,7 +547,10 @@ class SubspaceEnsemble:
         if not knn_kernel_supported(nt, self._x_train.shape[0], d, self.k):
             return None
         return np.asarray(
-            knn_scores_all_masks(x_test, self._x_train, self.subspaces, self.k)
+            knn_scores_all_masks(
+                x_test, self._x_train, self.subspaces, self.k,
+                mode="mean" if self.base == "knn_mean" else "kth",
+            )
         )
 
     def _pyod_per_subspace_raw(self, x_test: np.ndarray) -> np.ndarray:

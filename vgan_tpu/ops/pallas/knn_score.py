@@ -60,6 +60,7 @@ def _knn_kernel(
     nt: int,
     ntr: int,
     k: int,
+    mode: str,   # 'kth' (pyod KNN 'largest') or 'mean' (pyod KNN 'mean')
 ):
     t = pl.program_id(1)
     NTR = xtr_ref.shape[0]
@@ -76,22 +77,32 @@ def _knn_kernel(
         d2 = jnp.maximum(an + bn.T - 2.0 * cross, 0.0)
         d2 = jnp.where(col < ntr, d2, big)  # pad train cols are not neighbors
 
-        # exact tie-aware k-th smallest: absorb whole tie-groups per pass
+        # exact tie-aware extraction: absorb whole tie-groups per pass.
+        # 'kth': the value where the remaining counter crosses zero;
+        # 'mean': sum of the k smallest DISTANCES (a tie group contributes
+        # min(group size, remaining) copies of its sqrt'd value).
         remaining = jnp.full((d2.shape[0], 1), float(k), jnp.float32)
         kth = jnp.zeros((d2.shape[0], 1), jnp.float32)
+        dist_sum = jnp.zeros((d2.shape[0], 1), jnp.float32)
         for _ in range(k):
             cur = jnp.min(d2, axis=1, keepdims=True)
             kth = jnp.where(remaining > 0.0, cur, kth)
             ties = jnp.sum((d2 <= cur).astype(jnp.float32), axis=1,
                            keepdims=True)
+            if mode == "mean":
+                take = jnp.clip(ties, 0.0, jnp.maximum(remaining, 0.0))
+                dist_sum = dist_sum + jnp.sqrt(cur) * take
             remaining = remaining - ties
             d2 = jnp.where(d2 <= cur, big, d2)
 
-        out_ref[mi, :] = jnp.sqrt(kth[:, 0])
+        if mode == "mean":
+            out_ref[mi, :] = dist_sum[:, 0] / float(k)
+        else:
+            out_ref[mi, :] = jnp.sqrt(kth[:, 0])
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nt", "ntr", "k", "interpret")
+    jax.jit, static_argnames=("nt", "ntr", "k", "mode", "interpret")
 )
 def _knn_scores_call(
     masks_pad: jax.Array,
@@ -100,13 +111,14 @@ def _knn_scores_call(
     nt: int,
     ntr: int,
     k: int,
+    mode: str = "kth",
     interpret: bool = False,
 ) -> jax.Array:
     NM, D = masks_pad.shape
     NT = xte_pad.shape[0]
     NTR = xtr_pad.shape[0]
     grid = (NM // MASK_G, NT // TILE_NT)
-    kernel = functools.partial(_knn_kernel, nt=nt, ntr=ntr, k=k)
+    kernel = functools.partial(_knn_kernel, nt=nt, ntr=ntr, k=k, mode=mode)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -143,12 +155,15 @@ def _knn_scores_call(
 
 
 def knn_scores_all_masks(
-    x_test, x_train, masks, k: int, interpret: bool = None
+    x_test, x_train, masks, k: int, interpret: bool = None,
+    mode: str = "kth",
 ) -> jax.Array:
-    """(n_masks, nt) k-th-NN distances for every mask, one fused kernel.
+    """(n_masks, nt) KNN scores for every mask, one fused kernel.
 
-    Same semantics as vmapping ``knn_scores_masked`` over masks; requires
-    :func:`knn_kernel_supported` shapes.
+    ``mode='kth'``: k-th-NN distance (pyod KNN 'largest'), same semantics
+    as vmapping ``knn_scores_masked``; ``mode='mean'``: mean distance to
+    the k nearest (pyod KNN 'mean', = ``mean_dist_scores_masked``).
+    Requires :func:`knn_kernel_supported` shapes.
     """
     import numpy as np
 
@@ -172,7 +187,7 @@ def knn_scores_all_masks(
     xtr_pad = jnp.zeros((NTR, D), jnp.float32).at[:ntr, :d].set(x_train)
     # XLA pre-squares once; the kernel reuses both blocks every grid step
     scores = _knn_scores_call(
-        masks_pad, xte_pad, xtr_pad, nt=nt, ntr=ntr, k=int(k),
+        masks_pad, xte_pad, xtr_pad, nt=nt, ntr=ntr, k=int(k), mode=mode,
         interpret=interpret,
     )
     return scores[:nm, :nt]
