@@ -260,13 +260,16 @@ def main() -> None:
         st0 = init_no_kl_state(config, jax.random.PRNGKey(0))
         xf = np.asarray(x)
         fused_no_kl_fit(xf, st0.params, config, epochs, jax.random.PRNGKey(0))
-        t0 = time.time()
-        out = fused_no_kl_fit(
-            xf, st0.params, config, epochs, jax.random.PRNGKey(1)
-        )
-        np.asarray(out[3])
-        dt_f = time.time() - t0
-        log(f"fused whole-fit kernel: {steps} steps in {dt_f:.3f}s -> "
+        t_f = []
+        for r in range(3):  # host staging + H2D makes single runs noisy
+            t0 = time.time()
+            out = fused_no_kl_fit(
+                xf, st0.params, config, epochs, jax.random.PRNGKey(1 + r)
+            )
+            np.asarray(out[3])
+            t_f.append(time.time() - t0)
+        dt_f = float(np.median(t_f))
+        log(f"fused whole-fit kernel: {steps} steps in median {dt_f:.3f}s -> "
             f"{steps/dt_f:.0f} steps/s (scan path above is the default)")
     except Exception as e:  # pragma: no cover
         log(f"fused bench skipped: {e}")
