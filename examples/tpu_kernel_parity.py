@@ -3,7 +3,7 @@
 CI exercises the fused MMD kernels in interpreter mode on CPU
 (tests/test_pallas_gram.py); this script validates the SAME kernels as
 Mosaic-compiled TPU programs — forward and gradient against the jnp
-reference on shapes covering the flash backward, the S-materializing
+reference on shapes covering the flash backward, the rank-1 panel
 backward, d-chunking, padding edges, bf16, and the uncapped large-m flash
 regime — then reports fused fwd+bwd throughput (TFLOP/s and MFU vs v5e
 peak).
@@ -110,19 +110,22 @@ def main():
     ok &= check_parity(rng, 2048, 2048, 512, "flash: exact tile boundaries")
     ok &= check_parity(rng, 2500, 2500, 64, "flash: m=5000")
     ok &= check_parity(rng, 9000, 9000, 32, "flash: m=18000 (beyond old cap)")
-    # S-materializing backward (d past the flash budget)
-    ok &= check_parity(rng, 100, 80, 2100, "S-path: d=2100")
-    ok &= check_parity(rng, 500, 500, 10240, "S-path: stress d=10240")
+    # rank-1 panel backward (d past the flash budget)
+    ok &= check_parity(rng, 100, 80, 2100, "panel: d=2100")
+    ok &= check_parity(rng, 500, 500, 10240, "panel: stress d=10240")
+    ok &= check_parity(rng, 9000, 9000, 2560, "panel: m=18000 d=2560 (beyond old cap)")
     assert FLASH_D_MAX < 10240
 
     print()
-    time_fused(rng, 500, 500, 10240, "stress n=500x2 d=10240 (S-path)")
+    time_fused(rng, 500, 500, 10240, "stress n=500x2 d=10240 (panel)")
     time_fused(rng, 500, 500, 10240, "stress d=10240, bf16 dot",
                matmul_dtype="bfloat16")
     time_fused(rng, 4096, 4096, 1024, "m=8192 d=1024 (flash)")
     time_fused(rng, 4096, 4096, 1024, "m=8192 d=1024 flash, bf16",
                matmul_dtype="bfloat16")
     time_fused(rng, 16384, 16384, 256, "m=32768 d=256 (flash, uncapped)")
+    time_fused(rng, 20480, 20480, 10240, "m=40960 d=10240 (panel, uncapped)",
+               matmul_dtype="bfloat16", iters=2)
 
     ok &= check_gof_tiled()
 

@@ -88,27 +88,16 @@ def test_pallas_supported_gates():
     y = jnp.zeros((10, 4))
     # on CPU the fused kernel is never auto-selected
     assert not pallas_supported(x, y)
-    # small d: flash backward lifts the sample-count cap entirely
+    # no (m, d) cap since round 3: the flash backward streams any m at
+    # small d, and the rank-1 panel backward streams any m at large d
     assert shape_supported(20000, 20000, 4)
     assert shape_supported(100000, 100000, 2048)
-    # large d: capped by the S-matrix buffer
-    assert shape_supported(8000, 8000, 10240)
-    assert not shape_supported(9000, 9000, 10240)
-
-
-def test_forced_pallas_unsupported_shape_raises():
-    """impl='pallas' with an unsupported (m, d) raises instead of silently
-    materializing a >1 GiB buffer (round-1 advisor finding)."""
-    x = jnp.zeros((10000, 4096), jnp.float32)
-    y = jnp.zeros((10000, 4096), jnp.float32)
-    with pytest.raises(ValueError, match="chunked"):
-        M.mmd2_biased_stateful(
-            x, y, jnp.zeros(()), jnp.asarray(False), impl="pallas"
-        )
+    assert shape_supported(9000, 9000, 10240)
+    assert shape_supported(100000, 100000, 10240)
 
 
 def test_gradients_match_jnp_large_d(rng):
-    """d past FLASH_D_MAX exercises the S-materializing backward path."""
+    """d past FLASH_D_MAX exercises the rank-1 panel backward path."""
     n1, n2, d = 10, 8, 2100
     x = jnp.asarray(rng.normal(size=(n1, d)).astype(np.float32))
     y = jnp.asarray(rng.normal(size=(n2, d)).astype(np.float32) + 0.1)
@@ -123,6 +112,41 @@ def test_gradients_match_jnp_large_d(rng):
     np.testing.assert_allclose(
         np.asarray(g_pal), np.asarray(g_ref), rtol=2e-3, atol=1e-8
     )
+
+
+def test_panel_backward_multi_panel_parity(rng, monkeypatch):
+    """Force the rank-1 panel backward to split into several row panels and
+    check the gradient still matches the jnp reference (the regime that was
+    capped at m<=16384 before round 3)."""
+    import vgan_tpu.ops.pallas.mmd_gram as mg
+
+    n1, n2, d = 300, 280, 2100  # padded M=768, D=2560 > FLASH_D_MAX
+    # shrink the panel budget so M=768 splits into 3 panels of 256 rows
+    monkeypatch.setattr(mg, "PANEL_BYTES", 768 * 4 * 256)
+    assert mg._panel_rows(768, 256) == 256
+
+    x = jnp.asarray(rng.normal(size=(n1, d)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(n2, d)).astype(np.float32) + 0.1)
+    bw = jnp.asarray(float(d), jnp.float32)
+
+    g_ref = jax.grad(lambda y_: M.mmd2_biased(x, y_, bandwidth=bw)[0])(y)
+    g_pal = jax.grad(lambda y_: mmd2_biased_pallas(x, y_, bandwidth=bw)[0])(y)
+    np.testing.assert_allclose(
+        np.asarray(g_pal), np.asarray(g_ref), rtol=2e-3, atol=1e-8
+    )
+
+
+def test_panel_rows_sizing():
+    from vgan_tpu.ops.pallas.mmd_gram import PANEL_BYTES, _panel_rows
+
+    # small M: whole problem is one panel
+    assert _panel_rows(512, 256) == 512
+    # large M: panel capped by the byte budget, tile-aligned, >= one tile
+    M = 65536
+    r = _panel_rows(M, 512)
+    assert r % 512 == 0
+    assert r * M * 4 <= PANEL_BYTES
+    assert _panel_rows(10**6, 256) == 256
 
 
 def test_bf16_matmul_dtype_close_to_f32(rng):

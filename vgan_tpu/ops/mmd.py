@@ -36,6 +36,11 @@ import jax.numpy as jnp
 DEFAULT_N_KERNELS = 5
 DEFAULT_MUL_FACTOR = 2.0
 
+# Above this sample count the dense jnp path's (m, m) Gram is too large to
+# materialize; impl='auto' falls back to the row-blocked chunked path when
+# the fused TPU kernels are unavailable.
+_DENSE_JNP_MAX_M = 16384
+
 
 def bandwidth_multipliers(
     n_kernels: int = DEFAULT_N_KERNELS,
@@ -237,28 +242,19 @@ def mmd2_biased_stateful(
         )
     if impl != "jnp":
         from vgan_tpu.ops.pallas.mmd_gram import (
-            MAX_M_FOR_PALLAS,
             mmd2_biased_stateful_pallas,
             pallas_supported,
-            shape_supported,
         )
 
         m = x.shape[0] + y.shape[0]
-        if impl == "pallas" and not shape_supported(
-            x.shape[0], y.shape[0], x.shape[1]
-        ):
-            raise ValueError(
-                f"impl='pallas' cannot handle m={m}, d={x.shape[1]}: the "
-                f"large-d backward is capped at m={MAX_M_FOR_PALLAS}; use "
-                "impl='chunked' (row-blocked rematerializing path) instead"
-            )
         if impl == "pallas" or (impl == "auto" and pallas_supported(x, y)):
             return mmd2_biased_stateful_pallas(
                 x, y, bw_value, bw_is_set, mults, matmul_dtype
             )
-        if impl == "auto" and m > MAX_M_FOR_PALLAS:
-            # the dense jnp path would materialize the m x m matrix;
-            # beyond the cap route to the row-blocked remat path
+        if impl == "auto" and m > _DENSE_JNP_MAX_M:
+            # off-TPU (no fused kernel) the dense jnp path would
+            # materialize the m x m matrix; route to the row-blocked
+            # rematerializing path instead
             return mmd2_biased_chunked(
                 x, y, bw_value, bw_is_set, mults, matmul_dtype=matmul_dtype
             )

@@ -11,9 +11,12 @@ Neither the kernel matrix nor the distance matrix ever exists in HBM on the
 forward pass; the d-axis is chunked so d >= 10k streams through VMEM (the
 framework's "long-context" analogue, SURVEY.md section 5).
 
-Backward (custom VJP): with S = C_sym .* K'(D2) (C_sym the symmetrized
-quadrant coefficient matrix of the biased MMD, K' the kernel derivative wrt
-squared distance), the input cotangent is ``dz = 4 g (rowsum(S) * z - S @ z)``.
+Backward (custom VJP): the biased-MMD quadrant coefficient matrix is RANK-1
+— ``C_sym = q q^T`` with ``q_i = 1/n1`` on x rows, ``-1/n2`` on y rows and 0
+on padding — so with S = C_sym .* K'(D2) the input cotangent
+``dz = 4 g (rowsum(S) * z - S @ z)`` collapses to pure K' products:
+``dz = 4 g q .* ((K' @ q) * z - K' @ (q .* z))``. q zeroing the padded
+rows/cols means the kernels need no coefficient or validity masking at all.
 Two recompute backward paths — NOTHING is saved from the forward except z:
 
 - **flash path** (padded d <= FLASH_D_MAX): one streaming kernel over
@@ -21,13 +24,14 @@ Two recompute backward paths — NOTHING is saved from the forward except z:
   consumed immediately into the revisited ``S @ z`` / ``rowsum(S)`` output
   accumulators. No O(m^2) buffer at any point, so the sample count is
   UNCAPPED on this path (flash-attention-style backward for kernel methods).
-- **S-materializing path** (d beyond the flash VMEM budget): one kernel
-  recomputes D2 over d-chunks per (i, j) tile and emits the (m x m) S matrix
-  once; ``rowsum(S)`` and ``S @ z`` are then single XLA reductions/matmuls.
-  HBM traffic is O(m^2) once (vs. once per d-chunk in a residual-replay
-  design); m is capped by the S buffer (``MAX_M_FOR_PALLAS``), beyond which
-  the row-blocked rematerializing jnp path (ops.mmd.mmd2_biased_chunked)
-  takes over.
+- **panel path** (d beyond the flash VMEM budget): a scan over row panels
+  of at most ``PANEL_BYTES`` each; per panel one kernel recomputes D2 over
+  d-chunks and emits the (R, M) K' panel, which XLA immediately consumes
+  into ``K' @ q`` and ``K' @ (q .* z)`` (the rank-1 identity). Peak extra
+  memory is the panel (bounded), HBM traffic is O(m^2) once — negligible
+  against the O(m^2 d) compute in this regime — and the sample count is
+  UNCAPPED here too. (Round 2's S-materializing path, which was capped at
+  m <= 16384 by its resident (m, m) buffer, is deleted.)
 
 No gradient flows through the bandwidth (the reference detaches it,
 Mmd_loss_constrained.py:19-20) nor through the selection masks.
@@ -66,10 +70,10 @@ TILE_D = 512
 # buffering on zj) must fit ~16 MB VMEM. D <= 2048 keeps it ~10 MB.
 FLASH_D_MAX = 2048
 
-# Beyond the flash-d budget the backward materializes the (M, M) f32 S
-# matrix once; cap m so that buffer stays <= 1 GiB. Larger m with large d
-# routes to the chunked jnp path (see ops.mmd.mmd2_biased_stateful).
-MAX_M_FOR_PALLAS = 16384
+# Beyond the flash-d budget the backward streams (R, M) K'-panels; each
+# panel is capped at this many bytes (bounds peak HBM over-allocation while
+# keeping the XLA panel matmuls large enough to saturate the MXU).
+PANEL_BYTES = 1 << 28
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -94,12 +98,12 @@ def _pad_layout(m: int, d: int) -> Tuple[int, int, int]:
 def shape_supported(n1: int, n2: int, d: int) -> bool:
     """Can the fused kernels handle (n1 + n2, d) at all (any platform)?
 
-    Small-d problems of ANY sample count stream through the flash backward;
-    large-d problems are capped by the S-matrix buffer.
+    Always, since round 3: small-d problems of ANY sample count stream
+    through the flash backward, and large-d problems stream through the
+    bounded-memory rank-1 panel backward. Kept for API compatibility.
     """
-    m = n1 + n2
-    _, D, _ = _pad_layout(m, d)
-    return D <= FLASH_D_MAX or m <= MAX_M_FOR_PALLAS
+    del n1, n2, d
+    return True
 
 
 def pallas_supported(x: jax.Array, y: jax.Array) -> bool:
@@ -121,8 +125,6 @@ def pallas_supported(x: jax.Array, y: jax.Array) -> bool:
         return False
     m = x.shape[0] + y.shape[0]
     d = x.shape[1]
-    if not shape_supported(x.shape[0], y.shape[0], d):
-        return False
     return d >= TILE_D or m >= 4096
 
 
@@ -403,27 +405,23 @@ def _gram_backward_flash(
 
 
 # ---------------------------------------------------------------------------
-# S-materializing backward kernel (large d): emit S once, matmul in XLA
+# rank-1 panel backward (large d): stream bounded (R, M) K' panels
 # ---------------------------------------------------------------------------
 
 
-def _s_kernel(
+def _kprime_panel_kernel(
     zi_ref,
     zj_ref,
     ni_ref,
     nj_ref,
     bw_ref,
-    s_ref,
+    kp_ref,
     d2_scratch,
     *,
-    n1: int,
-    n2: int,
-    m: int,
     mults: Tuple[float, ...],
     n_kd: int,
-    tile_m: int,
 ):
-    i, j, kd = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    kd = pl.program_id(2)
 
     @pl.when(kd == 0)
     def _():
@@ -436,35 +434,32 @@ def _s_kernel(
     @pl.when(kd == n_kd - 1)
     def _():
         d2 = jnp.maximum(d2_scratch[:] + ni_ref[:] + nj_ref[:].T, 0.0)
-        kprime = _kernel_deriv(d2, bw_ref[0, 0], mults)
-        _, _, valid, coeff = _coeff_tile(i, j, d2.shape, n1, n2, m, tile_m)
-        s_ref[:] = jnp.where(valid, coeff * kprime, 0.0)
+        # No coefficient/validity masking: the rank-1 q weighting applied
+        # outside the kernel zeroes every padded row and column.
+        kp_ref[:] = _kernel_deriv(d2, bw_ref[0, 0], mults)
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("n1", "n2", "m", "mults", "tile_d", "tile_m", "interpret"),
+    jax.jit, static_argnames=("mults", "tile_d", "tile_m", "interpret")
 )
-def _gram_s_matrix(
-    z_pad: jax.Array,
-    norms_pad: jax.Array,
+def _kprime_panel(
+    z_rows: jax.Array,
+    z_cols: jax.Array,
+    n_rows: jax.Array,
+    n_cols: jax.Array,
     bw: jax.Array,
-    n1: int,
-    n2: int,
-    m: int,
     mults: Tuple[float, ...],
     tile_d: int,
     tile_m: int = TILE_M,
     interpret: bool = False,
 ) -> jax.Array:
-    """Recomputes D2 over d-chunks and emits the (M, M) f32 S matrix once."""
-    M, D = z_pad.shape
-    grid = (M // tile_m, M // tile_m, D // tile_d)
+    """(R, M) K'(D2) panel between ``z_rows`` (R, D) and ``z_cols`` (M, D)."""
+    R, D = z_rows.shape
+    M = z_cols.shape[0]
+    grid = (R // tile_m, M // tile_m, D // tile_d)
     n_kd = D // tile_d
-    kernel = functools.partial(
-        _s_kernel, n1=n1, n2=n2, m=m, mults=mults, n_kd=n_kd, tile_m=tile_m
-    )
-    zbytes = z_pad.dtype.itemsize
+    kernel = functools.partial(_kprime_panel_kernel, mults=mults, n_kd=n_kd)
+    zbytes = z_cols.dtype.itemsize
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -482,15 +477,86 @@ def _gram_s_matrix(
         ],
         out_specs=pl.BlockSpec((tile_m, tile_m), lambda i, j, kd: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, M), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((R, M), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tile_m, tile_m), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * M * M * D + 10 * M * M * len(mults),
-            bytes_accessed=2 * (M // TILE_M) * M * D * zbytes + M * M * 4,
-            transcendentals=M * M,
+            flops=2 * R * M * D + 10 * R * M * len(mults),
+            bytes_accessed=(R // tile_m) * M * D * zbytes
+            + (M // tile_m) * R * D * zbytes + R * M * 4,
+            transcendentals=R * M,
         ),
         interpret=interpret,
-    )(z_pad, z_pad, norms_pad, norms_pad, bw.reshape(1, 1).astype(jnp.float32))
+    )(z_rows, z_cols, n_rows, n_cols, bw.reshape(1, 1).astype(jnp.float32))
+
+
+def _panel_rows(M: int, tile_m: int) -> int:
+    """Largest tile-multiple panel height R with R * M * 4 <= PANEL_BYTES."""
+    max_rows = (PANEL_BYTES // (M * 4)) // tile_m * tile_m
+    return max(tile_m, min(M, max_rows))
+
+
+def _q_vector(n_rows: int, n1: int, m: int) -> jax.Array:
+    """Rank-1 quadrant weights: C_sym = q q^T (zero on padded rows)."""
+    rows = jnp.arange(n_rows)
+    return jnp.where(
+        rows < n1,
+        1.0 / n1,
+        jnp.where(rows < m, -1.0 / (m - n1), 0.0),
+    ).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n1", "n2", "m", "mults", "tile_d", "tile_m", "interpret"),
+)
+def _gram_backward_panel(
+    z_dot: jax.Array,
+    z_pad: jax.Array,
+    norms_pad: jax.Array,
+    bw: jax.Array,
+    n1: int,
+    n2: int,
+    m: int,
+    mults: Tuple[float, ...],
+    tile_d: int,
+    tile_m: int = TILE_M,
+    interpret: bool = False,
+) -> jax.Array:
+    """Unscaled cotangent ``rowsum(S) * z - S @ z`` via the rank-1 identity.
+
+    ``S = (q q^T) .* K'`` gives ``rowsum(S) = q .* (K' @ q)`` and
+    ``S @ z = q .* (K' @ (q .* z))`` — no S matrix ever exists; K' is
+    streamed in bounded (R, M) row panels under a scan.
+    """
+    M, D = z_pad.shape
+    R = _panel_rows(M, tile_m)
+    n_panels = _cdiv(M, R)
+    Mp = n_panels * R
+    if Mp != M:
+        pad = ((0, Mp - M), (0, 0))
+        z_rows_all = jnp.pad(z_dot, pad)
+        norms_rows_all = jnp.pad(norms_pad, pad)
+        z_orig_rows = jnp.pad(z_pad, pad)
+    else:
+        z_rows_all, norms_rows_all, z_orig_rows = z_dot, norms_pad, z_pad
+    q = _q_vector(Mp, n1, m)
+    qz = q[:M, None] * z_pad  # (M, D) f32
+
+    def body(_, p):
+        off = p * R
+        zi = jax.lax.dynamic_slice(z_rows_all, (off, 0), (R, D))
+        ni = jax.lax.dynamic_slice(norms_rows_all, (off, 0), (R, 1))
+        kp = _kprime_panel(
+            zi, z_dot, ni, norms_pad, bw, mults, tile_d, tile_m, interpret
+        )
+        a = jnp.dot(kp, q[:M], preferred_element_type=jnp.float32)  # K' @ q
+        u = jnp.dot(kp, qz, preferred_element_type=jnp.float32)  # K' @ (q.*z)
+        zp = jax.lax.dynamic_slice(z_orig_rows, (off, 0), (R, D))
+        qp = jax.lax.dynamic_slice(q, (off,), (R,))
+        return None, qp[:, None] * (a[:, None] * zp - u)
+
+    _, panels = jax.lax.scan(body, None, jnp.arange(n_panels))
+    return panels.reshape(Mp, D)[:M]
 
 
 # ---------------------------------------------------------------------------
@@ -565,20 +631,18 @@ def _mmd2_bwd(mults, n1, n2, matmul_dtype, res, g):
     M, D = z_pad.shape
     z_dot = _dot_operand(z_pad, matmul_dtype)
     interpret = _interpret_mode()
+    # dz_p = 2 g sum_j (C + C^T)_pj K'_pj (z_p - z_j) = 4 g sum_j S_pj (z_p - z_j)
+    # with S = C_sym .* K' = (q q^T) .* K' (rank-1, see module docstring).
     if D <= FLASH_D_MAX:
         sz, rs = _gram_backward_flash(
             z_dot, norms, bw, n1, n2, m, mults, interpret=interpret
         )
+        dz = 4.0 * g * (rs * z_pad - sz)
     else:
-        s = _gram_s_matrix(
-            z_dot, norms, bw, n1, n2, m, mults,
+        dz = 4.0 * g * _gram_backward_panel(
+            z_dot, z_pad, norms, bw, n1, n2, m, mults,
             tile_d=TILE_D, tile_m=_row_tile(M), interpret=interpret,
         )
-        rs = jnp.sum(s, axis=1, keepdims=True)
-        sz = jnp.dot(s, z_pad, preferred_element_type=jnp.float32)
-    # dz_p = 2 g sum_j (C + C^T)_pj K'_pj (z_p - z_j) = 4 g sum_j S_pj (z_p - z_j)
-    # with S = C_sym .* K' (the kernels compute S with the symmetrized C).
-    dz = 4.0 * g * (rs * z_pad - sz)
     dx = dz[:n1, : x_proto.shape[1]].astype(x_proto.dtype)
     dy = dz[n1:m, : y_proto.shape[1]].astype(y_proto.dtype)
     return dx, dy, jnp.zeros_like(bw)
@@ -595,13 +659,6 @@ def mmd2_pallas_core(
     matmul_dtype: Optional[str] = None,
 ) -> jax.Array:
     """Biased MMD^2 via the fused kernels, given a resolved bandwidth."""
-    if not shape_supported(x.shape[0], y.shape[0], x.shape[1]):
-        raise ValueError(
-            f"fused Pallas MMD does not support m={x.shape[0] + y.shape[0]} "
-            f"with d={x.shape[1]}: large-d backward materializes an (m, m) "
-            f"S matrix capped at m={MAX_M_FOR_PALLAS}; use impl='chunked' "
-            "(row-blocked rematerializing path) for this regime"
-        )
     return _mmd2_core(mults, x.shape[0], y.shape[0], matmul_dtype, x, y, bw)
 
 
