@@ -53,10 +53,33 @@ def main() -> None:
     config = TrainConfig(ndims=10, batch_size=500, lr_g=0.001, mmd_impl="auto")
     key = jax.random.PRNGKey(777)
 
+    # Compile-service congestion probe. Round 2 recorded a 745 s
+    # "compile+first run" for this same program (BENCH_r02) vs 10.9 s in
+    # round 1 with an UNCHANGED steady-state; the terminal compile service
+    # has load spikes (the same trivial jit cold-compiles in 0.5 s or 87 s
+    # depending on ambient load — see docs/KERNELS.md "Measurement
+    # methodology"). A slow probe means ambient congestion, not program
+    # growth; compile, first run, and steady-state are timed separately
+    # below so the three can never be conflated again.
+    probe_rows = 200 + int(time.time()) % 64  # fresh shape: defeats the
+    probe = jax.jit(lambda a: (a @ a.T).sum())  # cross-process compile cache
+    pa = jnp.ones((probe_rows, 129))
     t0 = time.time()
-    state, losses = no_kl_fit_program(x, key, config, epochs)
+    float(probe(pa))
+    log(f"compile-service probe (trivial jit, cold): {time.time() - t0:.1f}s "
+        "(>5s = ambient compile congestion)")
+
+    t0 = time.time()
+    lowered = no_kl_fit_program.lower(x, key, config, epochs)
+    t_lower = time.time() - t0
+    t0 = time.time()
+    compiled = lowered.compile()
+    t_compile = time.time() - t0
+    t0 = time.time()
+    state, losses = compiled(x, key)
     final = float(losses[-1])
-    log(f"compile+first run: {time.time() - t0:.1f}s (final loss {final:.3f})")
+    log(f"trace+lower: {t_lower:.1f}s  compile: {t_compile:.1f}s  "
+        f"first run+fetch: {time.time() - t0:.1f}s (final loss {final:.3f})")
     log("note: at d=10 the auto dispatch runs the XLA-fused jnp Gram (the "
         "Pallas kernels engage at d >= 512 or m >= 4096; their numbers are "
         "the Gram line below and examples/tpu_kernel_parity.py)")
@@ -64,9 +87,7 @@ def main() -> None:
     times = []
     for r in range(3):
         t0 = time.time()
-        state, losses = no_kl_fit_program(
-            x, jax.random.fold_in(key, r), config, epochs
-        )
+        state, losses = compiled(x, jax.random.fold_in(key, r))
         float(losses[-1])  # real completion barrier (value fetch)
         times.append(time.time() - t0)
     dt = float(np.median(times))
@@ -81,17 +102,19 @@ def main() -> None:
 
         kl_epochs = 2000
         kl_config = TrainConfig(ndims=10, batch_size=500, mmd_impl="auto")
-        phases = AlternationSchedule(1, 5).phase_array(kl_epochs)
+        phases = jnp.asarray(AlternationSchedule(1, 5).phase_array(kl_epochs))
         t0 = time.time()
-        _, det_hist, _ = kl_fit_program(
-            x, jax.random.PRNGKey(7), jnp.asarray(phases), kl_config
-        )
+        kl_compiled = kl_fit_program.lower(
+            x, jax.random.PRNGKey(7), phases, kl_config
+        ).compile()
+        t_kl_compile = time.time() - t0
+        t0 = time.time()
+        _, det_hist, _ = kl_compiled(x, jax.random.PRNGKey(7), phases)
         float(det_hist[-1])
-        log(f"kl compile+first: {time.time() - t0:.1f}s")
+        log(f"kl trace+compile: {t_kl_compile:.1f}s  "
+            f"first run+fetch: {time.time() - t0:.1f}s")
         t0 = time.time()
-        _, det_hist, _ = kl_fit_program(
-            x, jax.random.PRNGKey(8), jnp.asarray(phases), kl_config
-        )
+        _, det_hist, _ = kl_compiled(x, jax.random.PRNGKey(8), phases)
         float(det_hist[-1])
         dt_kl = time.time() - t0
         kl_steps = kl_epochs * (x.shape[0] // kl_config.batch_size)
