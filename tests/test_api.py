@@ -2,6 +2,8 @@
 workflow (the reference notebook's flow), persistence artifacts, torch
 checkpoint migration, and quirk replication."""
 
+import warnings
+
 import numpy as np
 import pytest
 
@@ -187,3 +189,35 @@ def test_ensemble_rejects_unknown_modes(rng):
         SubspaceEnsemble(subs, np.ones(1), normalize="z-score")
     with pytest.raises(ValueError, match="base"):
         SubspaceEnsemble(subs, np.ones(1), base="knnn")
+
+
+def test_check_if_myopic_precise_uncapped_routes_tiled(fitted_no_kl, rng, monkeypatch):
+    """Round 3: precision='float64' past the dense cap no longer degrades to
+    the f32 screening sweep — it streams on device with f64 host reduction
+    (cap monkeypatched small so CI exercises the route cheaply)."""
+    import vgan_tpu.ops.mmd_test as mt
+    from vgan_tpu.ops.pallas import gof_gram
+
+    calls = []
+    real = gof_gram.mmd_permutation_test_tiled_sweep
+
+    def spy(*a, **kw):
+        calls.append(kw.get("precision"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(mt, "DENSE_GOF_MAX_M", 32)
+    monkeypatch.setattr(mt, "mmd_permutation_test_tiled_sweep", spy,
+                        raising=False)
+    # the route imports the symbol from gof_gram inside the function
+    monkeypatch.setattr(gof_gram, "mmd_permutation_test_tiled_sweep", spy)
+
+    x = small_data(rng, n=80)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the round-2 degradation warning is gone
+        df = fitted_no_kl.check_if_myopic(
+            x, bandwidth=0.01, count=64, n_permutations=40,
+            precision="float64",
+        )
+    assert calls == ["float64"], calls
+    vals = df.to_numpy().ravel()
+    assert np.all((0.0 <= vals) & (vals <= 1.0))

@@ -227,3 +227,82 @@ def test_tiled_gof_chunks_permutation_axis(rng):
     s_d, p_d = mmd_permutation_test(x, y, [1.0], key, n_permutations=n_perm)
     np.testing.assert_allclose(float(s), float(s_d), rtol=2e-3, atol=1e-7)
     np.testing.assert_allclose(float(p), float(p_d), atol=0.05)
+
+
+def test_tiled_sweep_one_pass_matches_per_alpha(rng):
+    """Round 3: the k-bandwidth tiled sweep rides ONE distance-stream pass
+    (per-alpha C planes) and must agree with per-alpha pooled calls."""
+    from vgan_tpu.ops.pallas.gof_gram import (
+        mmd_permutation_test_tiled,
+        mmd_permutation_test_tiled_sweep,
+    )
+
+    x = rng.normal(size=(40, 5)).astype(np.float32)
+    y = (rng.normal(size=(40, 5)) + 0.8).astype(np.float32)
+    key = jax.random.PRNGKey(21)
+    alphas = [0.05, 0.5, 5.0]
+    s_sw, p_sw = mmd_permutation_test_tiled_sweep(
+        x, y, alphas, key, n_permutations=120
+    )
+    assert s_sw.shape == (3,) and p_sw.shape == (3,)
+    for i, a in enumerate(alphas):
+        s_1, p_1 = mmd_permutation_test_tiled(
+            x, y, [a], key, n_permutations=120
+        )
+        np.testing.assert_allclose(
+            float(s_sw[i]), float(s_1), rtol=2e-3, atol=1e-7
+        )
+        np.testing.assert_allclose(float(p_sw[i]), float(p_1), atol=0.03)
+
+
+def test_tiled_precise_matches_f64_oracle_null_regime(rng):
+    """The Kahan-C + f64-host-reduction path must reproduce the numpy-f64
+    oracle's statistics and p-values on a SHARED permutation set in the
+    null regime (tiny statistics below f32 rounding of the big sums) —
+    exactly where the plain f32 sweep collapses."""
+    from vgan_tpu.ops.mmd_test import mmd_permutation_test_sweep_precise
+    from vgan_tpu.ops.pallas.gof_gram import mmd_permutation_test_tiled_sweep
+
+    n = 300
+    x = rng.normal(size=(n, 6)).astype(np.float32)
+    y = rng.normal(size=(n, 6)).astype(np.float32)  # same distribution
+    base = np.concatenate([np.ones(n), np.zeros(n)])
+    perms = np.stack([rng.permutation(base) for _ in range(200)])
+    alphas = [0.01, 1.0]
+
+    s_ref, p_ref = mmd_permutation_test_sweep_precise(
+        x, y, alphas, n_permutations=200, permutations=perms
+    )
+    s_dev, p_dev = mmd_permutation_test_tiled_sweep(
+        x, y, alphas, jax.random.PRNGKey(0), n_permutations=200,
+        precision="float64", permutations=perms,
+    )
+    # per-entry f32 kernel rounding leaves ~(1/n)-scale noise; the oracle
+    # statistics here are O(1e-4..1e-2)
+    np.testing.assert_allclose(
+        np.asarray(s_dev), s_ref, rtol=5e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(p_dev), p_ref, atol=0.03)
+
+
+def test_precise_sweep_routes_large_m_uncapped(rng, monkeypatch):
+    """mmd_permutation_test_sweep_precise past DENSE_GOF_MAX_M streams on
+    device (f64 host reduction) instead of materializing the host Gram —
+    and still matches the dense f64 oracle on the same rng stream."""
+    import vgan_tpu.ops.mmd_test as mt
+
+    n = 80
+    x = rng.normal(size=(n, 4)).astype(np.float32)
+    y = rng.normal(size=(n, 4)).astype(np.float32)
+
+    s_dense, p_dense = mt.mmd_permutation_test_sweep_precise(
+        x, y, [0.5], rng=np.random.default_rng(5), n_permutations=100
+    )
+    monkeypatch.setattr(mt, "DENSE_GOF_MAX_M", 64)
+    s_tiled, p_tiled = mt.mmd_permutation_test_sweep_precise(
+        x, y, [0.5], rng=np.random.default_rng(5), n_permutations=100
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_tiled), s_dense, rtol=5e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(np.asarray(p_tiled), p_dense, atol=0.02)

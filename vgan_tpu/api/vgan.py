@@ -176,20 +176,11 @@ class _VGANCommon(EstimatorBase):
         bandwidth.sort()
 
         alphas = bandwidth + [float(self.bandwidth)]
-        # the f64 host path materializes the (2*count)^2 pooled Gram; past
-        # ~8k samples per side route to the streaming f32 accelerator sweep
-        # (screening precision; see ops/pallas/gof_gram.py)
-        if precision == "float64" and count > 8192:
-            import warnings
-
-            warnings.warn(
-                f"check_if_myopic: count={count} exceeds the float64 host "
-                "path's memory budget; using the float32 streaming sweep — "
-                "p-values near the null (tiny statistics) are unreliable "
-                "in f32",
-                stacklevel=2,
-            )
-            precision = "float32"
+        # precision='float64' is uncapped since round 3: past ~8k samples
+        # per side the precise sweep streams Kahan-compensated C planes on
+        # device and reduces the final quadratic forms in f64 on host
+        # (ops/pallas/gof_gram.py) instead of materializing the (2*count)^2
+        # host Gram
         if precision == "float64":
             from vgan_tpu.ops.mmd_test import mmd_permutation_test_sweep_precise
 
@@ -433,6 +424,8 @@ class VGAN(_VGANCommon):
         mesh=None,
         shard_features: bool = False,
         gram_matmul_dtype=None,
+        model_matmul_dtype=None,
+        opt_state_dtype=None,
         checkpoint_dir=None,
         checkpoint_every: int = None,
     ):
@@ -462,6 +455,8 @@ class VGAN(_VGANCommon):
         self.replicate_reference_quirks = replicate_reference_quirks
         self.elm = elm  # reference's private __elm flag (vgan.py:45)
         self.gram_matmul_dtype = gram_matmul_dtype
+        self.model_matmul_dtype = model_matmul_dtype
+        self.opt_state_dtype = opt_state_dtype
         self.verbose = verbose
         self.bandwidth = None
         # Reference quirk: seed is re-hardcoded to 777 (vgan.py:48).
@@ -487,6 +482,8 @@ class VGAN(_VGANCommon):
             elm=self.elm,
             mmd_impl=self.mmd_impl,
             gram_matmul_dtype=self.gram_matmul_dtype,
+            model_matmul_dtype=self.model_matmul_dtype,
+            opt_state_dtype=self.opt_state_dtype,
         )
 
     def get_the_networks(self, ndims: int, latent_size: int, device: str = None):
@@ -573,6 +570,8 @@ class VGAN_no_kl(_VGANCommon):
         mesh=None,
         shard_features: bool = False,
         gram_matmul_dtype=None,
+        model_matmul_dtype=None,
+        opt_state_dtype=None,
         fit_impl: str = "scan",
         checkpoint_dir=None,
         checkpoint_every: int = None,
@@ -588,6 +587,8 @@ class VGAN_no_kl(_VGANCommon):
         self.mesh = mesh
         self.shard_features = shard_features
         self.gram_matmul_dtype = gram_matmul_dtype
+        self.model_matmul_dtype = model_matmul_dtype
+        self.opt_state_dtype = opt_state_dtype
         self.fit_impl = fit_impl
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
@@ -667,6 +668,8 @@ class VGAN_no_kl(_VGANCommon):
             freeze_bandwidth=True,
             mmd_impl=self.mmd_impl,
             gram_matmul_dtype=self.gram_matmul_dtype,
+            model_matmul_dtype=self.model_matmul_dtype,
+            opt_state_dtype=self.opt_state_dtype,
         )
 
     def get_the_networks(self, ndims: int, latent_size: int, device: str = None):

@@ -139,25 +139,19 @@ def mmd_permutation_test_sweep(
     """Single-alpha tests for each alpha, batched into ONE compiled dispatch.
 
     Returns ``(statistics, p_values)``, each shape (len(alphas),).
-    Sample counts past ``DENSE_GOF_MAX_M`` stream the Gram tile-by-tile
-    (one dispatch per alpha) instead of materializing it; on that route a
-    ``mesh`` with a 'data' axis shards the permutation rows over devices.
+    Sample counts past ``DENSE_GOF_MAX_M`` stream the Gram tile-by-tile —
+    since round 3 the whole sweep rides ONE distance-stream pass (the
+    kernel emits per-alpha C planes); on that route a ``mesh`` with a
+    'data' axis shards the permutation rows over devices.
     """
-    import numpy as np
-
     if x.shape[0] + y.shape[0] > DENSE_GOF_MAX_M:
-        from vgan_tpu.ops.pallas.gof_gram import mmd_permutation_test_tiled
-
-        stats, pvals = zip(
-            *(
-                mmd_permutation_test_tiled(
-                    x, y, [float(a)], key, n_permutations=n_permutations,
-                    mesh=mesh,
-                )
-                for a in np.asarray(alphas).ravel()
-            )
+        from vgan_tpu.ops.pallas.gof_gram import (
+            mmd_permutation_test_tiled_sweep,
         )
-        return jnp.stack(stats), jnp.stack(pvals)
+
+        return mmd_permutation_test_tiled_sweep(
+            x, y, alphas, key, n_permutations=n_permutations, mesh=mesh
+        )
     z = jnp.concatenate([jnp.asarray(x), jnp.asarray(y)], axis=0)
     return _test_impl_multi(
         z,
@@ -241,6 +235,14 @@ def mmd_permutation_test_sweep_precise(
     formulation as the jitted TPU path; use the f32 TPU sweep only for
     screening clearly-separated alternatives.
 
+    Sample counts past ``DENSE_GOF_MAX_M`` route to the device streaming
+    kernel with Kahan-compensated C planes and float64 HOST reduction of
+    the final quadratic forms (ops.pallas.gof_gram) — same validity in the
+    null regime without the (m, m) f64 host Gram, so the precise test is
+    uncapped since round 3. Per-entry kernel values are f32 there (vs f64
+    here); the resulting statistic noise is ~(1/n)-scale, far below the
+    permutation spread.
+
     Returns ``(statistics, p_values)`` numpy arrays of shape (len(alphas),).
     ``permutations``: optional pre-drawn (P, m) 0/1 indicator matrix (rows
     sum to n1) for oracle-exact comparisons in tests.
@@ -251,6 +253,29 @@ def mmd_permutation_test_sweep_precise(
     y = np.asarray(y, dtype=np.float64)
     n1, n2 = x.shape[0], y.shape[0]
     m = n1 + n2
+    if m > DENSE_GOF_MAX_M:
+        from vgan_tpu.ops.pallas.gof_gram import (
+            mmd_permutation_test_tiled_sweep,
+        )
+
+        if permutations is None:
+            # draw with the host rng so determinism semantics match the
+            # dense path (same rng -> same permutation set)
+            rng = rng if rng is not None else np.random.default_rng(0)
+            base = np.concatenate([np.ones(n1), np.zeros(n2)])
+            permutations = np.stack(
+                [rng.permutation(base) for _ in range(n_permutations)]
+            )
+        stats, pvals = mmd_permutation_test_tiled_sweep(
+            x.astype(np.float32),
+            y.astype(np.float32),
+            alphas,
+            jax.random.PRNGKey(0),  # unused: permutations are pre-drawn
+            n_permutations=n_permutations,
+            precision="float64",
+            permutations=permutations,
+        )
+        return np.asarray(stats), np.asarray(pvals)
     z = np.concatenate([x, y], axis=0)
     zn = np.sum(z * z, axis=1)
     d2 = np.maximum(zn[:, None] + zn[None, :] - 2.0 * (z @ z.T), 0.0)

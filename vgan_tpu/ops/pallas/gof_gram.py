@@ -2,12 +2,24 @@
 
 The permutation MMD test (ops/mmd_test.py) needs, for every permutation
 indicator row a_p, the quadratic forms ``a_p K a_p^T`` / cross sums over the
-pooled Gram ``K = sum_alpha exp(-alpha d2)``. The dense path materializes K
+per-bandwidth Grams ``K_a = exp(-alpha d2)``. The dense path materializes K
 (m^2) — fine at the reference's count=500, impossible at m ~ 10^5. This
-kernel computes ``C = A @ K`` with K RECOMPUTED from z tile-by-tile
-(flash-attention-style: d2 from a d-chunked MXU dot, the alpha-kernel on
-the VPU, and the (P, TILE) output streamed) — no m x m buffer at any point,
-so the f32 GoF scales with the same structure as the training kernels.
+kernel computes ``C_a = A @ K_a`` for EVERY alpha in one pass, with K
+RECOMPUTED from z tile-by-tile (flash-attention-style: d2 from a d-chunked
+MXU dot, the alpha-kernels on the VPU, and the (n_alphas, P, TILE) output
+planes streamed) — no m x m buffer at any point, and a k-bandwidth sweep
+pays the dominant 2 m^2 d distance stream ONCE instead of k times.
+
+Numerics (round 3): the per-tile partials are Kahan-compensated into the C
+accumulators (error stays ~1 ulp of |C| regardless of the tile count), and
+the ``precise`` reduction computes the final quadratic forms in float64 on
+host from the fetched C planes. The unbiased statistic is a
+near-cancellation of O(m^2)-entry sums: under the null it sits at ~1e-7
+while f32 FINAL sums carry ~eps*|s_xx| ~ 1 of rounding — float64 reduction
+is what keeps null-regime p-values valid at any m (per-entry f32 kernel
+rounding contributes only ~(1/n)-scale noise to the statistic, far below
+the permutation spread). This removes round 2's count<=8192 cap on
+``check_if_myopic(precision='float64')``.
 
 The kernel zeroes the Gram diagonal (the unbiased statistic excludes
 self-pairs), and all per-permutation statistics then come from C and A in
@@ -25,6 +37,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -41,8 +54,9 @@ def _ak_kernel(
     nj_ref,
     a_ref,    # (TILE_P, TILE_M) block of A aligned with zi rows
     alphas_ref,  # (1, n_alphas) SMEM
-    c_ref,    # (TILE_P, TILE_M) output block, accumulated over j and kd
+    c_ref,    # (n_alphas, TILE_P, TILE_M) output planes, Kahan-accumulated
     d2_scratch,
+    comp_scratch,  # (n_alphas, TILE_P, TILE_M) Kahan compensation
     *,
     m: int,
     n_alphas: int,
@@ -53,6 +67,7 @@ def _ak_kernel(
     @pl.when(jnp.logical_and(j == 0, kd == 0))
     def _():
         c_ref[:] = jnp.zeros_like(c_ref)
+        comp_scratch[:] = jnp.zeros_like(comp_scratch)
 
     @pl.when(kd == 0)
     def _():
@@ -66,21 +81,26 @@ def _ak_kernel(
     @pl.when(kd == n_kd - 1)
     def _():
         d2 = jnp.maximum(d2_scratch[:] + ni_ref[:] + nj_ref[:].T, 0.0)
-        k = jnp.zeros_like(d2)
-        for a_idx in range(n_alphas):
-            k = k + jnp.exp(-alphas_ref[0, a_idx] * d2)
         rows = j * TILE_M + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
         cols = i * TILE_M + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
         # zero the diagonal in-kernel: the unbiased statistic excludes
         # self-pairs, and the numerical diagonal of the streamed Gram is
-        # NOT exactly n_alphas (the chunked dot's d2_ii has f32 residual),
-        # so a constant host-side correction would bias the statistic —
+        # NOT exactly 1 (the chunked dot's d2_ii has f32 residual), so a
+        # constant host-side correction would bias the statistic —
         # excluding it here matches the dense path's actual-diagonal
         # subtraction exactly-by-construction
         valid = (rows < m) & (cols < m) & (rows != cols)
-        k = jnp.where(valid, k, 0.0)
-        # C[:, i-cols] += A[:, j-rows] @ K[j-rows, i-cols]
-        c_ref[:] += jnp.dot(a_ref[:], k, preferred_element_type=jnp.float32)
+        a_blk = a_ref[:]
+        for a_idx in range(n_alphas):
+            k = jnp.where(valid, jnp.exp(-alphas_ref[0, a_idx] * d2), 0.0)
+            # C_a[:, i-cols] += A[:, j-rows] @ K_a[j-rows, i-cols], with
+            # Kahan compensation across the j-tile partials so C carries
+            # ~1 ulp of error however many tiles are accumulated
+            partial = jnp.dot(a_blk, k, preferred_element_type=jnp.float32)
+            y = partial - comp_scratch[a_idx]
+            t = c_ref[a_idx] + y
+            comp_scratch[a_idx] = (t - c_ref[a_idx]) - y
+            c_ref[a_idx] = t
 
 
 @functools.partial(
@@ -96,7 +116,11 @@ def _a_times_k(
     tile_d: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """C = A @ K(z) without materializing K. Shapes padded to tiles."""
+    """``C_a = A @ K_a(z)`` for every alpha, without materializing any K.
+
+    Returns (n_alphas, P, M); shapes padded to tiles. One pass over the
+    distance stream covers the whole alpha sweep.
+    """
     M, D = z_pad.shape
     P = a_pad.shape[0]
     grid = (M // TILE_M, M // TILE_M, D // tile_d)
@@ -121,18 +145,36 @@ def _a_times_k(
             pl.BlockSpec((1, n_alphas), lambda i, j, kd: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((P, TILE_M), lambda i, j, kd: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P, M), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TILE_M, TILE_M), jnp.float32)],
+        out_specs=pl.BlockSpec(
+            (n_alphas, P, TILE_M), lambda i, j, kd: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_alphas, P, M), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_M, TILE_M), jnp.float32),
+            pltpu.VMEM((n_alphas, P, TILE_M), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * M * M * D + 2 * M * M * P,
+            flops=2 * M * M * D + 2 * M * M * P * n_alphas,
             bytes_accessed=(M // TILE_M) * (2 * M * D + M * P) * 4,
             transcendentals=M * M * n_alphas,
         ),
         interpret=interpret,
     )(z_pad, z_pad, norms_pad, norms_pad, a_pad,
       alphas.reshape(1, -1).astype(jnp.float32))
+
+
+def _stats_from_c_f32(c, a, totals, n1, n2):
+    """(n_alphas, n_rows) statistics from C planes — f32, on device."""
+    b = 1.0 - a
+    s_xx = jnp.einsum("apm,pm->ap", c, a)
+    s_xy = jnp.einsum("apm,pm->ap", c, b)
+    s_yy = totals[:, None] - s_xx - 2.0 * s_xy
+    return (
+        s_xx / (n1 * (n1 - 1))
+        + s_yy / (n2 * (n2 - 1))
+        - 2.0 * s_xy / (n1 * n2)
+    )
 
 
 def _stats_for_rows(
@@ -145,6 +187,7 @@ def _stats_for_rows(
     m: int,
     tile_d: int,
     interpret: bool,
+    precise: bool = False,
 ) -> jax.Array:
     """Unbiased two-sample MMD statistics for a block of indicator rows.
 
@@ -154,16 +197,21 @@ def _stats_for_rows(
     in TILE_P-sized chunks (the kernel's A/C blocks live whole in VMEM), an
     all-ones row appended per chunk for the pooled total. All-zero caller
     padding rows yield garbage statistics the caller drops.
+
+    Returns (n_alphas, n_rows). ``precise=True`` reduces the quadratic
+    forms in float64 on HOST from the fetched C planes (valid null-regime
+    p-values at any m; not shard_map-compatible — single-device only).
     """
     n_rows, M = a_rows.shape
+    n_alphas = int(alphas_arr.shape[0])
     ones_row = jnp.zeros((1, M), jnp.float32).at[0, :m].set(1.0)
 
     # chunk the permutation axis: the kernel holds its whole A/C block in
-    # VMEM (a (P, TILE_M) pair), so P must be bounded — TILE_P rows per
-    # kernel call keeps the blocks ~0.5 MB each while amortizing the
-    # distance stream over TILE_P permutations
+    # VMEM (a (P, TILE_M) pair per alpha), so P must be bounded — TILE_P
+    # rows per kernel call keeps the blocks ~0.5 MB each while amortizing
+    # the distance stream over TILE_P permutations
     stats_chunks = []
-    total = None
+    totals = None
     for start in range(0, n_rows, TILE_P):
         block = a_rows[start : start + TILE_P]
         n_blk = block.shape[0]
@@ -174,58 +222,43 @@ def _stats_for_rows(
         )
         c = _a_times_k(
             z_pad, norms, a_pad, alphas_arr, m,
-            n_alphas=int(alphas_arr.shape[0]), tile_d=tile_d,
-            interpret=interpret,
+            n_alphas=n_alphas, tile_d=tile_d, interpret=interpret,
         )
-        if total is None:
-            total = jnp.sum(c[n_blk, :m])  # 1 K_offdiag 1^T (ones row)
-        a = a_pad[:n_blk, :m]
-        cb = c[:n_blk, :m]
-        b = 1.0 - a
-        # the kernel zeroes the Gram diagonal, so C and the pooled total
-        # are diagonal-free already — no host-side correction
-        s_xx = jnp.sum(cb * a, axis=1)
-        s_xy = jnp.sum(cb * b, axis=1)
-        s_yy = total - s_xx - 2.0 * s_xy
-        stats_chunks.append(
-            s_xx / (n1 * (n1 - 1))
-            + s_yy / (n2 * (n2 - 1))
-            - 2.0 * s_xy / (n1 * n2)
-        )
-    return jnp.concatenate(stats_chunks, axis=0)
+        if precise:
+            c_np = np.asarray(c, dtype=np.float64)
+            a_np = np.asarray(a_pad[:n_blk, :m], dtype=np.float64)
+            if totals is None:
+                totals = c_np[:, n_blk, :m].sum(axis=1)  # 1 K_offdiag 1^T
+            cb = c_np[:, :n_blk, :m]
+            b_np = 1.0 - a_np
+            s_xx = np.einsum("apm,pm->ap", cb, a_np)
+            s_xy = np.einsum("apm,pm->ap", cb, b_np)
+            s_yy = totals[:, None] - s_xx - 2.0 * s_xy
+            stats_chunks.append(
+                s_xx / (n1 * (n1 - 1))
+                + s_yy / (n2 * (n2 - 1))
+                - 2.0 * s_xy / (n1 * n2)
+            )
+        else:
+            if totals is None:
+                totals = jnp.sum(c[:, n_blk, :m], axis=1)
+            stats_chunks.append(
+                _stats_from_c_f32(
+                    c[:, :n_blk, :m], a_pad[:n_blk, :m], totals, n1, n2
+                )
+            )
+    if precise:
+        return np.concatenate(stats_chunks, axis=1)
+    return jnp.concatenate(stats_chunks, axis=1)
 
 
-def mmd_permutation_test_tiled(
-    x: jax.Array,
-    y: jax.Array,
-    alphas,
-    key: jax.Array,
-    n_permutations: int = 1000,
-    interpret: bool = None,
-    mesh=None,
-) -> Tuple[jax.Array, jax.Array]:
-    """Large-m counterpart of ``mmd_permutation_test`` (f32, streaming K).
+def _pooled_pad_rows(x, y, key, n_permutations, permutations=None):
+    """Shared setup: padded z/norms and the [observed; permutations] rows.
 
-    Same statistic and permutation semantics as ops.mmd_test._test_impl,
-    but the pooled Gram never materializes: peak memory is O(P m) for the
-    indicator rows. Use for screening at sample counts where the dense
-    path's m^2 buffer cannot exist; the float64 host path remains the
-    precision reference for null-regime p-values.
-
-    With ``mesh`` (a ``jax.sharding.Mesh`` with a 'data' axis) the
-    permutation rows shard over devices — each device streams C = A_loc @ K
-    for its local rows against replicated z (SURVEY.md section 2b: the GoF
-    test's parallel axis; no collectives until the host gather of the (P,)
-    statistics). Scaling note: the A@K term (2 m^2 P_loc flops) shards, but
-    every device still recomputes the full distance/kernel stream
-    (2 m^2 d flops + m^2 n_alphas exps), so near-linear speedup requires
-    the permutation count to dominate (P >> d) — the regime of bootstrap
-    p-values at P in the hundreds-to-thousands with moderate d.
+    ``permutations``: optional pre-drawn (P, m) 0/1 indicator matrix (rows
+    sum to n1) replacing the key-drawn set — for oracle-exact comparisons
+    and host-rng determinism parity with the dense precise path.
     """
-    import numpy as np
-
-    if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     n1, n2 = x.shape[0], y.shape[0]
@@ -241,18 +274,75 @@ def mmd_permutation_test_tiled(
     base = jnp.concatenate(
         [jnp.ones((n1,), jnp.float32), jnp.zeros((n2,), jnp.float32)]
     )
-    perm_keys = jax.random.split(key, n_permutations)
-    perms = jax.vmap(lambda kk: jax.random.permutation(kk, base))(perm_keys)
+    if permutations is None:
+        perm_keys = jax.random.split(key, n_permutations)
+        perms = jax.vmap(lambda kk: jax.random.permutation(kk, base))(
+            perm_keys
+        )
+    else:
+        perms = jnp.asarray(permutations, jnp.float32)
     # rows: [observed, permutations...]; padded to M columns
     a_rows = jnp.concatenate([base[None, :], perms], axis=0)
     n_rows = a_rows.shape[0]
     a_rows = jnp.zeros((n_rows, M), jnp.float32).at[:, :m].set(a_rows)
+    return z_pad, norms, a_rows, n1, n2, m, tile_d
 
-    alphas_arr = jnp.asarray([float(a) for a in np.asarray(alphas).ravel()])
+
+def mmd_permutation_test_tiled_sweep(
+    x: jax.Array,
+    y: jax.Array,
+    alphas,
+    key: jax.Array,
+    n_permutations: int = 1000,
+    interpret: bool = None,
+    mesh=None,
+    precision: str = "float32",
+    permutations=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-alpha large-m permutation tests in ONE distance-stream pass.
+
+    Returns ``(statistics, p_values)``, each shape (n_alphas,). Same
+    statistic and permutation semantics as ops.mmd_test._test_impl_multi,
+    but the per-alpha Grams never materialize: the kernel emits all
+    ``C_a = A @ K_a`` planes while streaming distances once, so a
+    k-bandwidth sweep costs ~one single-alpha pass (the dominant 2 m^2 d
+    term is shared; only the O(m^2 P) A@K matmuls and exps scale with k).
+
+    ``precision='float64'`` reduces the final quadratic forms in float64 on
+    host (Kahan-compensated C planes fetched once per TILE_P chunk) —
+    REQUIRED for valid p-values near the null, where the ~1e-7 statistic
+    sits below f32 rounding of the O(m^2)-magnitude sums. Single-device
+    only (``mesh`` must be None).
+
+    With ``mesh`` (a ``jax.sharding.Mesh`` with a 'data' axis) the
+    permutation rows shard over devices — each device streams its local
+    C planes against replicated z (SURVEY.md section 2b: the GoF test's
+    parallel axis; no collectives until the host gather of the (P,)
+    statistics). Scaling note: the A@K term (2 m^2 P_loc k flops) shards,
+    but every device still recomputes the full distance stream (2 m^2 d
+    flops), so near-linear speedup requires P * n_alphas >> d.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    precise = precision == "float64"
+    if precise and mesh is not None:
+        raise ValueError(
+            "precision='float64' reduces on host and cannot run under "
+            "shard_map; pass mesh=None (the f32 mesh path remains available "
+            "for screening)"
+        )
+    z_pad, norms, a_rows, n1, n2, m, tile_d = _pooled_pad_rows(
+        x, y, key, n_permutations, permutations
+    )
+    alphas_arr = jnp.asarray(
+        [float(a) for a in np.asarray(alphas).ravel()], jnp.float32
+    )
+    n_rows = a_rows.shape[0]
 
     if mesh is None:
         stats = _stats_for_rows(
-            a_rows, z_pad, norms, alphas_arr, n1, n2, m, tile_d, interpret
+            a_rows, z_pad, norms, alphas_arr, n1, n2, m, tile_d, interpret,
+            precise=precise,
         )
     else:
         from jax import shard_map
@@ -261,7 +351,7 @@ def mmd_permutation_test_tiled(
         n_dev = mesh.shape["data"]
         pad = (-n_rows) % n_dev
         a_sh = jnp.concatenate(
-            [a_rows, jnp.zeros((pad, M), jnp.float32)], axis=0
+            [a_rows, jnp.zeros((pad, a_rows.shape[1]), jnp.float32)], axis=0
         )
 
         def local(a_loc, z_pad, norms):
@@ -277,16 +367,105 @@ def mmd_permutation_test_tiled(
                 PartitionSpec(),
                 PartitionSpec(),
             ),
-            out_specs=PartitionSpec("data"),
+            out_specs=PartitionSpec(None, "data"),
             check_vma=False,
         )
         repl = NamedSharding(mesh, PartitionSpec())
         stats = fn(
-            jax.device_put(a_sh, NamedSharding(mesh, PartitionSpec("data", None))),
+            jax.device_put(
+                a_sh, NamedSharding(mesh, PartitionSpec("data", None))
+            ),
             jax.device_put(z_pad, repl),
             jax.device_put(norms, repl),
-        )[:n_rows]
+        )[:, :n_rows]
+
+    stats = np.asarray(stats)
+    observed = stats[:, 0]
+    pvals = np.mean(stats[:, 1:] >= observed[:, None], axis=1)
+    return jnp.asarray(observed), jnp.asarray(pvals)
+
+
+def mmd_permutation_test_tiled(
+    x: jax.Array,
+    y: jax.Array,
+    alphas,
+    key: jax.Array,
+    n_permutations: int = 1000,
+    interpret: bool = None,
+    mesh=None,
+    precision: str = "float32",
+) -> Tuple[jax.Array, jax.Array]:
+    """Large-m counterpart of ``mmd_permutation_test`` (streaming K).
+
+    Pools the alphas into one kernel ``K = sum_a K_a`` (linearity of
+    C = A @ K lets the per-alpha planes sum after the fact) and returns the
+    scalar ``(statistic, p_value)``. See
+    :func:`mmd_permutation_test_tiled_sweep` for the per-alpha sweep and
+    the ``precision`` / ``mesh`` semantics.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    precise = precision == "float64"
+    if precise and mesh is not None:
+        raise ValueError(
+            "precision='float64' reduces on host and cannot run under "
+            "shard_map; pass mesh=None"
+        )
+    z_pad, norms, a_rows, n1, n2, m, tile_d = _pooled_pad_rows(
+        x, y, key, n_permutations
+    )
+    alphas_arr = jnp.asarray(
+        [float(a) for a in np.asarray(alphas).ravel()], jnp.float32
+    )
+    n_rows = a_rows.shape[0]
+
+    if mesh is None:
+        stats = _stats_for_rows(
+            a_rows, z_pad, norms, alphas_arr, n1, n2, m, tile_d, interpret,
+            precise=precise,
+        )
+        stats = np.asarray(stats).sum(axis=0)  # pool alphas (linear in K)
+    else:
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_dev = mesh.shape["data"]
+        pad = (-n_rows) % n_dev
+        a_sh = jnp.concatenate(
+            [a_rows, jnp.zeros((pad, a_rows.shape[1]), jnp.float32)], axis=0
+        )
+
+        def local(a_loc, z_pad, norms):
+            return jnp.sum(
+                _stats_for_rows(
+                    a_loc, z_pad, norms, alphas_arr, n1, n2, m, tile_d,
+                    interpret,
+                ),
+                axis=0,
+            )
+
+        fn = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                PartitionSpec("data", None),
+                PartitionSpec(),
+                PartitionSpec(),
+            ),
+            out_specs=PartitionSpec("data"),
+            check_vma=False,
+        )
+        repl = NamedSharding(mesh, PartitionSpec())
+        stats = np.asarray(
+            fn(
+                jax.device_put(
+                    a_sh, NamedSharding(mesh, PartitionSpec("data", None))
+                ),
+                jax.device_put(z_pad, repl),
+                jax.device_put(norms, repl),
+            )[:n_rows]
+        )
 
     observed = stats[0]
-    pval = jnp.mean((stats[1:] >= observed).astype(jnp.float32))
-    return observed, pval
+    pval = np.mean(stats[1:] >= observed)
+    return jnp.asarray(observed), jnp.asarray(pval)
