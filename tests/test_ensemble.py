@@ -327,7 +327,10 @@ def test_hbos_dim_scores_match_numpy(rng):
         counts = np.bincount(idx_tr, minlength=n_bins).astype(np.float64)
         density = counts / (len(xtr) * width)
         idx_te = np.clip(((xte[:, j] - lo) / width).astype(int), 0, n_bins - 1)
-        expected[:, j] = -np.log(density[idx_te] + eps)
+        in_range = (xte[:, j] >= lo) & (xte[:, j] <= hi)
+        # out-of-range values get the floor density (maximal score), not an
+        # edge bin's density (advisor fix)
+        expected[:, j] = -np.log(np.where(in_range, density[idx_te], 0.0) + eps)
     np.testing.assert_allclose(ours, expected, rtol=1e-4)
 
 
@@ -371,7 +374,7 @@ def test_per_subspace_scores_consistent_with_average(rng):
 
 def test_aom_moa_bucketed_aggregation(rng):
     """'aom'/'moa' (combo parity) against a hand-computed bucketing of
-    per_subspace_scores (round-robin buckets)."""
+    per_subspace_scores (seed-0 shuffle, then round-robin buckets)."""
     xtr = rng.normal(size=(40, 6)).astype(np.float32)
     xte = rng.normal(size=(10, 6)).astype(np.float32)
     subs = np.stack([np.roll([1, 1, 1, 0, 0, 0], i) for i in range(4)]).astype(bool)
@@ -380,14 +383,16 @@ def test_aom_moa_bucketed_aggregation(rng):
     ens = SubspaceEnsemble(subs, proba, base="knn", k=3, chunk=2,
                            aggregation="aom", n_buckets=2)
     ens.fit(xtr)
-    s = ens.per_subspace_scores(xte)
+    s = np.asarray(ens.per_subspace_scores(xte))
 
-    # round-robin buckets: {0, 2} and {1, 3}
-    aom = 0.5 * (np.maximum(s[0], s[2]) + np.maximum(s[1], s[3]))
+    # deterministic seed-0 shuffle (advisor fix: decorrelates adjacent
+    # masks), then round-robin buckets over the shuffled order
+    sp = s[np.random.default_rng(0).permutation(4)]
+    aom = 0.5 * (np.maximum(sp[0], sp[2]) + np.maximum(sp[1], sp[3]))
     np.testing.assert_allclose(ens.decision_function(xte), aom, rtol=1e-5)
 
     ens.aggregation = "moa"
-    moa = np.maximum((s[0] + s[2]) / 2, (s[1] + s[3]) / 2)
+    moa = np.maximum((sp[0] + sp[2]) / 2, (sp[1] + sp[3]) / 2)
     np.testing.assert_allclose(ens.decision_function(xte), moa, rtol=1e-5)
 
 
@@ -544,3 +549,80 @@ def test_knn_fused_mean_mode_with_duplicates(rng):
     d = np.sqrt(((xte[:, None] - xtr[None, :]) ** 2).sum(-1))
     expected = np.sort(d, axis=1)[:, :k].mean(1)
     np.testing.assert_allclose(fused, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_knn_fused_exclude_self_matches_generic(rng):
+    """Round 3: exclude_self rides the fused kernel (in-kernel positional
+    diagonal drop) and matches the generic path — the predict() scoring
+    pattern where the leading test rows ARE the train rows."""
+    xtr = rng.normal(size=(50, 8)).astype(np.float32)
+    xte = rng.normal(size=(20, 8)).astype(np.float32)
+    both = np.concatenate([xtr, xte])
+    masks = rng.uniform(size=(12, 8)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.full(12, 1 / 12)
+
+    for base in ("knn", "knn_mean"):
+        for agg in ("average", "max"):
+            ens = SubspaceEnsemble(masks, proba, base=base, k=5,
+                                   aggregation=agg, normalize=None, chunk=4)
+            ens.fit(xtr)
+            generic = np.asarray(
+                ens._native_scores(jnp.asarray(both), True, reduce=True)
+            )
+            fused = ens._knn_fused_decision_function(
+                jnp.asarray(both), force=True, exclude_self=True
+            )
+            np.testing.assert_allclose(fused, generic, rtol=1e-5, atol=1e-6,
+                                       err_msg=f"{base}/{agg}")
+
+
+def test_knn_fused_per_subspace_exclude_self(rng):
+    """per_subspace_scores(exclude_self=True) fused == generic."""
+    xtr = rng.normal(size=(40, 6)).astype(np.float32)
+    masks = rng.uniform(size=(8, 6)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    ens = SubspaceEnsemble(masks, np.full(8, 1 / 8), base="knn", k=4,
+                           normalize=None, chunk=4).fit(xtr)
+    generic = np.asarray(
+        ens._native_scores(jnp.asarray(xtr), True, reduce=False)
+    ).reshape(-1, xtr.shape[0])[:8]
+    fused = ens._knn_fused_per_subspace(
+        jnp.asarray(xtr), force=True, exclude_self=True
+    )
+    np.testing.assert_allclose(fused, generic, rtol=1e-5, atol=1e-6)
+
+
+def test_knn_fused_mesh_matches_single_device(rng):
+    """The fused kernel composed with mesh= (mask-sharded shard_map +
+    psum/pmax) matches the single-device fused path, including a mask
+    count that does not divide the device count (zero-proba padding)."""
+    import jax
+    from jax.sharding import Mesh
+
+    xtr = rng.normal(size=(40, 8)).astype(np.float32)
+    xte = rng.normal(size=(24, 8)).astype(np.float32)
+    both = np.concatenate([xtr, xte])
+    masks = rng.uniform(size=(13, 8)) < 0.5  # 13 % 8 != 0 -> padded shards
+    masks[~masks.any(axis=1), 0] = True
+    proba = rng.uniform(size=13) + 0.1
+    proba = proba / proba.sum()
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+
+    for agg in ("average", "max"):
+        for excl, x_in in ((False, xte), (True, both)):
+            single = SubspaceEnsemble(masks, proba, base="knn", k=5,
+                                      aggregation=agg, normalize=None)
+            single.fit(xtr)
+            ref = single._knn_fused_decision_function(
+                jnp.asarray(x_in), force=True, exclude_self=excl
+            )
+            sharded = SubspaceEnsemble(masks, proba, base="knn", k=5,
+                                       aggregation=agg, normalize=None,
+                                       mesh=mesh)
+            sharded.fit(xtr)
+            out = sharded._knn_fused_decision_function(
+                jnp.asarray(x_in), force=True, exclude_self=excl
+            )
+            np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6,
+                                       err_msg=f"{agg}/excl={excl}")

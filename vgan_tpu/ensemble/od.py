@@ -143,9 +143,12 @@ def hbos_dim_scores(
     ``O[i, j] = -log(density_j(bin(x_ij)) + eps)`` with equal-width
     histograms of the train column. Like COPOD, the per-dim structure makes
     the whole subspace ensemble ONE matmul ``O @ masks.T``.
-    Simplifications vs pyod's HBOS (documented): test values outside the
-    train range are clipped into the edge bins, and no bin-width smoothing
-    parameter (``alpha``/``tol``) is applied.
+    Test values OUTSIDE the train range get the floor density (maximal
+    score ``-log(eps)``) rather than inheriting an edge bin's density —
+    an extreme out-of-range outlier must not score like an edge inlier
+    (round-2 advisor finding; pyod's HBOS likewise penalizes out-of-range
+    points). Simplification vs pyod's HBOS (documented): no bin-width
+    smoothing parameter (``alpha``/``tol``) is applied.
     """
     n_tr = x_train.shape[0]
     eps = 1e-12
@@ -159,7 +162,8 @@ def hbos_dim_scores(
         idx_te = jnp.clip(
             ((queries - lo) / width).astype(jnp.int32), 0, n_bins - 1
         )
-        return -jnp.log(density[idx_te] + eps)
+        in_range = (queries >= lo) & (queries <= hi)
+        return -jnp.log(jnp.where(in_range, density[idx_te], 0.0) + eps)
 
     return jax.vmap(per_dim, in_axes=(1, 1), out_axes=1)(x_train, x_test)
 
@@ -199,11 +203,15 @@ def _zscore(s):
 
 
 def _bucket_aggregate(
-    s: np.ndarray, proba: np.ndarray, aggregation: str, n_buckets: int
+    s: np.ndarray, proba: np.ndarray, aggregation: str, n_buckets: int,
+    seed: int = 0,
 ):
     """AOM / MOA bucketed combination (the combo library's other two modes;
-    reference pin at requirements.txt:6). Subspaces are assigned to buckets
-    round-robin (deterministic stand-in for combo's random subgroups):
+    reference pin at requirements.txt:6). Kept subspaces are SHUFFLED with
+    a fixed seed before round-robin bucket assignment — deterministic, but
+    matching combo's random-subgroup semantics (round-2 advisor finding:
+    V-GAN mask samples cluster similar masks adjacently, so striping in
+    storage order could systematically bias per-bucket maxima/averages).
     'aom' averages the per-bucket maxima, 'moa' takes the max of the
     per-bucket averages. Probability-ignoring, like 'max' — except
     zero-probability masks, which are dropped (the invariant every
@@ -211,6 +219,7 @@ def _bucket_aggregate(
     keep = np.asarray(proba) > 0
     s = s[keep]
     n = s.shape[0]
+    s = s[np.random.default_rng(seed).permutation(n)]
     n_buckets = max(1, min(n_buckets, n))
     idx = np.arange(n) % n_buckets
     if aggregation == "aom":
@@ -282,6 +291,17 @@ class SubspaceEnsemble:
         each device scoring its local subspaces and the aggregation
         combining with a single ``psum``/``pmax`` (SURVEY.md section 2b,
         ensemble/subspace parallel axis).
+
+    Behavioral divergence from pyod (flagged): ``predict`` recomputes
+    ``threshold_`` on EVERY call from the combined train+test batch, and
+    with ``normalize='zscore'`` the per-subspace statistics are computed
+    over that batch — so the same test point can flip labels across calls
+    with different batch compositions. pyod instead fixes ``threshold_``
+    once at fit time. The one-batch design is deliberate (shared zscore
+    statistics keep the train-derived threshold comparable to the test
+    scores); pyod-compatible consumers needing a frozen threshold should
+    use ``normalize=None`` and cache ``threshold_`` after one ``predict``
+    call on a reference batch.
     """
 
     def __init__(
@@ -355,6 +375,15 @@ class SubspaceEnsemble:
         Distribution-based bases (iforest/copod/hbos/pyod instances)
         inherently include the point, as in pyod."""
         assert self._x_train is not None, "call fit(X_train) first"
+        if exclude_self and isinstance(self.base, str) and self.base in (
+            "knn", "knn_mean", "lof",
+        ):
+            # loud guard instead of sentinel-valued "distances": with
+            # self-pairs dropped only n_train - 1 neighbors exist
+            assert self.k < self._x_train.shape[0], (
+                "exclude_self=True needs k < n_train (self-pairs are "
+                "excluded, so only n_train - 1 neighbors remain)"
+            )
         if self.aggregation in ("aom", "moa"):
             s = self.per_subspace_scores(x_test, exclude_self=exclude_self)
             return _bucket_aggregate(
@@ -367,9 +396,10 @@ class SubspaceEnsemble:
 
         x_test = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
 
-        if (self.base in ("knn", "knn_mean") and self.mesh is None
-                and not exclude_self):
-            fast = self._knn_fused_decision_function(x_test)
+        if self.base in ("knn", "knn_mean"):
+            fast = self._knn_fused_decision_function(
+                x_test, exclude_self=exclude_self
+            )
             if fast is not None:
                 return fast
 
@@ -427,12 +457,16 @@ class SubspaceEnsemble:
             x_r, tr_r, masks_sh
         )
 
-    def _knn_fused_decision_function(self, x_test, force: bool = False):
+    def _knn_fused_decision_function(
+        self, x_test, force: bool = False, exclude_self: bool = False
+    ):
         """TPU fast path: the fused projection+KNN-score Pallas kernel
         (ops/pallas/knn_score.py, SURVEY.md section 2c C15) — the masked
-        distance block never leaves VMEM. Returns None when not applicable
-        (CPU, unsupported shapes); ``force`` runs it in interpreter mode
-        for equivalence tests."""
+        distance block never leaves VMEM. Covers ``exclude_self`` (in-kernel
+        positional diagonal drop, so ``predict`` rides it too) and ``mesh``
+        (mask shards scored locally with the fused kernel, one psum/pmax).
+        Returns None when not applicable (CPU, unsupported shapes);
+        ``force`` runs it in interpreter mode for equivalence tests."""
         import jax as _jax
 
         from vgan_tpu.ops.pallas.knn_score import (
@@ -444,11 +478,47 @@ class SubspaceEnsemble:
         if not (on_tpu or force):
             return None
         nt, d = x_test.shape
-        if not knn_kernel_supported(nt, self._x_train.shape[0], d, self.k):
+        ntr = self._x_train.shape[0]
+        if not knn_kernel_supported(nt, ntr, d, self.k):
             return None
+        if exclude_self and self.k >= ntr:
+            return None  # generic path / caller guard reports this loudly
+        mode = "mean" if self.base == "knn_mean" else "kth"
+
+        if self.mesh is not None:
+            n_dev = self.mesh.shape["data"]
+            masks_np = np.asarray(self.subspaces, np.float32)
+            proba_np = np.asarray(self.proba, np.float32)
+            pad = (-masks_np.shape[0]) % n_dev
+            if pad:
+                masks_np = np.concatenate(
+                    [masks_np, np.zeros((pad, masks_np.shape[1]), np.float32)]
+                )
+                proba_np = np.concatenate(
+                    [proba_np, np.zeros(pad, np.float32)]
+                )
+            fn = _sharded_fused_knn_fn(
+                self.mesh, int(self.k), mode, bool(exclude_self),
+                self.aggregation, self.normalize,
+            )
+            repl = NamedSharding(self.mesh, PartitionSpec())
+            out = fn(
+                jax.device_put(x_test, repl),
+                jax.device_put(self._x_train, repl),
+                jax.device_put(
+                    jnp.asarray(masks_np),
+                    NamedSharding(self.mesh, PartitionSpec("data", None)),
+                ),
+                jax.device_put(
+                    jnp.asarray(proba_np),
+                    NamedSharding(self.mesh, PartitionSpec("data")),
+                ),
+            )
+            return np.asarray(out)
+
         s = knn_scores_all_masks(
             x_test, self._x_train, self.subspaces, self.k,
-            mode="mean" if self.base == "knn_mean" else "kth",
+            mode=mode, exclude_self=exclude_self,
         )  # (n_masks, nt)
         proba = jnp.asarray(self.proba)
         if self.normalize == "zscore":
@@ -519,9 +589,10 @@ class SubspaceEnsemble:
         else:
             x_test_j = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
             s = None
-            if (self.base in ("knn", "knn_mean") and self.mesh is None
-                    and not exclude_self):
-                s = self._knn_fused_per_subspace(x_test_j)
+            if self.base in ("knn", "knn_mean") and self.mesh is None:
+                s = self._knn_fused_per_subspace(
+                    x_test_j, exclude_self=exclude_self
+                )
             if s is None:
                 raw = self._native_scores(x_test_j, exclude_self, reduce=False)
                 nt = x_test_j.shape[0]
@@ -530,7 +601,9 @@ class SubspaceEnsemble:
             s = np.asarray(_zscore(jnp.asarray(s)))
         return s
 
-    def _knn_fused_per_subspace(self, x_test, force: bool = False):
+    def _knn_fused_per_subspace(
+        self, x_test, force: bool = False, exclude_self: bool = False
+    ):
         """TPU fast path for the raw (n_masks, nt) matrix (same fused kernel
         as the aggregated path). Returns None when not applicable."""
         import jax as _jax
@@ -544,12 +617,16 @@ class SubspaceEnsemble:
         if not (on_tpu or force):
             return None
         nt, d = x_test.shape
-        if not knn_kernel_supported(nt, self._x_train.shape[0], d, self.k):
+        ntr = self._x_train.shape[0]
+        if not knn_kernel_supported(nt, ntr, d, self.k):
+            return None
+        if exclude_self and self.k >= ntr:
             return None
         return np.asarray(
             knn_scores_all_masks(
                 x_test, self._x_train, self.subspaces, self.k,
                 mode="mean" if self.base == "knn_mean" else "kth",
+                exclude_self=exclude_self,
             )
         )
 
@@ -689,6 +766,45 @@ def _sharded_per_subspace_fn(mesh, scorer, k):
                 PartitionSpec("data", None, None),
             ),
             out_specs=PartitionSpec("data", None, None),
+            check_vma=False,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_fused_knn_fn(mesh, k, mode, exclude_self, aggregation, normalize):
+    """shard_map program over the FUSED projection+KNN kernel: each device
+    runs the Pallas kernel on its local mask shard (replicated x), then one
+    collective (psum for 'average', pmax for 'max') combines — the 5.8x
+    fast path composed with the ensemble's mask-parallel axis."""
+    from jax import lax, shard_map
+
+    from vgan_tpu.ops.pallas.knn_score import knn_scores_all_masks
+
+    def local(x_test, x_train, masks_loc, proba_loc):
+        s = knn_scores_all_masks(
+            x_test, x_train, masks_loc, k, mode=mode,
+            exclude_self=exclude_self,
+        )
+        if normalize == "zscore":
+            s = _zscore(s)
+        if aggregation == "max":
+            # zero-probability (incl. shard-padding) masks never win
+            s = jnp.where(proba_loc[:, None] > 0, s, -jnp.inf)
+            return lax.pmax(jnp.max(s, axis=0), "data")
+        return lax.psum(jnp.sum(proba_loc[:, None] * s, axis=0), "data")
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                PartitionSpec(),
+                PartitionSpec(),
+                PartitionSpec("data", None),
+                PartitionSpec("data"),
+            ),
+            out_specs=PartitionSpec(),
             check_vma=False,
         )
     )

@@ -61,11 +61,17 @@ def _knn_kernel(
     ntr: int,
     k: int,
     mode: str,   # 'kth' (pyod KNN 'largest') or 'mean' (pyod KNN 'mean')
+    exclude_self: bool,
 ):
     t = pl.program_id(1)
     NTR = xtr_ref.shape[0]
+    TILE = xte_ref.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, NTR), 1)
     big = jnp.float32(3.0e38)
+    if exclude_self:
+        # query row i IS train row i (positional): drop the (i, i) pair —
+        # pyod's unsupplied-X kneighbors semantics for predict()
+        row_g = t * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
 
     for mi in range(MASK_G):
         mk = masks_ref[mi, :][None, :]  # (1, D)
@@ -76,6 +82,8 @@ def _knn_kernel(
         )
         d2 = jnp.maximum(an + bn.T - 2.0 * cross, 0.0)
         d2 = jnp.where(col < ntr, d2, big)  # pad train cols are not neighbors
+        if exclude_self:
+            d2 = jnp.where(row_g == col, big, d2)
 
         # exact tie-aware extraction: absorb whole tie-groups per pass.
         # 'kth': the value where the remaining counter crosses zero;
@@ -102,7 +110,8 @@ def _knn_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nt", "ntr", "k", "mode", "interpret")
+    jax.jit,
+    static_argnames=("nt", "ntr", "k", "mode", "exclude_self", "interpret"),
 )
 def _knn_scores_call(
     masks_pad: jax.Array,
@@ -112,13 +121,17 @@ def _knn_scores_call(
     ntr: int,
     k: int,
     mode: str = "kth",
+    exclude_self: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     NM, D = masks_pad.shape
     NT = xte_pad.shape[0]
     NTR = xtr_pad.shape[0]
     grid = (NM // MASK_G, NT // TILE_NT)
-    kernel = functools.partial(_knn_kernel, nt=nt, ntr=ntr, k=k, mode=mode)
+    kernel = functools.partial(
+        _knn_kernel, nt=nt, ntr=ntr, k=k, mode=mode,
+        exclude_self=exclude_self,
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -156,14 +169,18 @@ def _knn_scores_call(
 
 def knn_scores_all_masks(
     x_test, x_train, masks, k: int, interpret: bool = None,
-    mode: str = "kth",
+    mode: str = "kth", exclude_self: bool = False,
 ) -> jax.Array:
     """(n_masks, nt) KNN scores for every mask, one fused kernel.
 
     ``mode='kth'``: k-th-NN distance (pyod KNN 'largest'), same semantics
     as vmapping ``knn_scores_masked``; ``mode='mean'``: mean distance to
     the k nearest (pyod KNN 'mean', = ``mean_dist_scores_masked``).
-    Requires :func:`knn_kernel_supported` shapes.
+    ``exclude_self`` drops the positional (i, i) pair in-kernel (use when
+    the leading test rows ARE the train rows, e.g. ``predict``'s combined
+    batch). Requires :func:`knn_kernel_supported` shapes; with
+    ``exclude_self`` the caller must ensure k < n_train (k == n_train
+    would select the +big sentinel as a distance).
     """
     import numpy as np
 
@@ -175,6 +192,9 @@ def knn_scores_all_masks(
     ntr = x_train.shape[0]
     nm = masks.shape[0]
     assert knn_kernel_supported(nt, ntr, d, k)
+    assert not (exclude_self and k >= ntr), (
+        "exclude_self requires k < n_train (self-pairs are dropped)"
+    )
 
     D = max(128, _round_up(d, 128))
     NT = _round_up(nt, TILE_NT)
@@ -188,6 +208,6 @@ def knn_scores_all_masks(
     # XLA pre-squares once; the kernel reuses both blocks every grid step
     scores = _knn_scores_call(
         masks_pad, xte_pad, xtr_pad, nt=nt, ntr=ntr, k=int(k), mode=mode,
-        interpret=interpret,
+        exclude_self=exclude_self, interpret=interpret,
     )
     return scores[:nm, :nt]
