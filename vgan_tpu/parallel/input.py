@@ -27,11 +27,14 @@ def shard_dataset(
     ``x_local`` is this process's row block (the full array on single-host).
     Rows shard over 'data'; features optionally over 'model'.
 
-    Multi-host: pass ``n_total`` (the GLOBAL row count) whenever it is not
-    a multiple of the process count — ``process_row_range``'s ceil split
-    gives the last process fewer rows, and without the explicit global
-    shape ``make_array_from_process_local_data`` infers it from the local
-    block under a uniform-split assumption, so processes would disagree.
+    Multi-host: pass ``n_total`` (the GLOBAL row count) so the global shape
+    is explicit rather than inferred from the local block. CONSTRAINT
+    (validated by tests/test_distributed.py on a real 2-process run):
+    ``NamedSharding`` requires the global row count to divide evenly by the
+    'data'-axis device count — a ragged split raises a shard-shape
+    ValueError at assembly, so loaders must pad or drop rows to a device
+    multiple upstream; ``process_row_range``'s ceil split then gives every
+    process the same row count.
     """
     x_local = np.asarray(x_local)
     spec = PartitionSpec("data", "model" if shard_features else None)
@@ -48,9 +51,10 @@ def shard_dataset(
 def process_row_range(n_total: int) -> tuple[int, int]:
     """[start, end) row range this process should load (contiguous split).
 
-    The split is a ceil division, so with ``n_total % process_count != 0``
-    the last process gets fewer rows — pass ``n_total`` to
-    :func:`shard_dataset` in that case (see its docstring).
+    The split is a ceil division. Note :func:`shard_dataset`'s constraint:
+    the global row count must divide evenly by the mesh's 'data'-axis
+    device count, so pad/drop ``n_total`` to a device multiple before
+    splitting (then every process loads the same count).
     """
     p = jax.process_count()
     i = jax.process_index()
