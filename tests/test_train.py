@@ -294,3 +294,39 @@ def test_idle_epochs_preserve_rng_equivalence(rng):
                                rtol=1e-6, equal_nan=True)
     np.testing.assert_allclose(np.asarray(gen_a), np.asarray(gen_b),
                                rtol=1e-6, equal_nan=True)
+
+
+def test_bf16_model_and_opt_state_fit_close_to_f32(rng):
+    """Round 3 stress-regime options: model_matmul_dtype='bfloat16' (bf16
+    Dense operands, f32 masters + f32 pre-softmax logits) and
+    opt_state_dtype='bfloat16' (bf16-stored Adadelta EMAs, f32 math) train
+    to nearly the f32 trajectory on the reference-scale problem."""
+    from vgan_tpu.ops.activations import binarize_mask
+    from vgan_tpu.train.steps import TrainConfig, no_kl_fit_program
+
+    x = jnp.asarray(rng.normal(size=(128, 32)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    cfg32 = TrainConfig(ndims=32, batch_size=32, lr_g=0.01)
+    cfg16 = TrainConfig(
+        ndims=32, batch_size=32, lr_g=0.01,
+        model_matmul_dtype="bfloat16", opt_state_dtype="bfloat16",
+    )
+    st32, losses32 = no_kl_fit_program(x, key, cfg32, epochs=6)
+    st16, losses16 = no_kl_fit_program(x, key, cfg16, epochs=6)
+    assert np.all(np.isfinite(np.asarray(losses16)))
+    np.testing.assert_allclose(
+        np.asarray(losses16), np.asarray(losses32), rtol=0.08
+    )
+    # the binarized masks of a shared noise batch mostly agree
+    gen = cfg32.generator_module(kl=False)
+    gen16 = cfg16.generator_module(kl=False)
+    z = jax.random.normal(jax.random.PRNGKey(0), (64, cfg32.latent_size))
+    m32 = binarize_mask(gen.apply(st32.params, z), axis=-1)
+    m16 = binarize_mask(gen16.apply(st16.params, z), axis=-1)
+    assert np.mean(np.asarray(m32) == np.asarray(m16)) > 0.97
+
+    # opt-state dtype is what was asked for
+    leaf = jax.tree.leaves(st16.opt_state.square_avg)[0]
+    assert leaf.dtype == jnp.bfloat16
+    leaf32 = jax.tree.leaves(st32.opt_state.square_avg)[0]
+    assert leaf32.dtype == jnp.float32

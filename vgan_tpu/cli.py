@@ -24,6 +24,12 @@ def _add_common_hyperparams(p: argparse.ArgumentParser) -> None:
     p.add_argument("--momentum", type=float, default=0.99)
     p.add_argument("--mmd-impl", choices=["auto", "jnp", "pallas", "chunked"],
                    default="auto")
+    p.add_argument("--model-dtype", choices=["bfloat16"], default=None,
+                   help="run generator/detector Dense matmuls with bf16 "
+                        "operands (f32 masters; stress-regime option)")
+    p.add_argument("--opt-state-dtype", choices=["bfloat16"], default=None,
+                   help="store Adadelta EMAs in bf16 (f32 math; halves "
+                        "optimizer-state HBM traffic at large d)")
     p.add_argument("--gram-dtype", choices=["bfloat16"], default=None,
                    help="run Gram matmuls in bf16 (f32 accumulation; "
                    "~4x MXU rate, loss perturbed at bf16 resolution)")
@@ -157,6 +163,8 @@ def main(argv=None) -> int:
             path_to_directory=args.out,
             mmd_impl=args.mmd_impl,
             gram_matmul_dtype=args.gram_dtype,
+            model_matmul_dtype=args.model_dtype,
+            opt_state_dtype=args.opt_state_dtype,
             mesh=_parse_mesh(args.mesh),
             shard_features=args.shard_features,
             replicate_reference_quirks=not args.no_quirks,

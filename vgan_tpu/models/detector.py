@@ -22,6 +22,7 @@ class Encoder(nn.Module):
     in_features: int
     init_scheme: str = REFERENCE_NORMAL
     param_dtype: type = jax.numpy.float32
+    compute_dtype: "type | None" = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -36,10 +37,11 @@ class Encoder(nn.Module):
         for w in widths:
             k_init, b_init = dense_inits(self.init_scheme, fan_in)
             h = nn.Dense(
-                w, kernel_init=k_init, bias_init=b_init, param_dtype=self.param_dtype
+                w, kernel_init=k_init, bias_init=b_init,
+                param_dtype=self.param_dtype, dtype=self.compute_dtype,
             )(h)
             fan_in = w
-        return h
+        return h.astype(jax.numpy.float32)
 
 
 class Decoder(nn.Module):
@@ -47,6 +49,7 @@ class Decoder(nn.Module):
     out_features: int
     init_scheme: str = REFERENCE_NORMAL
     param_dtype: type = jax.numpy.float32
+    compute_dtype: "type | None" = None
 
     @nn.compact
     def __call__(self, h: jax.Array) -> jax.Array:
@@ -60,10 +63,11 @@ class Decoder(nn.Module):
         for w in widths:
             k_init, b_init = dense_inits(self.init_scheme, fan_in)
             h = nn.Dense(
-                w, kernel_init=k_init, bias_init=b_init, param_dtype=self.param_dtype
+                w, kernel_init=k_init, bias_init=b_init,
+                param_dtype=self.param_dtype, dtype=self.compute_dtype,
             )(h)
             fan_in = w
-        return h
+        return h.astype(jax.numpy.float32)
 
 
 class Detector(nn.Module):
@@ -73,6 +77,7 @@ class Detector(nn.Module):
     in_features: int
     init_scheme: str = REFERENCE_NORMAL
     param_dtype: type = jax.numpy.float32
+    compute_dtype: "type | None" = None
 
     def setup(self):
         self.encoder = Encoder(
@@ -80,12 +85,14 @@ class Detector(nn.Module):
             self.in_features,
             init_scheme=self.init_scheme,
             param_dtype=self.param_dtype,
+            compute_dtype=self.compute_dtype,
         )
         self.decoder = Decoder(
             self.latent_size,
             self.in_features,
             init_scheme=self.init_scheme,
             param_dtype=self.param_dtype,
+            compute_dtype=self.compute_dtype,
         )
 
     def __call__(self, x: jax.Array):

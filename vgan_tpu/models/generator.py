@@ -27,12 +27,20 @@ from vgan_tpu.ops.activations import upper_softmax
 
 
 class GeneratorBig(nn.Module):
-    """Latent L -> 2L -> 4L -> 8L -> d linear MLP + upper-softmax."""
+    """Latent L -> 2L -> 4L -> 8L -> d linear MLP + upper-softmax.
+
+    ``compute_dtype='bfloat16'`` runs the Dense matmuls with bf16 operands
+    (params stay f32 masters; XLA accumulates in f32 on the MXU) — the
+    stress-regime option (docs/KERNELS.md roofline). The pre-softmax
+    logits are cast back to f32: at d ~ 10^4 the softmax mass per
+    coordinate is ~1e-4, below bf16's resolution near the 1/d threshold.
+    """
 
     out_features: int
     latent_size: int
     init_scheme: str = REFERENCE_NORMAL
     param_dtype: type = jax.numpy.float32
+    compute_dtype: "type | None" = None
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
@@ -51,9 +59,10 @@ class GeneratorBig(nn.Module):
                 kernel_init=k_init,
                 bias_init=b_init,
                 param_dtype=self.param_dtype,
+                dtype=self.compute_dtype,
             )(h)
             fan_in = w
-        return upper_softmax(h, axis=-1)
+        return upper_softmax(h.astype(jax.numpy.float32), axis=-1)
 
 
 class Generator(nn.Module):

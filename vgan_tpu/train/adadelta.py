@@ -41,16 +41,24 @@ def adadelta(
     rho: float = 0.9,
     eps: float = 1e-6,
     weight_decay: float = 0.0,
+    state_dtype: "str | None" = None,
 ) -> optax.GradientTransformation:
     """Torch-parity Adadelta as an ``optax.GradientTransformation``.
 
     ``update(grads, state, params, active=mask)`` — ``params`` is required
     (weight decay); ``active`` is an optional pytree of booleans (prefix
     broadcastable per-leaf) marking which leaves take a step this call.
+
+    ``state_dtype='bfloat16'`` stores ``square_avg``/``acc_delta`` in bf16
+    (the math stays f32): at large d the fit is bounded by optimizer-state
+    HBM traffic (docs/KERNELS.md "Stress-fit roofline"), and halving the
+    state bytes trades ~1e-2 relative step-size noise — the EMAs are
+    smooth statistics, not accumulators — for bandwidth. Opt-in.
     """
+    sdt = jnp.dtype(state_dtype) if state_dtype is not None else None
 
     def init_fn(params):
-        zeros = lambda p: jnp.zeros_like(p)
+        zeros = lambda p: jnp.zeros_like(p, dtype=sdt or p.dtype)
         return AdadeltaState(
             square_avg=jax.tree.map(zeros, params),
             acc_delta=jax.tree.map(zeros, params),
@@ -64,15 +72,19 @@ def adadelta(
 
         def leaf(g, sq, acc, p, a):
             a = jnp.asarray(a, dtype=bool)
+            # math in the (master) param dtype; only STORAGE may be lower
+            # precision (state_dtype)
+            sqm = sq.astype(p.dtype)
+            accm = acc.astype(p.dtype)
             g = g + weight_decay * p
-            new_sq = rho * sq + (1.0 - rho) * g * g
-            delta = g * jnp.sqrt(acc + eps) / jnp.sqrt(new_sq + eps)
-            new_acc = rho * acc + (1.0 - rho) * delta * delta
+            new_sq = rho * sqm + (1.0 - rho) * g * g
+            delta = g * jnp.sqrt(accm + eps) / jnp.sqrt(new_sq + eps)
+            new_acc = rho * accm + (1.0 - rho) * delta * delta
             upd = -learning_rate * delta
             return (
                 jnp.where(a, upd, 0.0),
-                jnp.where(a, new_sq, sq),
-                jnp.where(a, new_acc, acc),
+                jnp.where(a, new_sq, sqm).astype(sq.dtype),
+                jnp.where(a, new_acc, accm).astype(acc.dtype),
             )
 
         out = jax.tree.map(

@@ -79,6 +79,14 @@ class TrainConfig:
     # 'bfloat16' runs the Gram matmul in bf16 w/ f32 accumulation (~4x MXU
     # rate); opt-in since it perturbs the loss at bf16 resolution
     gram_matmul_dtype: "str | None" = None
+    # 'bfloat16' runs the generator/detector Dense matmuls with bf16
+    # operands (f32 master params and f32 pre-softmax logits); opt-in for
+    # the large-d stress regime where the MLP's own matmuls matter
+    # (docs/KERNELS.md roofline)
+    model_matmul_dtype: "str | None" = None
+    # 'bfloat16' stores the Adadelta EMAs in bf16 (math stays f32): at
+    # large d the fit is optimizer-state-HBM-traffic bound; halves it
+    opt_state_dtype: "str | None" = None
     init_scheme_kl: str = REFERENCE_NORMAL
     init_scheme_no_kl: str = TORCH_DEFAULT
     # inner batch-scan unroll factor: amortizes the per-iteration scan
@@ -93,11 +101,20 @@ class TrainConfig:
     def latent_size(self) -> int:
         return latent_size_for(self.ndims)
 
+    @property
+    def _compute_dtype(self):
+        return (
+            jnp.dtype(self.model_matmul_dtype).type
+            if self.model_matmul_dtype is not None
+            else None
+        )
+
     def generator_module(self, kl: bool) -> GeneratorBig:
         return GeneratorBig(
             out_features=self.ndims,
             latent_size=self.latent_size,
             init_scheme=self.init_scheme_kl if kl else self.init_scheme_no_kl,
+            compute_dtype=self._compute_dtype,
         )
 
     def detector_module(self) -> Detector:
@@ -105,6 +122,14 @@ class TrainConfig:
             latent_size=self.latent_size,
             in_features=self.ndims,
             init_scheme=self.init_scheme_kl,
+            compute_dtype=self._compute_dtype,
+        )
+
+    def _adadelta(self, lr: float):
+        return adadelta(
+            lr,
+            weight_decay=self.weight_decay,
+            state_dtype=self.opt_state_dtype,
         )
 
 
@@ -217,7 +242,7 @@ def init_no_kl_state(config: TrainConfig, key: jax.Array) -> NoKLTrainState:
     gen = config.generator_module(kl=False)
     k_init, k_train = jax.random.split(key)
     params = gen.init(k_init, jnp.zeros((1, config.latent_size)))
-    opt = adadelta(config.lr_g, weight_decay=config.weight_decay)
+    opt = config._adadelta(config.lr_g)
     return NoKLTrainState(
         params=params,
         opt_state=opt.init(params),
@@ -239,7 +264,7 @@ def _no_kl_epoch_body(
     then left untouched; the caller installs the chain's final key).
     """
     gen = config.generator_module(kl=False)
-    opt = adadelta(config.lr_g, weight_decay=config.weight_decay)
+    opt = config._adadelta(config.lr_g)
 
     batches, noise_key, next_key = _epoch_inputs(
         state.key, x, config.batch_size, rng
@@ -340,8 +365,8 @@ def init_kl_state(config: TrainConfig, key: jax.Array) -> KLTrainState:
     kg, kd, k_train = jax.random.split(key, 3)
     gen_params = gen.init(kg, jnp.zeros((1, config.latent_size)))
     det_params = det.init(kd, jnp.zeros((1, config.ndims)))
-    gen_opt = adadelta(config.lr_g, weight_decay=config.weight_decay)
-    det_opt = adadelta(config.lr_d, weight_decay=config.weight_decay)
+    gen_opt = config._adadelta(config.lr_g)
+    det_opt = config._adadelta(config.lr_d)
     return KLTrainState(
         gen_params=gen_params,
         det_params=det_params,
@@ -379,7 +404,7 @@ def _kl_detector_epoch_body(
     """
     gen = config.generator_module(kl=True)
     det = config.detector_module()
-    det_opt = adadelta(config.lr_d, weight_decay=config.weight_decay)
+    det_opt = config._adadelta(config.lr_d)
 
     batches, noise_key, next_key = _epoch_inputs(
         state.key, x, config.batch_size, rng
@@ -459,7 +484,7 @@ def _kl_generator_epoch_body(
     """
     gen = config.generator_module(kl=True)
     det = config.detector_module()
-    gen_opt = adadelta(config.lr_g, weight_decay=config.weight_decay)
+    gen_opt = config._adadelta(config.lr_g)
 
     batches, noise_key, next_key = _epoch_inputs(
         state.key, x, config.batch_size, rng
