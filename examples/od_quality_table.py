@@ -1,0 +1,205 @@
+"""Seeded multi-dataset OD quality table: subspace ensemble vs full space.
+
+VERDICT round-2 item 8: quantify the paper's central claim (arXiv:2504.07522
+— the learned subspace ensemble dominates full-space detectors when the
+anomaly signal lives in a subspace of a high-dimensional space) as a
+mean +/- std AUC table over >= 5 seeds, across the native base-detector
+family (knn / lof / iforest / hbos / copod), on bundled sklearn datasets
+(noise-augmented, the paper's regime) plus synthetic ADBench-style
+generators at d >= 100. No network access here, so the ADBench tables
+themselves cannot be reproduced; these generators follow ADBench's anomaly
+taxonomy (global / local / dependency) with the signal confined to a small
+informative subspace.
+
+Writes the table to docs/QUALITY.md and prints it.
+
+Run (TPU or CPU):  python examples/od_quality_table.py [--seeds 5 --epochs 50]
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
+import argparse
+
+import numpy as np
+
+from vgan_tpu import VGAN_no_kl
+from vgan_tpu.ensemble import SubspaceEnsemble
+
+from od_quality_eval import auc, one_class_task  # noqa: E402 (sibling example)
+
+BASES = ("knn", "lof", "iforest", "hbos", "copod")
+
+
+# ---------------------------------------------------------------------------
+# synthetic ADBench-style tasks (d >= 100, signal in a small subspace)
+# ---------------------------------------------------------------------------
+
+
+def _latent_inliers(rng, n, d_inf, d_noise):
+    """Correlated informative block (rank-3 factor model) + noise dims."""
+    w = rng.normal(size=(3, d_inf))
+    z = rng.normal(size=(n, 3))
+    informative = z @ w + 0.3 * rng.normal(size=(n, d_inf))
+    noise = rng.normal(size=(n, d_noise))
+    return np.concatenate([informative, noise], axis=1)
+
+
+def synth_task(kind, rng, n=1200, d_inf=8, d_noise=120, anomaly_frac=0.08):
+    """(x, y) with y=1 anomalies; anomaly signal ONLY in the informative
+    dims (ADBench taxonomy: 'global' uniform-tail, 'local' scaled-cluster,
+    'dependency' correlation-broken)."""
+    x_in = _latent_inliers(rng, n, d_inf, d_noise)
+    n_out = max(5, int(anomaly_frac * n))
+    x_out = _latent_inliers(rng, n_out, d_inf, d_noise)
+    if kind == "global":
+        # uniform tails outside the inlier range of the informative dims
+        lo = x_in[:, :d_inf].min(0)
+        hi = x_in[:, :d_inf].max(0)
+        x_out[:, :d_inf] = rng.uniform(
+            1.1 * lo, 1.1 * hi, size=(n_out, d_inf)
+        ) * rng.choice([-1.2, 1.2], size=(n_out, d_inf))
+    elif kind == "local":
+        # same cluster structure, inflated local scale
+        x_out[:, :d_inf] = x_out[:, :d_inf] * 2.5
+    elif kind == "dependency":
+        # break the factor correlation: independent per-dim resample
+        for j in range(d_inf):
+            x_out[:, j] = rng.permutation(x_in[:, j])[:n_out]
+        x_out[:, :d_inf] += 0.8 * rng.normal(size=(n_out, d_inf))
+    else:
+        raise ValueError(kind)
+    x = np.concatenate([x_in, x_out])
+    y = np.concatenate([np.zeros(n), np.ones(n_out)])
+    return x, y
+
+
+def synth_split(kind, rng):
+    x, y = synth_task(kind, rng)
+    inl = x[y == 0]
+    out = x[y == 1]
+    rng.shuffle(inl)
+    n_tr = int(0.6 * len(inl))
+    x_tr, x_in_te = inl[:n_tr], inl[n_tr:]
+    x_te = np.concatenate([x_in_te, out])
+    labels = np.concatenate([np.zeros(len(x_in_te)), np.ones(len(out))])
+    mu, sd = x_tr.mean(0), x_tr.std(0) + 1e-9
+    return (
+        ((x_tr - mu) / sd).astype(np.float32),
+        ((x_te - mu) / sd).astype(np.float32),
+        labels,
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def task_splits(seed):
+    """All (name, x_tr, x_te, labels) splits for one seed."""
+    from sklearn import datasets as skd
+
+    rng = np.random.default_rng(seed)
+
+    def with_noise(x, n_noise):
+        noise = rng.normal(size=(len(x), n_noise))
+        return np.concatenate([x, noise * x.std()], axis=1)
+
+    bc = skd.load_breast_cancer()
+    dg = skd.load_digits()
+    dg_m = np.isin(dg.target, [0, 6])
+    wn = skd.load_wine()
+
+    out = []
+    for name, x, y, anom in (
+        ("bc+200nz", with_noise(bc.data, 200), bc.target, 0),
+        ("digits+400nz", with_noise(dg.data[dg_m], 400), dg.target[dg_m], 6),
+        ("wine+100nz", with_noise(wn.data, 100), wn.target, 2),
+    ):
+        out.append(
+            (name,)
+            + one_class_task(np.asarray(x, np.float64), np.asarray(y), anom, rng)
+        )
+    for kind in ("global", "local", "dependency"):
+        out.append((f"synth-{kind}(d=128)",) + synth_split(kind, rng))
+    return out
+
+
+def eval_seed(seed, epochs):
+    """{(dataset, base): (auc_subspace, auc_full)} for one seed."""
+    results = {}
+    for name, x_tr, x_te, labels in task_splits(seed):
+        model = VGAN_no_kl(
+            epochs=epochs, lr=0.007, batch_size=min(500, len(x_tr)),
+            seed=int(1000 + seed), verbose=False,
+        )
+        model.fit(x_tr)
+        model.approx_subspace_dist(500)
+        full_mask = np.ones((1, x_tr.shape[1]), bool)
+        for base in BASES:
+            ens = SubspaceEnsemble(
+                model.subspaces, model.proba, base=base, k=10
+            ).fit(x_tr)
+            a_sub = auc(ens.decision_function(x_te), labels)
+            full = SubspaceEnsemble(
+                full_mask, np.ones(1, np.float32), base=base, k=10,
+                normalize=None,
+            ).fit(x_tr)
+            a_full = auc(full.decision_function(x_te), labels)
+            results[(name, base)] = (a_sub, a_full)
+        print(f"  seed {seed}: {name} done", flush=True)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--out", default=str(Path(__file__).resolve().parent.parent
+                                         / "docs" / "QUALITY.md"))
+    args = ap.parse_args()
+
+    per_seed = [eval_seed(s, args.epochs) for s in range(args.seeds)]
+    keys = list(per_seed[0].keys())
+
+    lines = [
+        "# OD quality: subspace ensemble vs full-space detector",
+        "",
+        f"Mean +/- std ROC AUC over {args.seeds} seeds "
+        f"(VGAN_no_kl epochs={args.epochs}, 500 sampled subspaces, k=10; "
+        "generated by examples/od_quality_table.py). Datasets are the "
+        "paper's regime — the anomaly signal confined to a small subspace "
+        "of a high-dimensional space: noise-augmented sklearn sets plus "
+        "ADBench-taxonomy synthetic generators (global / local / "
+        "dependency anomalies) at d=128. Bold = subspace ensemble wins "
+        "on the mean.",
+        "",
+        "| dataset | base | subspace AUC | full-space AUC | win |",
+        "|---|---|---|---|---|",
+    ]
+    wins = 0
+    for name, base in keys:
+        subs = np.array([ps[(name, base)][0] for ps in per_seed])
+        full = np.array([ps[(name, base)][1] for ps in per_seed])
+        w = subs.mean() >= full.mean()
+        wins += int(w)
+        s_txt = f"{subs.mean():.3f} +/- {subs.std():.3f}"
+        f_txt = f"{full.mean():.3f} +/- {full.std():.3f}"
+        if w:
+            s_txt = f"**{s_txt}**"
+        lines.append(f"| {name} | {base} | {s_txt} | {f_txt} | "
+                     f"{'+' if w else '-'} |")
+    lines += [
+        "",
+        f"Subspace ensemble >= full-space on the mean in {wins}/{len(keys)} "
+        "(dataset, base) pairs.",
+    ]
+    text = "\n".join(lines) + "\n"
+    Path(args.out).write_text(text)
+    print("\n" + text)
+    print(f"written to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -79,23 +79,35 @@ def ring_quadrant_sums(
     """
     p = lax.axis_size(axis_name)
     perm = [(i, (i + 1) % p) for i in range(p)]
+    bx = x_loc.shape[0]
 
+    # Design note (round-3 review of the rank-1 C_sym = q q^T identity from
+    # the Pallas backward): folding the quadrants into one q-weighted
+    # bilinear form over the stacked [x; y] block would touch 4 b^2 Gram
+    # entries per pair vs the 3 b^2 of this 3-quadrant decomposition (yx is
+    # covered by visiting all ordered pairs), so it is NOT adopted here.
+    # The exp ladder already runs as ONE transcendental + integer powers
+    # (multi_rbf_gram). What IS shared: the partner's x/y blocks ride a
+    # single stacked ppermute — one ICI message per ring step, not two.
     def step(carry, _):
         # permute first, then accumulate: exactly p-1 exchanges for p blocks
         # (the local pair is accumulated before the scan)
-        xb, yb, sxx, sxy, syy = carry
-        xb = lax.ppermute(xb, axis_name, perm)
-        yb = lax.ppermute(yb, axis_name, perm)
+        zb, sxx, sxy, syy = carry
+        zb = lax.ppermute(zb, axis_name, perm)
+        xb, yb = zb[:bx], zb[bx:]
         sxx = sxx + _block_gram_sum(x_loc, xb, bw, mults)
         sxy = sxy + _block_gram_sum(x_loc, yb, bw, mults)
         syy = syy + _block_gram_sum(y_loc, yb, bw, mults)
-        return (xb, yb, sxx, sxy, syy), None
+        return (zb, sxx, sxy, syy), None
 
     sxx0 = _block_gram_sum(x_loc, x_loc, bw, mults)
     sxy0 = _block_gram_sum(x_loc, y_loc, bw, mults)
     syy0 = _block_gram_sum(y_loc, y_loc, bw, mults)
-    (xb, yb, sxx, sxy, syy), _ = lax.scan(
-        step, (x_loc, y_loc, sxx0, sxy0, syy0), None, length=p - 1
+    (_, sxx, sxy, syy), _ = lax.scan(
+        step,
+        (jnp.concatenate([x_loc, y_loc], axis=0), sxx0, sxy0, syy0),
+        None,
+        length=p - 1,
     )
     sxx = lax.psum(sxx, axis_name)
     sxy = lax.psum(sxy, axis_name)
