@@ -181,6 +181,28 @@ def main() -> None:
         s_steps = s_epochs * (xs_fit.shape[0] // stress_cfg.batch_size)
         log(f"stress fit (d=10240): {s_steps} steps in {dt_s:.2f}s -> "
             f"{s_steps/dt_s:.0f} steps/s (ref CPU: 0.040)")
+
+        # bf16 stress options: bf16 model-matmul operands + bf16-stored
+        # Adadelta EMAs (the roofline says optimizer-state HBM traffic and
+        # the MLP's own matmuls bound this regime, docs/KERNELS.md)
+        stress16 = TrainConfig(
+            ndims=10240, batch_size=500, mmd_impl="auto",
+            gram_matmul_dtype="bfloat16", model_matmul_dtype="bfloat16",
+            opt_state_dtype="bfloat16",
+        )
+        state_s, losses_s = no_kl_fit_program(
+            xs_fit, jax.random.PRNGKey(3), stress16, s_epochs
+        )
+        float(losses_s[-1])
+        t0 = time.time()
+        state_s, losses_s = no_kl_fit_program(
+            xs_fit, jax.random.PRNGKey(4), stress16, s_epochs
+        )
+        final16 = float(losses_s[-1])
+        dt_s16 = time.time() - t0
+        log(f"stress fit bf16 (model+opt-state+gram): {s_steps} steps in "
+            f"{dt_s16:.2f}s -> {s_steps/dt_s16:.0f} steps/s "
+            f"(final loss {final16:.4f})")
         del xs_fit, state_s
     except Exception as e:  # pragma: no cover
         log(f"stress fit bench skipped: {e}")
