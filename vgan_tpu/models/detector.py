@@ -41,7 +41,9 @@ class Encoder(nn.Module):
                 param_dtype=self.param_dtype, dtype=self.compute_dtype,
             )(h)
             fan_in = w
-        return h.astype(jax.numpy.float32)
+        if self.compute_dtype is not None:
+            h = h.astype(jax.numpy.float32)
+        return h
 
 
 class Decoder(nn.Module):
@@ -67,7 +69,9 @@ class Decoder(nn.Module):
                 param_dtype=self.param_dtype, dtype=self.compute_dtype,
             )(h)
             fan_in = w
-        return h.astype(jax.numpy.float32)
+        if self.compute_dtype is not None:
+            h = h.astype(jax.numpy.float32)
+        return h
 
 
 class Detector(nn.Module):

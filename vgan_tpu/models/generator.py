@@ -62,7 +62,11 @@ class GeneratorBig(nn.Module):
                 dtype=self.compute_dtype,
             )(h)
             fan_in = w
-        return upper_softmax(h.astype(jax.numpy.float32), axis=-1)
+        if self.compute_dtype is not None:
+            # back to full precision for the softmax: at d ~ 10^4 the
+            # per-coordinate mass (~1/d) is below bf16 resolution
+            h = h.astype(jax.numpy.float32)
+        return upper_softmax(h, axis=-1)
 
 
 class Generator(nn.Module):
