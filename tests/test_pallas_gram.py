@@ -170,3 +170,22 @@ def test_bf16_matmul_dtype_close_to_f32(rng):
     np.testing.assert_allclose(
         np.asarray(g16), np.asarray(g32), rtol=5e-2, atol=2e-4
     )
+
+
+def test_flash_backward_wide_row_tile_parity(rng):
+    """Round 3: at small d the flash backward picks a row tile larger than
+    the col tile (tile_i=1024, tile_j=512 at M=1024/D=128) to cut z
+    re-fetch traffic; gradients must be unchanged."""
+    from vgan_tpu.ops.pallas.mmd_gram import _flash_tiles
+
+    assert _flash_tiles(1024, 128, 4) == (1024, 512)
+    n1, n2, d = 520, 490, 100  # padded M=1024, D=128
+    x = jnp.asarray(rng.normal(size=(n1, d)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(n2, d)).astype(np.float32) + 0.2)
+    bw = jnp.asarray(float(d), jnp.float32)
+
+    g_ref = jax.grad(lambda y_: M.mmd2_biased(x, y_, bandwidth=bw)[0])(y)
+    g_pal = jax.grad(lambda y_: mmd2_biased_pallas(x, y_, bandwidth=bw)[0])(y)
+    np.testing.assert_allclose(
+        np.asarray(g_pal), np.asarray(g_ref), rtol=2e-3, atol=1e-7
+    )

@@ -159,15 +159,20 @@ def _kernel_deriv(d2: jax.Array, bw: jax.Array, mults: Tuple[float, ...]):
     return kprime
 
 
-def _coeff_tile(i, j, shape, n1: int, n2: int, m: int, tile_m: int = TILE_M):
-    """(coeff, valid) for a (TILE_M, TILE_M) tile at row-tile i, col-tile j.
+def _coeff_tile(
+    i, j, shape, n1: int, n2: int, m: int,
+    tile_r: int = TILE_M, tile_c: int = None,
+):
+    """(coeff, valid) for a (tile_r, tile_c) tile at row-tile i, col-tile j.
 
     Symmetrized quadrant coefficients of the biased MMD:
     XX: 1/n1^2, YY: 1/n2^2, XY and YX: -1/(n1 n2); zero outside the m x m
     valid region.
     """
-    rows = i * tile_m + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    cols = j * tile_m + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    if tile_c is None:
+        tile_c = tile_r
+    rows = i * tile_r + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = j * tile_c + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     row_x = rows < n1
     col_x = cols < n1
     valid = jnp.logical_and(rows < m, cols < m)
@@ -298,8 +303,11 @@ def _gram_quadrant_sums(
         scratch_shapes=[pltpu.VMEM((tile_m, tile_m), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=2 * (M // TILE_M) * M * D * zbytes,
+            bytes_accessed=2 * (M // tile_m) * M * D * zbytes,
             transcendentals=M * M,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(z_pad, z_pad, norms_pad, norms_pad, bw.reshape(1, 1).astype(jnp.float32))
@@ -324,6 +332,8 @@ def _flash_bwd_kernel(
     n2: int,
     m: int,
     mults: Tuple[float, ...],
+    tile_i: int,
+    tile_j: int,
 ):
     i, j = pl.program_id(0), pl.program_id(1)
 
@@ -335,7 +345,7 @@ def _flash_bwd_kernel(
         0.0,
     )
     kprime = _kernel_deriv(d2, bw_ref[0, 0], mults)
-    _, _, valid, coeff = _coeff_tile(i, j, d2.shape, n1, n2, m)
+    _, _, valid, coeff = _coeff_tile(i, j, d2.shape, n1, n2, m, tile_i, tile_j)
     s = jnp.where(valid, coeff * kprime, 0.0)
 
     @pl.when(j == 0)
@@ -347,6 +357,38 @@ def _flash_bwd_kernel(
         s, zj_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32
     )
     rs_ref[:] += jnp.sum(s, axis=1, keepdims=True)
+
+
+# Scoped-VMEM budget for tile sizing. The kernels request a 64 MB scoped
+# limit (pltpu.CompilerParams; chip-validated by the KNN kernel at that
+# setting) — the sizing model targets 40 MB to leave Mosaic headroom. The
+# model counts double-buffered input/output blocks PLUS ~3 live
+# (tile_i, tile_j) temporaries for the exp-ladder elementwise chain (the
+# round-3 on-chip compile error showed those dominate: a 1024-tile forward
+# measured 22 MB scoped where a blocks-only model predicted 12 MB).
+_KERNEL_VMEM_LIMIT = 64 * 1024 * 1024
+_TILE_VMEM_BUDGET = 40 * 1024 * 1024
+
+
+def _flash_tiles(M: int, D: int, zbytes: int) -> Tuple[int, int]:
+    """(tile_i, tile_j) for the flash backward. tile_j stays small (it does
+    not affect traffic); tile_i is the largest divisor of M within budget —
+    measured on-chip: m=32768 x d=256 is z-refetch-bound at tile 512.
+    Falls back to the proven square _row_tile config when nothing larger
+    fits."""
+    tile_j = _row_tile(M)
+    for tile_i in (2048, 1024, 512, 256):
+        if M % tile_i or tile_i < tile_j:
+            continue
+        resident = (
+            3 * tile_i * tile_j * 4      # d2 / K' / s ladder temporaries
+            + 2 * tile_i * D * zbytes    # double-buffered zi
+            + 2 * tile_i * D * 4         # double-buffered sz accumulator
+            + 2 * tile_j * D * zbytes    # double-buffered zj
+        )
+        if resident <= _TILE_VMEM_BUDGET:
+            return tile_i, tile_j
+    return _row_tile(M), tile_j
 
 
 @functools.partial(
@@ -364,30 +406,32 @@ def _gram_backward_flash(
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming backward for full-d tiles: ``(sz (M, D) f32, rs (M, 1))``."""
     M, D = z_pad.shape
-    grid = (M // TILE_M, M // TILE_M)
-    kernel = functools.partial(
-        _flash_bwd_kernel, n1=n1, n2=n2, m=m, mults=mults
-    )
     zbytes = z_pad.dtype.itemsize
+    tile_i, tile_j = _flash_tiles(M, D, zbytes)
+    grid = (M // tile_i, M // tile_j)
+    kernel = functools.partial(
+        _flash_bwd_kernel, n1=n1, n2=n2, m=m, mults=mults,
+        tile_i=tile_i, tile_j=tile_j,
+    )
     sz, rs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_M, D), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_i, D), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, D), lambda i, j: (j, 0),
+            pl.BlockSpec((tile_j, D), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, 1), lambda i, j: (j, 0),
+            pl.BlockSpec((tile_j, 1), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TILE_M, D), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_i, D), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -396,8 +440,11 @@ def _gram_backward_flash(
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * M * M * D + 10 * M * M * len(mults),
-            bytes_accessed=(M // TILE_M) * M * D * zbytes + M * D * 4,
+            bytes_accessed=(M // tile_i) * M * D * zbytes + M * D * 4,
             transcendentals=M * M,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(z_pad, z_pad, norms_pad, norms_pad, bw.reshape(1, 1).astype(jnp.float32))
@@ -599,23 +646,41 @@ def _row_tile(M: int) -> int:
     return 512 if M % 512 == 0 else TILE_M
 
 
+def _fwd_tile(M: int, tile_d: int, zbytes: int) -> int:
+    """Square tile for the forward quadrant-sums kernel. Input traffic is
+    M^2 D (1/tile_i + 1/tile_j) — minimized by the largest SQUARE tile the
+    VMEM budget allows (d2 scratch + exp-ladder temporaries at tile^2 f32
+    + double-buffered z chunks)."""
+    for tile in (1024, 512, 256):
+        if M % tile:
+            continue
+        resident = 3 * tile * tile * 4 + 4 * tile * tile_d * zbytes
+        if resident <= _TILE_VMEM_BUDGET:
+            return tile
+    return _row_tile(M)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _mmd2_core(mults: Tuple[float, ...], n1: int, n2: int,
                matmul_dtype: Optional[str],
                x: jax.Array, y: jax.Array, bw: jax.Array) -> jax.Array:
     z_pad, norms, _, _, m, tile_d = _pad_z(x, y)
+    zb = 2 if matmul_dtype else 4
     sums = _gram_quadrant_sums(
         _dot_operand(z_pad, matmul_dtype), norms, bw, n1, m, mults, tile_d,
-        tile_m=_row_tile(z_pad.shape[0]), interpret=_interpret_mode(),
+        tile_m=_fwd_tile(z_pad.shape[0], tile_d, zb),
+        interpret=_interpret_mode(),
     )
     return _mmd2_from_sums(sums, n1, n2)
 
 
 def _mmd2_fwd(mults, n1, n2, matmul_dtype, x, y, bw):
     z_pad, norms, _, _, m, tile_d = _pad_z(x, y)
+    zb = 2 if matmul_dtype else 4
     sums = _gram_quadrant_sums(
         _dot_operand(z_pad, matmul_dtype), norms, bw, n1, m, mults, tile_d,
-        tile_m=_row_tile(z_pad.shape[0]), interpret=_interpret_mode(),
+        tile_m=_fwd_tile(z_pad.shape[0], tile_d, zb),
+        interpret=_interpret_mode(),
     )
     mmd2 = _mmd2_from_sums(sums, n1, n2)
     # zero-size carriers keep the primal dtypes for the cotangents; the
