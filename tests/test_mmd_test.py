@@ -306,3 +306,50 @@ def test_precise_sweep_routes_large_m_uncapped(rng, monkeypatch):
         np.asarray(s_tiled), s_dense, rtol=5e-4, atol=1e-7
     )
     np.testing.assert_allclose(np.asarray(p_tiled), p_dense, atol=0.02)
+
+
+def test_tiled_precise_mesh_matches_single_device(rng):
+    """precision='float64' composes with mesh= (round 3): device-sharded
+    Kahan C planes + f64 host reduction == the single-device precise path
+    on a shared permutation set."""
+    from jax.sharding import Mesh
+
+    from vgan_tpu.ops.pallas.gof_gram import (
+        TILE_P,
+        mmd_permutation_test_tiled,
+        mmd_permutation_test_tiled_sweep,
+    )
+
+    n = 120
+    x = rng.normal(size=(n, 5)).astype(np.float32)
+    y = rng.normal(size=(n, 5)).astype(np.float32)
+    base = np.concatenate([np.ones(n), np.zeros(n)])
+    n_perm = TILE_P * 8 + 23  # forces a second sharded chunk
+    perms = np.stack([rng.permutation(base) for _ in range(n_perm)])
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+
+    s1, p1 = mmd_permutation_test_tiled_sweep(
+        x, y, [0.02, 1.0], jax.random.PRNGKey(0), n_permutations=n_perm,
+        precision="float64", permutations=perms,
+    )
+    s8, p8 = mmd_permutation_test_tiled_sweep(
+        x, y, [0.02, 1.0], jax.random.PRNGKey(0), n_permutations=n_perm,
+        precision="float64", permutations=perms, mesh=mesh,
+    )
+    # chunk grouping differs (TILE_P vs TILE_P * n_dev rows per kernel
+    # call), so f32 C-plane rounding patterns differ at ~1e-8 abs
+    np.testing.assert_allclose(np.asarray(s8), np.asarray(s1),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), atol=0.005)
+
+    # pooled entry point too
+    sp1, pp1 = mmd_permutation_test_tiled(
+        x, y, [0.02, 1.0], jax.random.PRNGKey(5), n_permutations=60,
+        precision="float64",
+    )
+    sp8, pp8 = mmd_permutation_test_tiled(
+        x, y, [0.02, 1.0], jax.random.PRNGKey(5), n_permutations=60,
+        precision="float64", mesh=mesh,
+    )
+    np.testing.assert_allclose(float(sp8), float(sp1), rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(float(pp8), float(pp1), atol=0.02)

@@ -192,6 +192,7 @@ class _VGANCommon(EstimatorBase):
                     self.seed if self.seed is not None else 0
                 ),
                 n_permutations=n_permutations,
+                mesh=self.mesh,  # used by the streaming route past the cap
             )
         else:
             key = jax.random.PRNGKey(self.seed if self.seed is not None else 0)

@@ -221,6 +221,7 @@ def mmd_permutation_test_sweep_precise(
     rng=None,
     n_permutations: int = 1000,
     permutations=None,
+    mesh=None,
 ):
     """float64 host-side sweep — the PRECISE path for null-regime p-values.
 
@@ -274,6 +275,7 @@ def mmd_permutation_test_sweep_precise(
             n_permutations=n_permutations,
             precision="float64",
             permutations=permutations,
+            mesh=mesh,
         )
         return np.asarray(stats), np.asarray(pvals)
     z = np.concatenate([x, y], axis=0)

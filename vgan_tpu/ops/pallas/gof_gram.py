@@ -252,6 +252,90 @@ def _stats_for_rows(
     return jnp.concatenate(stats_chunks, axis=1)
 
 
+def _c_planes_sharded(a_pad, z_pad, norms, alphas_arr, m, tile_d,
+                      interpret, mesh):
+    """C planes for ``a_pad`` with the permutation rows sharded over the
+    mesh's 'data' axis (each device streams its local rows against
+    replicated z). ``a_pad`` rows must divide by 8 * n_devices."""
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n_alphas = int(alphas_arr.shape[0])
+
+    def local(a_loc, z_pad, norms):
+        return _a_times_k(
+            z_pad, norms, a_loc, alphas_arr, m,
+            n_alphas=n_alphas, tile_d=tile_d, interpret=interpret,
+        )
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            PartitionSpec("data", None),
+            PartitionSpec(),
+            PartitionSpec(),
+        ),
+        out_specs=PartitionSpec(None, "data", None),
+        check_vma=False,
+    )
+    repl = NamedSharding(mesh, PartitionSpec())
+    return fn(
+        jax.device_put(
+            a_pad, NamedSharding(mesh, PartitionSpec("data", None))
+        ),
+        jax.device_put(z_pad, repl),
+        jax.device_put(norms, repl),
+    )
+
+
+def _stats_for_rows_precise_mesh(
+    a_rows, z_pad, norms, alphas_arr, n1, n2, m, tile_d, interpret, mesh
+):
+    """float64-reduced statistics with the permutation axis mesh-sharded.
+
+    Devices compute Kahan-compensated f32 C planes for their local
+    indicator rows (one distance stream per device per chunk); the host
+    fetches the planes and reduces the quadratic forms in float64 —
+    precision identical to the single-device precise path, throughput
+    scaled by the mesh (round 3; removes the precise-vs-mesh exclusivity).
+    """
+    n_dev = mesh.shape["data"]
+    n_rows, M = a_rows.shape
+    ones_row = jnp.zeros((1, M), jnp.float32).at[0, :m].set(1.0)
+    align = 8 * n_dev
+    chunk_rows = TILE_P * n_dev
+
+    stats_chunks = []
+    totals = None
+    for start in range(0, n_rows, chunk_rows):
+        block = a_rows[start : start + chunk_rows]
+        n_blk = block.shape[0]
+        stacked = jnp.concatenate([block, ones_row], axis=0)
+        P = _round_up(stacked.shape[0], align)
+        a_pad = (
+            jnp.zeros((P, M), jnp.float32).at[: stacked.shape[0]].set(stacked)
+        )
+        c = _c_planes_sharded(
+            a_pad, z_pad, norms, alphas_arr, m, tile_d, interpret, mesh
+        )
+        c_np = np.asarray(c, dtype=np.float64)
+        a_np = np.asarray(a_pad[:n_blk, :m], dtype=np.float64)
+        if totals is None:
+            totals = c_np[:, n_blk, :m].sum(axis=1)  # 1 K_offdiag 1^T
+        cb = c_np[:, :n_blk, :m]
+        b_np = 1.0 - a_np
+        s_xx = np.einsum("apm,pm->ap", cb, a_np)
+        s_xy = np.einsum("apm,pm->ap", cb, b_np)
+        s_yy = totals[:, None] - s_xx - 2.0 * s_xy
+        stats_chunks.append(
+            s_xx / (n1 * (n1 - 1))
+            + s_yy / (n2 * (n2 - 1))
+            - 2.0 * s_xy / (n1 * n2)
+        )
+    return np.concatenate(stats_chunks, axis=1)
+
+
 def _pooled_pad_rows(x, y, key, n_permutations, permutations=None):
     """Shared setup: padded z/norms and the [observed; permutations] rows.
 
@@ -311,8 +395,10 @@ def mmd_permutation_test_tiled_sweep(
     ``precision='float64'`` reduces the final quadratic forms in float64 on
     host (Kahan-compensated C planes fetched once per TILE_P chunk) —
     REQUIRED for valid p-values near the null, where the ~1e-7 statistic
-    sits below f32 rounding of the O(m^2)-magnitude sums. Single-device
-    only (``mesh`` must be None).
+    sits below f32 rounding of the O(m^2)-magnitude sums. Composes with
+    ``mesh``: the C planes are computed on device shards and the f64
+    reduction happens after the host fetch, so precision is identical to
+    the single-device precise path.
 
     With ``mesh`` (a ``jax.sharding.Mesh`` with a 'data' axis) the
     permutation rows shard over devices — each device streams its local
@@ -325,12 +411,6 @@ def mmd_permutation_test_tiled_sweep(
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     precise = precision == "float64"
-    if precise and mesh is not None:
-        raise ValueError(
-            "precision='float64' reduces on host and cannot run under "
-            "shard_map; pass mesh=None (the f32 mesh path remains available "
-            "for screening)"
-        )
     z_pad, norms, a_rows, n1, n2, m, tile_d = _pooled_pad_rows(
         x, y, key, n_permutations, permutations
     )
@@ -339,7 +419,12 @@ def mmd_permutation_test_tiled_sweep(
     )
     n_rows = a_rows.shape[0]
 
-    if mesh is None:
+    if precise and mesh is not None:
+        stats = _stats_for_rows_precise_mesh(
+            a_rows, z_pad, norms, alphas_arr, n1, n2, m, tile_d, interpret,
+            mesh,
+        )
+    elif mesh is None:
         stats = _stats_for_rows(
             a_rows, z_pad, norms, alphas_arr, n1, n2, m, tile_d, interpret,
             precise=precise,
@@ -406,11 +491,6 @@ def mmd_permutation_test_tiled(
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     precise = precision == "float64"
-    if precise and mesh is not None:
-        raise ValueError(
-            "precision='float64' reduces on host and cannot run under "
-            "shard_map; pass mesh=None"
-        )
     z_pad, norms, a_rows, n1, n2, m, tile_d = _pooled_pad_rows(
         x, y, key, n_permutations
     )
@@ -419,7 +499,12 @@ def mmd_permutation_test_tiled(
     )
     n_rows = a_rows.shape[0]
 
-    if mesh is None:
+    if precise and mesh is not None:
+        stats = _stats_for_rows_precise_mesh(
+            a_rows, z_pad, norms, alphas_arr, n1, n2, m, tile_d, interpret,
+            mesh,
+        ).sum(axis=0)  # pool alphas (linear in K)
+    elif mesh is None:
         stats = _stats_for_rows(
             a_rows, z_pad, norms, alphas_arr, n1, n2, m, tile_d, interpret,
             precise=precise,
