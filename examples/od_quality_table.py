@@ -207,6 +207,24 @@ def main():
         f"pairs overall; {real_wins}/{len(real_keys)} on the real "
         "noise-augmented tasks (the paper's regime).",
         "",
+        "Per-base view on the real tasks (mean AUC delta, subspace minus "
+        "full):",
+        "",
+    ]
+    for base in BASES:
+        ks = [k for k in real_keys if k[1] == base]
+        deltas = [
+            np.mean([ps[k][0] for ps in per_seed])
+            - np.mean([ps[k][1] for ps in per_seed])
+            for k in ks
+        ]
+        bw = sum(1 for d in deltas if d >= 0)
+        lines.append(
+            f"- **{base}**: {bw}/{len(ks)} datasets, "
+            f"mean delta {np.mean(deltas):+.3f}"
+        )
+    lines += [
+        "",
         "**Honest negative result on the * stress rows**: the learned "
         "operator does NOT isolate the 8-dim rank-3 factor block at d=128 "
         "under this training budget — the sampled masks' informative-dim "
