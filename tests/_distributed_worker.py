@@ -3,9 +3,10 @@
 Spawned (twice) by tests/test_distributed.py. Each process owns 2 virtual
 CPU devices, connects to the coordinator, loads only ITS row range of a
 known global dataset, and exercises parallel/input.py's multi-host
-``make_array_from_process_local_data`` branch — including the uneven
-split that requires the explicit ``n_total`` global shape — then runs a
-tiny data-parallel no-kl fit over the 4-device global mesh.
+``make_array_from_process_local_data`` branch — first confirming that a
+RAGGED global split raises the documented shard-shape ValueError, then
+assembling an even split with the explicit ``n_total`` global shape and
+running a tiny data-parallel no-kl fit over the 4-device global mesh.
 
 Usage: python tests/_distributed_worker.py <process_id> <coordinator_port>
 """
@@ -49,12 +50,23 @@ assert jax.process_count() == 2, jax.process_count()
 assert len(jax.devices()) == 4, jax.devices()  # 2 local x 2 processes
 mesh = Mesh(np.asarray(jax.devices()), ("data",))
 
+# ---- ragged split is rejected, as documented ------------------------------
+# NamedSharding requires the global row count to divide evenly by the
+# 'data'-axis device count; loaders must pad/drop to a device multiple
+# upstream (parallel/input.py docs). Executed here, not just claimed:
+mesh_probe = Mesh(np.asarray(jax.devices()), ("data",))
+try:
+    with mesh_probe:
+        ragged_local = np.zeros(
+            (52 if process_id == 0 else 51, 6), np.float32
+        )
+        shard_dataset(ragged_local, mesh_probe, n_total=103)
+    raise SystemExit("ragged split unexpectedly succeeded")
+except ValueError as e:
+    assert "evenly divide" in str(e) or "partitioned" in str(e), e
+    print(f"[p{process_id}] ragged split rejected as documented", flush=True)
+
 # ---- multi-host assembly (explicit n_total global shape) ------------------
-# NOTE (validated here): NamedSharding requires the global row count to
-# divide evenly by the 'data'-axis device count — a ragged split (e.g.
-# N=103 over 4 devices) raises at make_array_from_process_local_data, so
-# loaders must pad/drop to a device multiple upstream (see
-# parallel/input.py docs).
 N, D = 104, 6  # 104 rows: 52 per process, 26 per device
 start, end = process_row_range(N)
 full = np.arange(N * D, dtype=np.float32).reshape(N, D)

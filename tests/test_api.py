@@ -205,7 +205,7 @@ def test_check_if_myopic_precise_uncapped_routes_tiled(fitted_no_kl, rng, monkey
         calls.append(kw.get("precision"))
         return real(*a, **kw)
 
-    monkeypatch.setattr(mt, "DENSE_GOF_MAX_M", 32)
+    monkeypatch.setattr(mt, "DENSE_PRECISE_MAX_M", 32)
     monkeypatch.setattr(mt, "mmd_permutation_test_tiled_sweep", spy,
                         raising=False)
     # the route imports the symbol from gof_gram inside the function

@@ -54,4 +54,5 @@ def test_two_process_distributed_smoke():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert "DISTRIBUTED-SMOKE-OK" in out, f"process {i} output:\n{out}"
+        assert "ragged split rejected" in out, out
         assert "global sum OK" in out and "dp fit OK" in out, out

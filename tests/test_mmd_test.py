@@ -286,7 +286,7 @@ def test_tiled_precise_matches_f64_oracle_null_regime(rng):
 
 
 def test_precise_sweep_routes_large_m_uncapped(rng, monkeypatch):
-    """mmd_permutation_test_sweep_precise past DENSE_GOF_MAX_M streams on
+    """mmd_permutation_test_sweep_precise past DENSE_PRECISE_MAX_M streams on
     device (f64 host reduction) instead of materializing the host Gram —
     and still matches the dense f64 oracle on the same rng stream."""
     import vgan_tpu.ops.mmd_test as mt
@@ -298,7 +298,7 @@ def test_precise_sweep_routes_large_m_uncapped(rng, monkeypatch):
     s_dense, p_dense = mt.mmd_permutation_test_sweep_precise(
         x, y, [0.5], rng=np.random.default_rng(5), n_permutations=100
     )
-    monkeypatch.setattr(mt, "DENSE_GOF_MAX_M", 64)
+    monkeypatch.setattr(mt, "DENSE_PRECISE_MAX_M", 64)
     s_tiled, p_tiled = mt.mmd_permutation_test_sweep_precise(
         x, y, [0.5], rng=np.random.default_rng(5), n_permutations=100
     )

@@ -630,6 +630,11 @@ class VGAN_no_kl(_VGANCommon):
             "fit_impl='fused' runs the whole fit as one kernel launch — "
             "periodic checkpointing needs the scan path (fit_impl='scan')"
         )
+        assert self.model_matmul_dtype is None and self.opt_state_dtype is None, (
+            "fit_impl='fused' runs its own in-kernel f32 math and does not "
+            "honor model_matmul_dtype/opt_state_dtype; use fit_impl='scan' "
+            "for the bf16 options"
+        )
         n, ndims = X.shape
         assert fused_supported(
             n, ndims, self.batch_size, config.latent_size

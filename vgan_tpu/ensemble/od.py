@@ -279,6 +279,9 @@ class SubspaceEnsemble:
         bucket count for 'aom'/'moa' (combo's default 5).
     n_bins:
         histogram resolution for base='hbos'.
+    bucket_seed:
+        seed for the deterministic shuffle that assigns subspaces to
+        'aom'/'moa' buckets (decorrelates adjacent masks).
     contamination:
         expected outlier fraction; sets the ``predict`` threshold at the
         (1 - contamination) quantile of the train scores (pyod semantics).
@@ -318,6 +321,7 @@ class SubspaceEnsemble:
         n_buckets: int = 5,
         n_bins: int = 10,
         contamination: float = 0.1,
+        bucket_seed: int = 0,
     ):
         if aggregation not in ("average", "max", "aom", "moa"):
             raise ValueError(
@@ -349,6 +353,7 @@ class SubspaceEnsemble:
         self.n_buckets = n_buckets
         self.n_bins = n_bins
         self.contamination = contamination
+        self.bucket_seed = bucket_seed
         self._x_train = None
         self._threshold = None
 
@@ -387,7 +392,8 @@ class SubspaceEnsemble:
         if self.aggregation in ("aom", "moa"):
             s = self.per_subspace_scores(x_test, exclude_self=exclude_self)
             return _bucket_aggregate(
-                s, self.proba, self.aggregation, self.n_buckets
+                s, self.proba, self.aggregation, self.n_buckets,
+                seed=self.bucket_seed,
             )
         if not isinstance(self.base, str):
             return self._pyod_decision_function(x_test)

@@ -126,6 +126,12 @@ def _test_impl_multi(
 # beyond this pooled-sample count the dense paths' (m, m) Gram gets routed
 # to the streaming-Gram kernel (ops.pallas.gof_gram), which never holds it
 DENSE_GOF_MAX_M = 8192
+# the PRECISE (f64 host) path keeps the dense all-f64 oracle up to the
+# round-2-documented boundary of 8192 samples per side (m = 16384, a
+# 2 GiB f64 Gram); only past it does the Kahan-f32-kernel + f64-reduction
+# streaming path take over — so the 4097..8192/side range keeps its exact
+# dense precision (round-3 review finding)
+DENSE_PRECISE_MAX_M = 16384
 
 
 def mmd_permutation_test_sweep(
@@ -236,7 +242,8 @@ def mmd_permutation_test_sweep_precise(
     formulation as the jitted TPU path; use the f32 TPU sweep only for
     screening clearly-separated alternatives.
 
-    Sample counts past ``DENSE_GOF_MAX_M`` route to the device streaming
+    Sample counts past ``DENSE_PRECISE_MAX_M`` (8192 per side — the dense
+    f64 host Gram's documented budget) route to the device streaming
     kernel with Kahan-compensated C planes and float64 HOST reduction of
     the final quadratic forms (ops.pallas.gof_gram) — same validity in the
     null regime without the (m, m) f64 host Gram, so the precise test is
@@ -254,7 +261,7 @@ def mmd_permutation_test_sweep_precise(
     y = np.asarray(y, dtype=np.float64)
     n1, n2 = x.shape[0], y.shape[0]
     m = n1 + n2
-    if m > DENSE_GOF_MAX_M:
+    if m > DENSE_PRECISE_MAX_M:
         from vgan_tpu.ops.pallas.gof_gram import (
             mmd_permutation_test_tiled_sweep,
         )

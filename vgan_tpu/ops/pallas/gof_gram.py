@@ -41,10 +41,19 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vgan_tpu.ops.pallas.mmd_gram import _pad_layout, _round_up
+from vgan_tpu.ops.pallas.mmd_gram import (
+    _KERNEL_VMEM_LIMIT,
+    _pad_layout,
+    _round_up,
+)
 
 TILE_M = 256
 TILE_P = 512
+# the kernel's output planes + Kahan scratch scale linearly with the alpha
+# count (~2 x n_alphas x TILE_P x TILE_M x 4 B resident); chunk long
+# bandwidth sweeps so VMEM stays bounded (each chunk re-streams distances
+# — the sweep's one-pass saving applies within a chunk)
+MAX_ALPHAS_PER_PASS = 8
 
 
 def _ak_kernel(
@@ -159,9 +168,37 @@ def _a_times_k(
             bytes_accessed=(M // TILE_M) * (2 * M * D + M * P) * 4,
             transcendentals=M * M * n_alphas,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(z_pad, z_pad, norms_pad, norms_pad, a_pad,
       alphas.reshape(1, -1).astype(jnp.float32))
+
+
+def _a_times_k_chunked(z_pad, norms_pad, a_pad, alphas_arr, m, tile_d,
+                       interpret):
+    """C planes for any alpha count: chunks the sweep at
+    MAX_ALPHAS_PER_PASS per kernel call so the per-alpha output planes +
+    Kahan scratch stay within the VMEM budget (long sweeps re-stream the
+    distances once per chunk)."""
+    n_alphas = int(alphas_arr.shape[0])
+    if n_alphas <= MAX_ALPHAS_PER_PASS:
+        return _a_times_k(
+            z_pad, norms_pad, a_pad, alphas_arr, m,
+            n_alphas=n_alphas, tile_d=tile_d, interpret=interpret,
+        )
+    parts = []
+    for s0 in range(0, n_alphas, MAX_ALPHAS_PER_PASS):
+        sub = alphas_arr[s0 : s0 + MAX_ALPHAS_PER_PASS]
+        parts.append(
+            _a_times_k(
+                z_pad, norms_pad, a_pad, sub, m,
+                n_alphas=int(sub.shape[0]), tile_d=tile_d,
+                interpret=interpret,
+            )
+        )
+    return jnp.concatenate(parts, axis=0)
 
 
 def _stats_from_c_f32(c, a, totals, n1, n2):
@@ -220,9 +257,8 @@ def _stats_for_rows(
         a_pad = (
             jnp.zeros((P, M), jnp.float32).at[: stacked.shape[0]].set(stacked)
         )
-        c = _a_times_k(
-            z_pad, norms, a_pad, alphas_arr, m,
-            n_alphas=n_alphas, tile_d=tile_d, interpret=interpret,
+        c = _a_times_k_chunked(
+            z_pad, norms, a_pad, alphas_arr, m, tile_d, interpret
         )
         if precise:
             c_np = np.asarray(c, dtype=np.float64)
@@ -263,9 +299,8 @@ def _c_planes_sharded(a_pad, z_pad, norms, alphas_arr, m, tile_d,
     n_alphas = int(alphas_arr.shape[0])
 
     def local(a_loc, z_pad, norms):
-        return _a_times_k(
-            z_pad, norms, a_loc, alphas_arr, m,
-            n_alphas=n_alphas, tile_d=tile_d, interpret=interpret,
+        return _a_times_k_chunked(
+            z_pad, norms, a_loc, alphas_arr, m, tile_d, interpret
         )
 
     fn = shard_map(

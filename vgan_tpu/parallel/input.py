@@ -29,7 +29,7 @@ def shard_dataset(
 
     Multi-host: pass ``n_total`` (the GLOBAL row count) so the global shape
     is explicit rather than inferred from the local block. CONSTRAINT
-    (validated by tests/test_distributed.py on a real 2-process run):
+    (EXECUTED by tests/test_distributed.py on a real 2-process run):
     ``NamedSharding`` requires the global row count to divide evenly by the
     'data'-axis device count — a ragged split raises a shard-shape
     ValueError at assembly, so loaders must pad or drop rows to a device
