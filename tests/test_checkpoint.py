@@ -195,3 +195,39 @@ def test_checkpoint_atomic_pointer_and_legacy_layout(tmp_path, rng):
     shutil.move(str(p / "ckpt_0" / "meta.json"), str(legacy / "meta.json"))
     assert load_meta(legacy)["tag"] == 1
     restore_train_state(legacy, state)
+
+
+def test_bf16_opt_state_checkpoint_roundtrip(tmp_path, rng):
+    """opt_state_dtype='bfloat16' state survives checkpoint/resume
+    bit-exactly (orbax round-trips bf16 leaves; resume continues the same
+    trajectory as an uninterrupted run)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = data(rng)
+    kw = dict(batch_size=32, verbose=False, opt_state_dtype="bfloat16",
+              model_matmul_dtype="bfloat16")
+
+    m_full = VGAN_no_kl(epochs=6, **kw)
+    m_full.fit(x)
+
+    m_a = VGAN_no_kl(epochs=3, **kw)
+    m_a.fit(x)
+    leaf = jax.tree.leaves(m_a.train_state.opt_state.square_avg)[0]
+    assert leaf.dtype == jnp.bfloat16
+    m_a.save_checkpoint(tmp_path / "ckpt")
+
+    m_b = VGAN_no_kl(epochs=3, **kw)
+    m_b.restore_checkpoint(tmp_path / "ckpt")
+    leaf_b = jax.tree.leaves(m_b.train_state.opt_state.square_avg)[0]
+    assert leaf_b.dtype == jnp.bfloat16
+    m_b.continue_fit(x, 3)
+
+    np.testing.assert_allclose(
+        m_b.train_history["generator_loss"],
+        m_full.train_history["generator_loss"],
+        rtol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        m_b.generate_subspaces(16), m_full.generate_subspaces(16)
+    )
