@@ -626,3 +626,53 @@ def test_knn_fused_mesh_matches_single_device(rng):
             )
             np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6,
                                        err_msg=f"{agg}/excl={excl}")
+
+
+def test_streaming_knn_matches_dense(rng, monkeypatch):
+    """Round 3: past STREAM_NTR the neighbor scorers stream the train axis
+    in blocks (running exact k-smallest merge; no (nt, ntr) matrix) —
+    identical scores to the dense path, including exclude_self and LOF's
+    neighbor-index-dependent chain."""
+    import vgan_tpu.ensemble.od as od
+
+    monkeypatch.setattr(od, "STREAM_NTR", 40)
+    monkeypatch.setattr(od, "_STREAM_BLOCK", 32)  # forces 3 ragged blocks
+
+    xtr = rng.normal(size=(90, 7)).astype(np.float32)
+    xte = rng.normal(size=(25, 7)).astype(np.float32)
+    mask = jnp.asarray(
+        np.array([1, 0, 1, 1, 0, 1, 0], bool).astype(np.float32)
+    )
+    for fn in (od.knn_scores_masked, od.mean_dist_scores_masked,
+               od.lof_scores_masked):
+        for excl, xq in ((False, xte), (True, xtr)):
+            stream = fn(jnp.asarray(xq), jnp.asarray(xtr), mask, 5,
+                        exclude_self=excl)
+            monkeypatch.setattr(od, "STREAM_NTR", 10**9)  # dense route
+            dense = fn(jnp.asarray(xq), jnp.asarray(xtr), mask, 5,
+                       exclude_self=excl)
+            monkeypatch.setattr(od, "STREAM_NTR", 40)
+            np.testing.assert_allclose(
+                np.asarray(stream), np.asarray(dense), rtol=1e-5, atol=1e-6,
+                err_msg=f"{fn.__name__}/excl={excl}",
+            )
+
+
+def test_streaming_knn_through_ensemble(rng, monkeypatch):
+    """SubspaceEnsemble end-to-end over the streaming route (chunked vmap
+    over masks composes with the train-axis scan)."""
+    import vgan_tpu.ensemble.od as od
+
+    xtr = rng.normal(size=(70, 6)).astype(np.float32)
+    xte = rng.normal(size=(20, 6)).astype(np.float32)
+    masks = rng.uniform(size=(9, 6)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.full(9, 1 / 9)
+
+    ens = SubspaceEnsemble(masks, proba, base="knn", k=4, chunk=4,
+                           normalize=None).fit(xtr)
+    dense = ens.decision_function(xte)
+    monkeypatch.setattr(od, "STREAM_NTR", 48)
+    monkeypatch.setattr(od, "_STREAM_BLOCK", 32)
+    stream = ens.decision_function(xte)
+    np.testing.assert_allclose(stream, dense, rtol=1e-5, atol=1e-6)

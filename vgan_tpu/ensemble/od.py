@@ -47,13 +47,82 @@ def _mask_diagonal(d2: jax.Array) -> jax.Array:
     return jnp.where(rows == cols, big, d2)
 
 
+# Beyond this train-set size the neighbor scorers stream the train axis in
+# blocks (running exact k-smallest merge) instead of materializing the
+# (nt, ntr) distance matrix — unbounded n_train at O(nt x block) memory.
+STREAM_NTR = 16384
+_STREAM_BLOCK = 8192
+
+
+def _masked_knn_streaming(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int,
+    exclude_self: bool,
+):
+    """Exact (vals, idx) of the k smallest masked squared distances with
+    the train axis streamed in ``_STREAM_BLOCK`` chunks.
+
+    A ``lax.scan`` carries the running (nt, k) smallest values/indices and
+    merges each block via ``approx_min_k(recall_target=1.0)`` (exact) over
+    the concatenated candidates — the (nt, ntr) matrix never exists, so
+    n_train is unbounded at O(nt x block) memory per mask in flight.
+    Returns ascending ``(d2_vals (nt, k), train_idx (nt, k))``.
+    """
+    nt = x_test.shape[0]
+    ntr, d = x_train.shape
+    nb = -(-ntr // _STREAM_BLOCK)
+    pad = nb * _STREAM_BLOCK - ntr
+    big = jnp.asarray(jnp.finfo(x_test.dtype).max / 4, x_test.dtype)
+    blocks = jnp.pad(x_train, ((0, pad), (0, 0))).reshape(
+        nb, _STREAM_BLOCK, d
+    )
+    mask_f = mask.astype(x_test.dtype)
+    an = jnp.dot(x_test * x_test, mask_f)  # (nt,)
+    xm = x_test * mask_f[None, :]
+
+    def body(carry, inp):
+        vals, idxs = carry  # (nt, k) each
+        blk, b_idx = inp
+        bn = jnp.dot(blk * blk, mask_f)
+        cross = jnp.dot(xm, blk.T, preferred_element_type=x_test.dtype)
+        d2 = jnp.maximum(an[:, None] + bn[None, :] - 2.0 * cross, 0.0)
+        cols = b_idx * _STREAM_BLOCK + jax.lax.broadcasted_iota(
+            jnp.int32, d2.shape, 1
+        )
+        d2 = jnp.where(cols < ntr, d2, big)  # block padding is no neighbor
+        if exclude_self:
+            rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+            d2 = jnp.where(rows == cols, big, d2)
+        cand_vals = jnp.concatenate([vals, d2], axis=1)
+        cand_idx = jnp.concatenate(
+            [idxs, jnp.broadcast_to(cols, d2.shape)], axis=1
+        )
+        new_vals, pos = jax.lax.approx_min_k(cand_vals, k, recall_target=1.0)
+        new_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+        return (new_vals, new_idx), None
+
+    init = (
+        jnp.full((nt, k), big, x_test.dtype),
+        jnp.full((nt, k), -1, jnp.int32),
+    )
+    (vals, idxs), _ = jax.lax.scan(
+        body, init, (blocks, jnp.arange(nb, dtype=jnp.int32))
+    )
+    return vals, idxs
+
+
 def knn_scores_masked(
     x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int,
     exclude_self: bool = False,
 ) -> jax.Array:
     """k-th nearest-neighbor distance in the masked space (pyod KNN
     'largest' semantics). ``exclude_self`` drops the (i, i) pair — use when
-    the leading query rows are the training rows themselves."""
+    the leading query rows are the training rows themselves. Train sets
+    past ``STREAM_NTR`` stream in blocks (unbounded n_train)."""
+    if x_train.shape[0] > STREAM_NTR:
+        vals, _ = _masked_knn_streaming(
+            x_test, x_train, mask, k, exclude_self
+        )
+        return jnp.sqrt(vals[:, -1])
     d2 = _masked_sq_dists(x_test, x_train, mask)
     if exclude_self:
         d2 = _mask_diagonal(d2)
@@ -68,6 +137,11 @@ def mean_dist_scores_masked(
     exclude_self: bool = False,
 ) -> jax.Array:
     """Mean distance to the k nearest neighbors (pyod KNN 'mean')."""
+    if x_train.shape[0] > STREAM_NTR:
+        vals, _ = _masked_knn_streaming(
+            x_test, x_train, mask, k, exclude_self
+        )
+        return jnp.mean(jnp.sqrt(vals), axis=-1)
     d2 = _masked_sq_dists(x_test, x_train, mask)
     if exclude_self:
         d2 = _mask_diagonal(d2)
@@ -83,27 +157,38 @@ def lof_scores_masked(
     scored against the train set, matching sklearn/pyod LOF(novelty=True)).
     """
     eps = 1e-12
-    d2_tr = _masked_sq_dists(x_train, x_train, mask)
     n_tr = x_train.shape[0]
-    big = jnp.asarray(jnp.finfo(d2_tr.dtype).max / 4)
-    # exclude self-pairs via an iota mask (TPU-friendly; no scatter)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n_tr, n_tr), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n_tr, n_tr), 1)
-    d_tr = jnp.where(rows == cols, big, jnp.sqrt(d2_tr))
+    if n_tr > STREAM_NTR:
+        # streamed exact k-NN (unbounded n_train): selection on d2 is
+        # order-equivalent to selection on d; sqrt after
+        d2_tr_vals, nbr_tr = _masked_knn_streaming(
+            x_train, x_train, mask, k, exclude_self=True
+        )
+        knn_d_tr = jnp.sqrt(d2_tr_vals)
+        d2_te_vals, nbr_te = _masked_knn_streaming(
+            x_test, x_train, mask, k, exclude_self=exclude_self
+        )
+        knn_d_te = jnp.sqrt(d2_te_vals)
+    else:
+        d2_tr = _masked_sq_dists(x_train, x_train, mask)
+        big = jnp.asarray(jnp.finfo(d2_tr.dtype).max / 4)
+        # exclude self-pairs via an iota mask (TPU-friendly; no scatter)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n_tr, n_tr), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n_tr, n_tr), 1)
+        d_tr = jnp.where(rows == cols, big, jnp.sqrt(d2_tr))
+        knn_d_tr, nbr_tr = jax.lax.approx_min_k(d_tr, k, recall_target=1.0)
 
-    knn_d_tr, nbr_tr = jax.lax.approx_min_k(d_tr, k, recall_target=1.0)
+        d2_te = _masked_sq_dists(x_test, x_train, mask)
+        if exclude_self:
+            d2_te = _mask_diagonal(d2_te)
+        d_te = jnp.sqrt(d2_te)
+        knn_d_te, nbr_te = jax.lax.approx_min_k(d_te, k, recall_target=1.0)
+
     kdist_tr = knn_d_tr[:, -1]  # (ntr, k) ascending distances
-
     # lrd of train points
     reach_tr = jnp.maximum(kdist_tr[nbr_tr], knn_d_tr)
     lrd_tr = 1.0 / (jnp.mean(reach_tr, axis=-1) + eps)
-
     # test points vs train set
-    d2_te = _masked_sq_dists(x_test, x_train, mask)
-    if exclude_self:
-        d2_te = _mask_diagonal(d2_te)
-    d_te = jnp.sqrt(d2_te)
-    knn_d_te, nbr_te = jax.lax.approx_min_k(d_te, k, recall_target=1.0)
     reach_te = jnp.maximum(kdist_tr[nbr_te], knn_d_te)
     lrd_te = 1.0 / (jnp.mean(reach_te, axis=-1) + eps)
     return jnp.mean(lrd_tr[nbr_te], axis=-1) / (lrd_te + eps)
