@@ -302,6 +302,12 @@ def test_api_check_if_myopic_reproduces_notebook_pattern(rng):
 
     model = VGAN_no_kl(epochs=15, lr=0.001, verbose=False)
     model.fit(x)
-    frame = model.check_if_myopic(x, n_permutations=500)
+    # pin the count-row subsample: check_if_myopic's default rng is
+    # unseeded (reference parity), and the cell-14 pattern, while holding
+    # for almost all draws, is not a sure event — an unseeded draw made
+    # this test flake ~1/200 suite runs
+    frame = model.check_if_myopic(
+        x, n_permutations=500, rng=np.random.default_rng(0)
+    )
     assert frame[0.01].iloc[0] == 1.0, frame
     assert frame["recommended bandwidth"].iloc[0] == 0.0, frame
