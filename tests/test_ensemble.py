@@ -676,3 +676,91 @@ def test_streaming_knn_through_ensemble(rng, monkeypatch):
     monkeypatch.setattr(od, "_STREAM_BLOCK", 32)
     stream = ens.decision_function(xte)
     np.testing.assert_allclose(stream, dense, rtol=1e-5, atol=1e-6)
+
+
+def test_streaming_memory_governors(rng, monkeypatch):
+    """The streaming route's chunk clamp (masks in flight) and adaptive
+    train-block never change scores — only the tiling."""
+    import vgan_tpu.ensemble.od as od
+
+    xtr = rng.normal(size=(80, 6)).astype(np.float32)
+    xte = rng.normal(size=(30, 6)).astype(np.float32)
+    masks = rng.uniform(size=(10, 6)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.full(10, 0.1)
+
+    for base in ("knn", "lof"):
+        ens = SubspaceEnsemble(masks, proba, base=base, k=3, chunk=8,
+                               normalize=None).fit(xtr)
+        ref = ens.decision_function(xte)
+        monkeypatch.setattr(od, "STREAM_NTR", 40)
+        monkeypatch.setattr(od, "_STREAM_BLOCK", 32)
+        # force the tightest governors: 1 mask in flight, minimum block
+        monkeypatch.setattr(od, "_STREAM_CHUNK_BUDGET", 1)
+        monkeypatch.setattr(od, "_STREAM_TILE_BUDGET", 1)
+        got = ens.decision_function(xte)
+        monkeypatch.undo()
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6,
+                                   err_msg=base)
+    # the governor helpers themselves
+    assert od._stream_block(1024) == od._STREAM_BLOCK
+    assert od._stream_block(10**6) == 512  # floor
+    assert od._stream_chunk(128, 1024, 8192) == 16
+    assert od._stream_chunk(128, 64, 512) == 128  # small stays unclamped
+
+def test_knn_stream_kernel_matches_generic(rng, monkeypatch):
+    """The streaming Pallas kernel (train axis as a third grid dim with a
+    running k-smallest multiset scratch) is exact vs the generic path —
+    forced by shrinking the resident VMEM cap so nb > 1 blocks stream."""
+    import vgan_tpu.ops.pallas.knn_score as ks
+
+    xtr = rng.normal(size=(300, 6)).astype(np.float32)
+    # duplicate rows so tie groups cross block boundaries
+    xtr[150:180] = xtr[:30]
+    xte = rng.normal(size=(40, 6)).astype(np.float32)
+    masks = rng.uniform(size=(5, 6)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    k = 5
+
+    monkeypatch.setattr(ks, "MAX_NTR_D", 128 * 128 * 2)  # TRB=256, nb=2
+    assert not ks._resident_supported(xtr.shape[0], 128)
+    for mode, oracle in (
+        ("kth", knn_scores_masked),
+        ("mean", mean_dist_scores_masked),
+    ):
+        fused = np.asarray(ks.knn_scores_all_masks(
+            jnp.asarray(xte), jnp.asarray(xtr), masks, k, interpret=True,
+            mode=mode,
+        ))
+        expected = np.stack([
+            np.asarray(oracle(jnp.asarray(xte), jnp.asarray(xtr),
+                              jnp.asarray(m), k))
+            for m in masks
+        ])
+        np.testing.assert_allclose(fused, expected, rtol=1e-5, atol=1e-6,
+                                   err_msg=mode)
+
+
+def test_knn_stream_kernel_exclude_self(rng, monkeypatch):
+    """Streaming kernel with the in-kernel positional diagonal drop: the
+    predict() pattern (leading test rows ARE the train rows) at nb > 1."""
+    import vgan_tpu.ensemble.od as od
+    import vgan_tpu.ops.pallas.knn_score as ks
+
+    xtr = rng.normal(size=(280, 5)).astype(np.float32)
+    xte = rng.normal(size=(30, 5)).astype(np.float32)
+    both = np.concatenate([xtr, xte])
+    masks = rng.uniform(size=(6, 5)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.full(6, 1 / 6)
+
+    monkeypatch.setattr(ks, "MAX_NTR_D", 128 * 128 * 2)
+    ens = SubspaceEnsemble(masks, proba, base="knn", k=4,
+                           normalize=None, chunk=3).fit(xtr)
+    generic = np.asarray(
+        ens._native_scores(jnp.asarray(both), True, reduce=True)
+    )
+    fused = ens._knn_fused_decision_function(
+        jnp.asarray(both), force=True, exclude_self=True
+    )
+    np.testing.assert_allclose(fused, generic, rtol=1e-5, atol=1e-6)

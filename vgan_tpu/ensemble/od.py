@@ -52,6 +52,25 @@ def _mask_diagonal(d2: jax.Array) -> jax.Array:
 # (nt, ntr) distance matrix — unbounded n_train at O(nt x block) memory.
 STREAM_NTR = 16384
 _STREAM_BLOCK = 8192
+# Memory governors for the streaming route: the per-mask (nt, block)
+# distance tile stays under _STREAM_TILE_BUDGET elements (the block
+# shrinks for large query batches, e.g. predict() on a 100k-row train
+# set), and the number of masks vmapped in flight is clamped so
+# chunk x nt x block stays under _STREAM_CHUNK_BUDGET elements —
+# without this a chunk=128 default would put gigabytes in flight.
+_STREAM_TILE_BUDGET = 2**26
+_STREAM_CHUNK_BUDGET = 2**27
+
+
+def _stream_block(nt: int) -> int:
+    """Train-block length for the streaming scorers at ``nt`` query rows."""
+    cap = max(512, (_STREAM_TILE_BUDGET // max(nt, 1)) // 128 * 128)
+    return min(_STREAM_BLOCK, cap)
+
+
+def _stream_chunk(chunk: int, nt: int, blk: int) -> int:
+    """Clamp the vmapped-mask chunk so the streaming tiles fit memory."""
+    return max(1, min(chunk, _STREAM_CHUNK_BUDGET // max(nt * blk, 1)))
 
 
 def _masked_knn_streaming(
@@ -59,7 +78,7 @@ def _masked_knn_streaming(
     exclude_self: bool,
 ):
     """Exact (vals, idx) of the k smallest masked squared distances with
-    the train axis streamed in ``_STREAM_BLOCK`` chunks.
+    the train axis streamed in ``_stream_block(nt)``-length chunks.
 
     A ``lax.scan`` carries the running (nt, k) smallest values/indices and
     merges each block via ``approx_min_k(recall_target=1.0)`` (exact) over
@@ -69,23 +88,22 @@ def _masked_knn_streaming(
     """
     nt = x_test.shape[0]
     ntr, d = x_train.shape
-    nb = -(-ntr // _STREAM_BLOCK)
-    pad = nb * _STREAM_BLOCK - ntr
+    blk = _stream_block(nt)
+    nb = -(-ntr // blk)
+    pad = nb * blk - ntr
     big = jnp.asarray(jnp.finfo(x_test.dtype).max / 4, x_test.dtype)
-    blocks = jnp.pad(x_train, ((0, pad), (0, 0))).reshape(
-        nb, _STREAM_BLOCK, d
-    )
+    blocks = jnp.pad(x_train, ((0, pad), (0, 0))).reshape(nb, blk, d)
     mask_f = mask.astype(x_test.dtype)
     an = jnp.dot(x_test * x_test, mask_f)  # (nt,)
     xm = x_test * mask_f[None, :]
 
     def body(carry, inp):
         vals, idxs = carry  # (nt, k) each
-        blk, b_idx = inp
-        bn = jnp.dot(blk * blk, mask_f)
-        cross = jnp.dot(xm, blk.T, preferred_element_type=x_test.dtype)
+        xb, b_idx = inp
+        bn = jnp.dot(xb * xb, mask_f)
+        cross = jnp.dot(xm, xb.T, preferred_element_type=x_test.dtype)
         d2 = jnp.maximum(an[:, None] + bn[None, :] - 2.0 * cross, 0.0)
-        cols = b_idx * _STREAM_BLOCK + jax.lax.broadcasted_iota(
+        cols = b_idx * blk + jax.lax.broadcasted_iota(
             jnp.int32, d2.shape, 1
         )
         d2 = jnp.where(cols < ntr, d2, big)  # block padding is no neighbor
@@ -513,8 +531,20 @@ class SubspaceEnsemble:
         scorer = scorers[self.base]
         k = self.n_trees if self.base == "iforest" else self.k
         n_shards = self.mesh.shape["data"] if self.mesh is not None else 1
+        chunk = self.chunk
+        if (
+            self.base in ("knn", "knn_mean", "lof")
+            and self._x_train.shape[0] > STREAM_NTR
+        ):
+            # streaming engages: cap the vmapped masks in flight so the
+            # per-chunk (chunk, nt, block) tiles fit the memory budget
+            # (lof also streams the train x train neighbor pass)
+            nt_eff = x_test.shape[0]
+            if self.base == "lof":
+                nt_eff = max(nt_eff, self._x_train.shape[0])
+            chunk = _stream_chunk(chunk, nt_eff, _stream_block(nt_eff))
         masks_np, proba_np = _chunked_masks(
-            self.subspaces, self.proba, self.chunk, n_shards
+            self.subspaces, self.proba, chunk, n_shards
         )
 
         if self.mesh is None:
