@@ -764,3 +764,72 @@ def test_knn_stream_kernel_exclude_self(rng, monkeypatch):
         jnp.asarray(both), force=True, exclude_self=True
     )
     np.testing.assert_allclose(fused, generic, rtol=1e-5, atol=1e-6)
+
+
+def test_ecod_dim_scores_match_numpy(rng):
+    """ECOD per-dim planes vs a direct numpy oracle: left/right neg-log
+    ECDF tails (floored at 1/n) + skew-selected auto plane."""
+    from vgan_tpu.ensemble import ecod_dim_scores
+
+    xtr = rng.normal(size=(80, 5)).astype(np.float32)
+    xtr[:, 2] = rng.exponential(size=80)  # right-skewed column
+    xtr[:, 3] = -rng.exponential(size=80)  # left-skewed column
+    xte = rng.normal(size=(20, 5)).astype(np.float32)
+    ours = np.asarray(ecod_dim_scores(jnp.asarray(xte), jnp.asarray(xtr)))
+    n = len(xtr)
+    left = (xte[:, None, :] >= xtr[None, :, :]).sum(1) / n
+    right = (xte[:, None, :] <= xtr[None, :, :]).sum(1) / n
+    u_l = -np.log(np.maximum(left, 1 / n))
+    u_r = -np.log(np.maximum(right, 1 / n))
+    skew = ((xtr - xtr.mean(0)) ** 3).mean(0)
+    u_auto = np.where(skew < 0, u_l, u_r)
+    np.testing.assert_allclose(ours[..., 0], u_l, rtol=1e-5)
+    np.testing.assert_allclose(ours[..., 1], u_r, rtol=1e-5)
+    np.testing.assert_allclose(ours[..., 2], u_auto, rtol=1e-5)
+
+
+def test_ecod_ensemble_max_of_sums(rng):
+    """base='ecod' ensemble == probability-weighted sum over masks of the
+    paper's max-of-plane-sums score restricted to each mask's dims."""
+    from vgan_tpu.ensemble import ecod_dim_scores
+
+    xtr = rng.normal(size=(60, 6)).astype(np.float32)
+    xte = rng.normal(size=(15, 6)).astype(np.float32)
+    subs = np.asarray([[1, 1, 0, 0, 0, 0], [0, 0, 1, 1, 1, 0]], bool)
+    proba = np.asarray([0.6, 0.4], np.float32)
+
+    ens = SubspaceEnsemble(subs, proba, base="ecod", normalize=None)
+    ens.fit(xtr)
+    scores = ens.decision_function(xte)
+
+    dim = np.asarray(ecod_dim_scores(jnp.asarray(xte), jnp.asarray(xtr)))
+    per_mask = np.stack([
+        dim[:, m, :].sum(axis=1).max(axis=-1) for m in subs
+    ])  # (n_masks, nt): max over the 3 plane sums, per mask
+    expected = (proba[:, None] * per_mask).sum(0)
+    np.testing.assert_allclose(scores, expected, rtol=1e-5)
+
+    # per_subspace_scores agrees with the same oracle
+    ps = ens.per_subspace_scores(xte)
+    np.testing.assert_allclose(ps, per_mask, rtol=1e-5)
+
+
+def test_ecod_detects_planted_outliers_and_aggregations(rng):
+    d = 12
+    xtr = rng.normal(size=(200, d)).astype(np.float32)
+    inliers = rng.normal(size=(50, d)).astype(np.float32)
+    outliers = rng.normal(size=(10, d)).astype(np.float32)
+    outliers[:, :4] += 6.0
+    xte = np.vstack([inliers, outliers])
+    subs = rng.uniform(size=(32, d)) < 0.4
+    subs[~subs.any(axis=1), 0] = True
+    proba = np.full(32, 1 / 32)
+
+    for agg in ("average", "max", "aom", "moa"):
+        ens = SubspaceEnsemble(subs, proba, base="ecod",
+                               aggregation=agg).fit(xtr)
+        scores = ens.decision_function(xte)
+        assert scores.shape == (60,)
+        assert scores[50:].mean() > scores[:50].mean(), agg
+    labels = SubspaceEnsemble(subs, proba, base="ecod").fit(xtr).predict(xte)
+    assert labels[50:].mean() > labels[:50].mean()

@@ -118,7 +118,7 @@ def build_parser() -> argparse.ArgumentParser:
     score.add_argument("--generator", required=True)
     score.add_argument("--base",
                        choices=["knn", "knn_mean", "lof", "iforest", "copod",
-                                "hbos"],
+                                "hbos", "ecod"],
                        default="knn")
     score.add_argument("--k", type=int, default=10)
     score.add_argument("--n-trees", type=int, default=100,

@@ -4,6 +4,7 @@ from vgan_tpu.ensemble.iforest import iforest_scores, iforest_scores_masked
 from vgan_tpu.ensemble.od import (
     SubspaceEnsemble,
     copod_dim_scores,
+    ecod_dim_scores,
     hbos_dim_scores,
     knn_scores_masked,
     lof_scores_masked,
@@ -13,6 +14,7 @@ from vgan_tpu.ensemble.od import (
 __all__ = [
     "SubspaceEnsemble",
     "copod_dim_scores",
+    "ecod_dim_scores",
     "hbos_dim_scores",
     "iforest_scores",
     "iforest_scores_masked",

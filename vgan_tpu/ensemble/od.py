@@ -271,6 +271,43 @@ def hbos_dim_scores(
     return jax.vmap(per_dim, in_axes=(1, 1), out_axes=1)(x_train, x_test)
 
 
+def ecod_dim_scores(x_test: jax.Array, x_train: jax.Array) -> jax.Array:
+    """Per-dimension ECOD tail-score planes (Li et al. 2022; pyod 2.0's
+    flagship detector — the reference's pyod pin at requirements.txt:58
+    makes it part of the downstream-capability surface).
+
+    Returns ``(nt, d, 3)`` stacked planes ``[U_left, U_right, U_auto]``
+    with ``U_left = -log F_j(x)``, ``U_right = -log (1 - F_j(x^-))`` from
+    the train column's empirical CDFs (tails floored at 1/n, as in
+    :func:`copod_dim_scores`), and ``U_auto`` selecting the tail by the
+    train column's skewness sign (left tail when left-skewed). The
+    per-dim structure keeps the whole subspace ensemble three matmuls:
+    each plane's masked sum is ``U_p @ masks.T`` and the final ECOD score
+    is the elementwise max over the three plane sums — exactly the
+    paper's ``O(x) = max(O_left, O_right, O_auto)`` restricted to the
+    subspace's dims. Divergences vs pyod's ECOD (documented): pyod fits
+    the ECDFs on the concatenated train+test batch (transductive) and
+    takes the per-dimension max of the three tail scores before summing;
+    this implementation is inductive (train-column ECDFs only, matching
+    our COPOD) and follows the paper's max-of-sums form.
+    """
+    n_tr = x_train.shape[0]
+    sorted_cols = jnp.sort(x_train, axis=0)  # (ntr, d)
+    floor = 1.0 / n_tr
+
+    def per_dim(col_sorted, queries):
+        left = jnp.searchsorted(col_sorted, queries, side="right") / n_tr
+        right = 1.0 - jnp.searchsorted(col_sorted, queries, side="left") / n_tr
+        u_l = -jnp.log(jnp.maximum(left, floor))
+        u_r = -jnp.log(jnp.maximum(right, floor))
+        centered = col_sorted - jnp.mean(col_sorted)
+        skew = jnp.mean(centered**3)  # sign-only use: no sd^3 normalizer
+        u_auto = jnp.where(skew < 0, u_l, u_r)
+        return jnp.stack([u_l, u_r, u_auto], axis=-1)  # (nt, 3)
+
+    return jax.vmap(per_dim, in_axes=(1, 1), out_axes=1)(sorted_cols, x_test)
+
+
 def _iforest_adapter(x_test, x_train, mask, k):
     """SubspaceEnsemble scorer signature -> iforest (k = number of trees)."""
     from vgan_tpu.ensemble.iforest import iforest_scores_masked
@@ -341,6 +378,10 @@ _BASE_SCORERS = {
     "iforest": _iforest_adapter,
 }
 
+# Dim-decomposable bases: per-dim score planes shared across ALL masks, the
+# whole ensemble reduces to masked-sum matmuls (see _dim_subspace_raw).
+_DIM_BASES = ("copod", "hbos", "ecod")
+
 # Self-excluding variants for scoring the train set itself (pyod's
 # unsupplied-X kneighbors semantics). Module-level singletons so the jitted
 # paths see one hashable static per base. iforest is distribution-based —
@@ -362,9 +403,10 @@ class SubspaceEnsemble:
         Either pass explicit masks (n_subspaces, d) + probabilities, or a
         fitted ``VGAN``/``VGAN_no_kl`` via ``from_model``.
     base:
-        'knn' (k-th NN distance), 'knn_mean', 'lof', 'iforest', 'copod', or
-        a pyod-style detector instance (CPU fallback loop; pyod optional —
-        any object with sklearn-style get_params/fit/decision_function).
+        'knn' (k-th NN distance), 'knn_mean', 'lof', 'iforest', 'copod',
+        'hbos', 'ecod', or a pyod-style detector instance (CPU fallback
+        loop; pyod optional — any object with sklearn-style
+        get_params/fit/decision_function).
     k:
         neighborhood size for the distance-based native detectors.
     n_trees:
@@ -436,11 +478,11 @@ class SubspaceEnsemble:
                 f"unknown normalize={normalize!r}: expected 'zscore' or None"
             )
         if isinstance(base, str) and base not in (
-            *_BASE_SCORERS, "copod", "hbos",
+            *_BASE_SCORERS, *_DIM_BASES,
         ):
             raise ValueError(
                 f"unknown base={base!r}: expected one of "
-                f"{sorted(_BASE_SCORERS)} + ['copod', 'hbos'] or a "
+                f"{sorted(_BASE_SCORERS)} + {sorted(_DIM_BASES)} or a "
                 "pyod-style detector instance"
             )
         self.subspaces = np.asarray(subspaces, dtype=bool)
@@ -480,7 +522,7 @@ class SubspaceEnsemble:
         bases (knn/knn_mean/lof) — set it when the leading rows of
         ``x_test`` ARE the training rows (pyod's unsupplied-X kneighbors
         semantics; ``predict`` uses this for its train-score threshold).
-        Distribution-based bases (iforest/copod/hbos/pyod instances)
+        Distribution-based bases (iforest/copod/hbos/ecod/pyod instances)
         inherently include the point, as in pyod."""
         assert self._x_train is not None, "call fit(X_train) first"
         if exclude_self and isinstance(self.base, str) and self.base in (
@@ -500,7 +542,7 @@ class SubspaceEnsemble:
             )
         if not isinstance(self.base, str):
             return self._pyod_decision_function(x_test)
-        if self.base in ("copod", "hbos"):
+        if self.base in _DIM_BASES:
             return self._dim_decision_function(x_test)
 
         x_test = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
@@ -696,17 +738,13 @@ class SubspaceEnsemble:
         assert self._x_train is not None, "call fit(X_train) first"
         if not isinstance(self.base, str):
             s = self._pyod_per_subspace_raw(np.asarray(x_test))
-        elif self.base in ("copod", "hbos"):
+        elif self.base in _DIM_BASES:
             x_test_j = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
             masks = jnp.asarray(self.subspaces, dtype=jnp.float32)
             dim_scores = _dim_scores_jit(
                 x_test_j, self._x_train, base=self.base, n_bins=self.n_bins
             )
-            s = np.asarray(
-                jnp.dot(
-                    dim_scores, masks.T, preferred_element_type=jnp.float32
-                ).T
-            )
+            s = np.asarray(_dim_subspace_raw(dim_scores, masks))
         else:
             x_test_j = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
             s = None
@@ -762,8 +800,9 @@ class SubspaceEnsemble:
         return np.stack(all_scores)
 
     def _dim_decision_function(self, x_test) -> np.ndarray:
-        """Dim-decomposable path (COPOD / HBOS): per-dim scores shared across
-        ALL masks, the whole ensemble is one (nt, d) @ (d, n_masks) matmul."""
+        """Dim-decomposable path (COPOD / HBOS / ECOD): per-dim score planes
+        shared across ALL masks, the whole ensemble is masked-sum matmuls
+        (one for copod/hbos, three + an elementwise max for ecod)."""
         x_test = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
         masks = jnp.asarray(self.subspaces, dtype=jnp.float32)
         proba = jnp.asarray(self.proba)
@@ -793,10 +832,27 @@ class SubspaceEnsemble:
 def _dim_scores_impl(x_test, x_train, *, base, n_bins):
     if base == "hbos":
         return hbos_dim_scores(x_test, x_train, n_bins=n_bins)
+    if base == "ecod":
+        return ecod_dim_scores(x_test, x_train)
     return copod_dim_scores(x_test, x_train)
 
 
 _dim_scores_jit = jax.jit(_dim_scores_impl, static_argnames=("base", "n_bins"))
+
+
+def _dim_subspace_raw(dim_scores, masks):
+    """Raw (n_masks, nt) per-subspace scores from per-dim planes.
+
+    2-D planes (copod/hbos) are one masked-sum matmul; ECOD's (nt, d, 3)
+    planes are three matmuls with the paper's elementwise max over the
+    per-plane subspace sums."""
+    if dim_scores.ndim == 3:  # ecod: (nt, d, planes)
+        s3 = jnp.einsum(
+            "tdp,md->mtp", dim_scores, masks,
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.max(s3, axis=-1)
+    return jnp.dot(dim_scores, masks.T, preferred_element_type=jnp.float32).T
 
 
 @functools.partial(
@@ -806,7 +862,7 @@ def _dim_ensemble_scores(
     x_test, x_train, masks, proba, *, base, n_bins, aggregation, normalize
 ):
     dim_scores = _dim_scores_impl(x_test, x_train, base=base, n_bins=n_bins)
-    s = jnp.dot(dim_scores, masks.T, preferred_element_type=jnp.float32).T
+    s = _dim_subspace_raw(dim_scores, masks)
     if normalize == "zscore":
         s = _zscore(s)
     if aggregation == "max":
