@@ -833,3 +833,64 @@ def test_ecod_detects_planted_outliers_and_aggregations(rng):
         assert scores[50:].mean() > scores[:50].mean(), agg
     labels = SubspaceEnsemble(subs, proba, base="ecod").fit(xtr).predict(xte)
     assert labels[50:].mean() > labels[:50].mean()
+
+
+def test_heterogeneous_ensemble_combination(rng):
+    """HeterogeneousEnsemble == standardized member decision_functions
+    combined by mean/max; members ride their own SubspaceEnsemble paths."""
+    from vgan_tpu.ensemble import HeterogeneousEnsemble, SubspaceEnsemble
+
+    d = 10
+    xtr = rng.normal(size=(120, d)).astype(np.float32)
+    xte = rng.normal(size=(40, d)).astype(np.float32)
+    subs = rng.uniform(size=(8, d)) < 0.4
+    subs[~subs.any(axis=1), 0] = True
+    proba = np.full(8, 1 / 8, np.float32)
+    members = [{"base": "knn", "k": 5}, {"base": "ecod"}, {"base": "hbos"}]
+
+    expected_rows = []
+    for m in members:
+        s = SubspaceEnsemble(subs, proba, **m).fit(xtr).decision_function(xte)
+        s = np.asarray(s, np.float64)
+        expected_rows.append((s - s.mean()) / (s.std() + 1e-12))
+    expected = np.stack(expected_rows)
+
+    for comb, red in (("average", np.mean), ("max", np.max)):
+        het = HeterogeneousEnsemble(
+            subs, proba, members=members, combination=comb
+        ).fit(xtr)
+        got = het.decision_function(xte)
+        np.testing.assert_allclose(got, red(expected, axis=0), rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_heterogeneous_ensemble_predict_and_outliers(rng):
+    from vgan_tpu.ensemble import HeterogeneousEnsemble
+
+    d = 12
+    xtr = rng.normal(size=(150, d)).astype(np.float32)
+    inliers = rng.normal(size=(40, d)).astype(np.float32)
+    outliers = rng.normal(size=(10, d)).astype(np.float32)
+    outliers[:, :4] += 6.0
+    xte = np.vstack([inliers, outliers])
+    subs = rng.uniform(size=(16, d)) < 0.4
+    subs[~subs.any(axis=1), 0] = True
+    proba = np.full(16, 1 / 16, np.float32)
+
+    het = HeterogeneousEnsemble(
+        subs, proba,
+        members=[{"base": "knn", "k": 8}, {"base": "lof", "k": 8},
+                 {"base": "ecod"}],
+    ).fit(xtr)
+    scores = het.decision_function(xte)
+    assert scores[40:].mean() > scores[:40].mean()
+    labels = het.predict(xte)
+    assert labels.shape == (50,)
+    assert het.threshold_ is not None
+    assert labels[40:].mean() > labels[:40].mean()
+
+    import pytest
+    with pytest.raises(ValueError):
+        HeterogeneousEnsemble(subs, proba, combination="median")
+    with pytest.raises(ValueError):
+        HeterogeneousEnsemble(subs, proba, members=[])

@@ -73,3 +73,39 @@ def test_per_subspace_scorer_export_roundtrip(rng, tmp_path):
         np.testing.assert_allclose(
             fn(xte), ens.per_subspace_scores(xte), rtol=1e-5, atol=1e-6
         )
+
+
+def test_dim_base_scorer_export_roundtrip(rng, tmp_path):
+    """copod/hbos/ecod ensembles export (matmul-path program) and match the
+    live decision_function and per_subspace_scores across batch sizes."""
+    from vgan_tpu.ensemble import SubspaceEnsemble
+    from vgan_tpu.serving import (
+        export_ensemble_scorer,
+        export_per_subspace_scorer,
+        load_ensemble_scorer,
+    )
+
+    d = 8
+    xtr = rng.normal(size=(60, d)).astype(np.float32)
+    masks = rng.random(size=(6, d)) < 0.5
+    masks[:, 0] |= ~masks.any(axis=1)
+    proba = np.full(6, 1 / 6, np.float32)
+
+    for base in ("copod", "hbos", "ecod"):
+        ens = SubspaceEnsemble(masks, proba, base=base).fit(xtr)
+        path = tmp_path / f"{base}.bin"
+        export_ensemble_scorer(ens, path)
+        fn = load_ensemble_scorer(path)
+        for nt in (11, 23):
+            xte = rng.normal(size=(nt, d)).astype(np.float32)
+            np.testing.assert_allclose(
+                fn(xte), ens.decision_function(xte), rtol=1e-5, atol=1e-6
+            )
+
+        ps_path = tmp_path / f"{base}_ps.bin"
+        export_per_subspace_scorer(ens, ps_path)
+        ps_fn = load_ensemble_scorer(ps_path)
+        xte = rng.normal(size=(13, d)).astype(np.float32)
+        np.testing.assert_allclose(
+            ps_fn(xte), ens.per_subspace_scores(xte), rtol=1e-5, atol=1e-6
+        )

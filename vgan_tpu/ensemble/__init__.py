@@ -1,5 +1,6 @@
 """Subspace-ensemble outlier detection over V-GAN-sampled projections."""
 
+from vgan_tpu.ensemble.hetero import HeterogeneousEnsemble
 from vgan_tpu.ensemble.iforest import iforest_scores, iforest_scores_masked
 from vgan_tpu.ensemble.od import (
     SubspaceEnsemble,
@@ -13,6 +14,7 @@ from vgan_tpu.ensemble.od import (
 
 __all__ = [
     "SubspaceEnsemble",
+    "HeterogeneousEnsemble",
     "copod_dim_scores",
     "ecod_dim_scores",
     "hbos_dim_scores",

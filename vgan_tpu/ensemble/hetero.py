@@ -1,0 +1,138 @@
+"""Heterogeneous detector combination over one subspace pool (suod-style).
+
+The reference's experiment stack pins suod==0.1.3 and sel_suod==0.1
+(requirements.txt:68,73) — frameworks for training and combining a LARGE
+HETEROGENEOUS collection of base detectors. Here the analogous capability:
+several :class:`~vgan_tpu.ensemble.od.SubspaceEnsemble` members (each its
+own base family + hyperparameters) score the SAME V-GAN subspace pool, each
+member's aggregated scores are standardized over the test batch (suod's
+score-alignment step — knn distances and -log ECDF tails live on
+incomparable scales), and the standardized member scores combine by
+'average' or 'max' (pyod/combo's two canonical combinators).
+
+Every member rides its own fast path (fused Pallas KNN kernel, dim-base
+matmuls, shard_map over ``mesh=``) — heterogeneity costs one extra
+standardize+reduce, not a Python loop over detectors.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from vgan_tpu.ensemble.od import SubspaceEnsemble
+
+
+class HeterogeneousEnsemble:
+    """Combine several base-detector families over one subspace pool.
+
+    Parameters
+    ----------
+    subspaces, proba:
+        the shared mask pool + probabilities (as for ``SubspaceEnsemble``).
+    members:
+        sequence of kwargs dicts, one per member — each builds a
+        ``SubspaceEnsemble(subspaces, proba, **shared, **member)``. E.g.
+        ``[{"base": "knn", "k": 10}, {"base": "lof", "k": 20},
+        {"base": "ecod"}]``.
+    combination:
+        'average' (mean of standardized member scores) or 'max'
+        (suod/combo's maximization combinator).
+    contamination:
+        expected outlier fraction for ``predict`` (pyod semantics, as in
+        ``SubspaceEnsemble``).
+    **shared:
+        kwargs applied to every member (e.g. ``mesh=``, ``aggregation=``,
+        ``chunk=``); member dicts override.
+    """
+
+    def __init__(
+        self,
+        subspaces: np.ndarray,
+        proba: np.ndarray,
+        members: Sequence[dict] = (
+            {"base": "knn"}, {"base": "lof"}, {"base": "ecod"},
+        ),
+        combination: str = "average",
+        contamination: float = 0.1,
+        **shared,
+    ):
+        if combination not in ("average", "max"):
+            raise ValueError(
+                f"unknown combination={combination!r}: expected 'average' "
+                "or 'max'"
+            )
+        if not members:
+            raise ValueError("members must be non-empty")
+        self.members = [
+            SubspaceEnsemble(subspaces, proba, **{**shared, **m})
+            for m in members
+        ]
+        self.combination = combination
+        self.contamination = contamination
+        self._threshold = None
+
+    @classmethod
+    def from_model(cls, model, subspace_count: int = 500, **kwargs):
+        """Build from a fitted estimator via ``approx_subspace_dist``."""
+        model.approx_subspace_dist(subspace_count)
+        return cls(model.subspaces, model.proba, **kwargs)
+
+    def fit(self, x_train: np.ndarray):
+        for m in self.members:
+            m.fit(x_train)
+        return self
+
+    def member_scores(
+        self, x_test: np.ndarray, exclude_self: bool = False
+    ) -> np.ndarray:
+        """(n_members, nt) standardized member scores. ``exclude_self``
+        reaches the neighbor-based members only (distribution-based bases
+        ignore it, as in ``SubspaceEnsemble.decision_function``)."""
+        rows = []
+        for m in self.members:
+            neighbor = isinstance(m.base, str) and m.base in (
+                "knn", "knn_mean", "lof",
+            )
+            s = m.decision_function(
+                x_test, exclude_self=exclude_self and neighbor
+            )
+            rows.append(np.asarray(s, np.float64))
+        s = np.stack(rows)
+        mu = s.mean(axis=1, keepdims=True)
+        sd = s.std(axis=1, keepdims=True) + 1e-12
+        return ((s - mu) / sd).astype(np.float32)
+
+    def decision_function(
+        self, x_test: np.ndarray, exclude_self: bool = False
+    ) -> np.ndarray:
+        """Combined outlier scores (higher = more outlying)."""
+        s = self.member_scores(x_test, exclude_self=exclude_self)
+        if self.combination == "max":
+            return s.max(axis=0)
+        return s.mean(axis=0)
+
+    def predict(self, x_test: np.ndarray) -> np.ndarray:
+        """0/1 labels at the (1 - contamination) train-score quantile.
+
+        Same one-batch semantics as ``SubspaceEnsemble.predict`` (scores
+        train+test together so the member standardization is shared;
+        ``threshold_`` is recomputed per call — see that class's
+        documented divergence from pyod's fit-time threshold).
+        """
+        x_train = self.members[0]._x_train
+        assert x_train is not None, "call fit(X_train) first"
+        x_train = np.asarray(x_train)
+        n_tr = len(x_train)
+        both = np.concatenate([x_train, np.asarray(x_test, np.float32)])
+        scores = self.decision_function(both, exclude_self=True)
+        self._threshold = float(
+            np.quantile(scores[:n_tr], 1.0 - self.contamination)
+        )
+        return (scores[n_tr:] > self._threshold).astype(np.int64)
+
+    @property
+    def threshold_(self) -> Optional[float]:
+        """Train-score threshold from the last ``predict`` call."""
+        return self._threshold

@@ -67,14 +67,16 @@ def export_ensemble_scorer(ensemble, path) -> None:
     """
     from vgan_tpu.ensemble.od import (
         _BASE_SCORERS,
+        _DIM_BASES,
         _chunked_masks,
+        _dim_ensemble_scores,
         _local_chunked_scores,
     )
 
     assert ensemble._x_train is not None, "fit the ensemble first"
-    assert isinstance(ensemble.base, str) and ensemble.base in _BASE_SCORERS, (
-        "only native base scorers export"
-    )
+    assert isinstance(ensemble.base, str) and ensemble.base in (
+        *_BASE_SCORERS, *_DIM_BASES,
+    ), "only native base scorers export"
     if ensemble.aggregation not in ("average", "max"):
         raise ValueError(
             f"aggregation={ensemble.aggregation!r} does not export: the "
@@ -83,22 +85,36 @@ def export_ensemble_scorer(ensemble, path) -> None:
             "aggregation='average'/'max', or use export_per_subspace_scorer "
             "and bucket on the serving side"
         )
-    scorer = _BASE_SCORERS[ensemble.base]
-    k = ensemble.n_trees if ensemble.base == "iforest" else ensemble.k
     x_train = ensemble._x_train
     d = x_train.shape[1]
-    masks_np, proba_np = _chunked_masks(
-        ensemble.subspaces, ensemble.proba, ensemble.chunk
-    )
-    masks = jnp.asarray(masks_np)
-    proba = jnp.asarray(proba_np)
 
-    def score(x_test):
-        return _local_chunked_scores(
-            x_test.astype(jnp.float32), x_train, masks, proba,
-            scorer=scorer, k=k,
-            aggregation=ensemble.aggregation, normalize=ensemble.normalize,
+    if ensemble.base in _DIM_BASES:
+        flat_masks = jnp.asarray(ensemble.subspaces, dtype=jnp.float32)
+        flat_proba = jnp.asarray(ensemble.proba)
+
+        def score(x_test):
+            return _dim_ensemble_scores(
+                x_test.astype(jnp.float32), x_train, flat_masks, flat_proba,
+                base=ensemble.base, n_bins=ensemble.n_bins,
+                aggregation=ensemble.aggregation,
+                normalize=ensemble.normalize,
+            )
+    else:
+        scorer = _BASE_SCORERS[ensemble.base]
+        k = ensemble.n_trees if ensemble.base == "iforest" else ensemble.k
+        masks_np, proba_np = _chunked_masks(
+            ensemble.subspaces, ensemble.proba, ensemble.chunk
         )
+        masks = jnp.asarray(masks_np)
+        proba = jnp.asarray(proba_np)
+
+        def score(x_test):
+            return _local_chunked_scores(
+                x_test.astype(jnp.float32), x_train, masks, proba,
+                scorer=scorer, k=k,
+                aggregation=ensemble.aggregation,
+                normalize=ensemble.normalize,
+            )
 
     batch = jax.export.symbolic_shape("b")[0]
     x_spec = jax.ShapeDtypeStruct((batch, d), jnp.float32)
@@ -127,34 +143,51 @@ def export_per_subspace_scorer(ensemble, path) -> None:
     """
     from vgan_tpu.ensemble.od import (
         _BASE_SCORERS,
+        _DIM_BASES,
         _chunked_masks,
+        _dim_scores_impl,
+        _dim_subspace_raw,
         _per_subspace_chunked,
         _zscore,
     )
 
     assert ensemble._x_train is not None, "fit the ensemble first"
-    assert isinstance(ensemble.base, str) and ensemble.base in _BASE_SCORERS, (
-        "only native base scorers export"
-    )
-    scorer = _BASE_SCORERS[ensemble.base]
-    k = ensemble.n_trees if ensemble.base == "iforest" else ensemble.k
+    assert isinstance(ensemble.base, str) and ensemble.base in (
+        *_BASE_SCORERS, *_DIM_BASES,
+    ), "only native base scorers export"
     x_train = ensemble._x_train
     d = x_train.shape[1]
     n_subs = len(ensemble.subspaces)
-    masks_np, _ = _chunked_masks(
-        ensemble.subspaces, ensemble.proba, ensemble.chunk
-    )
-    masks = jnp.asarray(masks_np)
     normalize = ensemble.normalize
 
-    def score(x_test):
-        raw = _per_subspace_chunked(
-            x_test.astype(jnp.float32), x_train, masks, scorer=scorer, k=k
+    if ensemble.base in _DIM_BASES:
+        flat_masks = jnp.asarray(ensemble.subspaces, dtype=jnp.float32)
+        base, n_bins = ensemble.base, ensemble.n_bins
+
+        def score(x_test):
+            dim = _dim_scores_impl(
+                x_test.astype(jnp.float32), x_train, base=base, n_bins=n_bins
+            )
+            s = _dim_subspace_raw(dim, flat_masks)
+            if normalize == "zscore":
+                s = _zscore(s)
+            return s
+    else:
+        scorer = _BASE_SCORERS[ensemble.base]
+        k = ensemble.n_trees if ensemble.base == "iforest" else ensemble.k
+        masks_np, _ = _chunked_masks(
+            ensemble.subspaces, ensemble.proba, ensemble.chunk
         )
-        s = raw.reshape(-1, x_test.shape[0])[:n_subs]
-        if normalize == "zscore":
-            s = _zscore(s)
-        return s
+        masks = jnp.asarray(masks_np)
+
+        def score(x_test):
+            raw = _per_subspace_chunked(
+                x_test.astype(jnp.float32), x_train, masks, scorer=scorer, k=k
+            )
+            s = raw.reshape(-1, x_test.shape[0])[:n_subs]
+            if normalize == "zscore":
+                s = _zscore(s)
+            return s
 
     batch = jax.export.symbolic_shape("b")[0]
     x_spec = jax.ShapeDtypeStruct((batch, d), jnp.float32)
