@@ -173,3 +173,21 @@ def test_export_subcommand_roundtrip(data_file, tmp_path):
     got = sample_masks(load_sampler(art), nsubs=32,
                        latent_size=model._latent_size, seed=model.seed)
     np.testing.assert_array_equal(got, expected)
+
+
+def test_score_heterogeneous_members(data_file, tmp_path):
+    out = tmp_path / "m"
+    rc = main(["fit", "--data", str(data_file), "--variant", "no_kl",
+               "--epochs", "1", "--batch-size", "32", "--quiet",
+               "--out", str(out)])
+    assert rc == 0
+    gen = out / "models" / "generator_0.msgpack"
+
+    scores_path = tmp_path / "scores.npy"
+    rc = main(["score", "--train", str(data_file), "--generator", str(gen),
+               "--members", "knn,ecod", "--k", "5", "--subspaces", "32",
+               "--out", str(scores_path)])
+    assert rc == 0
+    scores = np.load(scores_path)
+    assert scores.shape == (96,)
+    assert np.all(np.isfinite(scores))

@@ -120,6 +120,9 @@ def build_parser() -> argparse.ArgumentParser:
                        choices=["knn", "knn_mean", "lof", "iforest", "copod",
                                 "hbos", "ecod"],
                        default="knn")
+    score.add_argument("--members", default=None, metavar="B1,B2,...",
+                       help="comma-separated base list for a heterogeneous "
+                            "(suod-style) combination; overrides --base")
     score.add_argument("--k", type=int, default=10)
     score.add_argument("--n-trees", type=int, default=100,
                        help="forest size for --base iforest")
@@ -216,11 +219,21 @@ def main(argv=None) -> int:
         x_test = _load_data(args.test) if args.test else x_train
         model = VGAN_no_kl(seed=args.seed, verbose=False)
         model.load_models(args.generator, ndims=x_train.shape[1])
-        ens = SubspaceEnsemble.from_model(
-            model, subspace_count=args.subspaces,
-            base=args.base, k=args.k, n_trees=args.n_trees,
-            aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),
-        ).fit(x_train)
+        if args.members:
+            from vgan_tpu.ensemble import HeterogeneousEnsemble
+
+            ens = HeterogeneousEnsemble.from_model(
+                model, subspace_count=args.subspaces,
+                members=[{"base": b} for b in args.members.split(",")],
+                k=args.k, n_trees=args.n_trees,
+                aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),
+            ).fit(x_train)
+        else:
+            ens = SubspaceEnsemble.from_model(
+                model, subspace_count=args.subspaces,
+                base=args.base, k=args.k, n_trees=args.n_trees,
+                aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),
+            ).fit(x_train)
         scores = ens.decision_function(x_test)
         if args.out:
             np.save(args.out, scores)
