@@ -59,6 +59,20 @@ def main():
     print(f"predict: {int(labels.sum())} flagged at threshold "
           f"{ens.threshold_:.3f} (contamination={ens.contamination})")
 
+    # suod-style heterogeneous combination: three base families over the
+    # SAME subspace pool, member scores standardized then averaged
+    from vgan_tpu.ensemble import HeterogeneousEnsemble
+
+    het = HeterogeneousEnsemble.from_model(
+        model, subspace_count=1000,
+        members=[{"base": "knn", "k": 15}, {"base": "lof", "k": 15},
+                 {"base": "ecod"}],
+    ).fit(x_train)
+    h_scores = het.decision_function(x_test)
+    h_order = np.argsort(-h_scores)
+    h_hits = len(set(h_order[:20]) & set(np.where(y_true == 1)[0]))
+    print(f"heterogeneous (knn+lof+ecod) precision@20: {h_hits / 20:.2f}")
+
 
 if __name__ == "__main__":
     main()

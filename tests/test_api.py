@@ -221,3 +221,20 @@ def test_check_if_myopic_precise_uncapped_routes_tiled(fitted_no_kl, rng, monkey
     assert calls == ["float64"], calls
     vals = df.to_numpy().ravel()
     assert np.all((0.0 <= vals) & (vals <= 1.0))
+
+
+def test_fit_rejects_invalid_input():
+    import pytest
+
+    from vgan_tpu import VGAN, VGAN_no_kl
+
+    for cls in (VGAN_no_kl, VGAN):
+        m = cls(epochs=1, verbose=False)
+        with pytest.raises(ValueError, match="2-D"):
+            m.fit(np.zeros(16))
+        with pytest.raises(ValueError, match="2-D"):
+            m.fit(np.zeros((0, 4)))
+        bad = np.zeros((32, 4), np.float32)
+        bad[3, 1] = np.nan
+        with pytest.raises(ValueError, match="NaN/Inf"):
+            m.fit(bad)

@@ -237,9 +237,21 @@ class _VGANCommon(EstimatorBase):
     # -- checkpoint / resume (capability beyond the reference) ---------------
 
     def _prepare_fit_config(self, X):
-        """Common fit prologue: clamp batch size (vgan.py:199), rebuild the
-        train config for this dataset's width."""
+        """Common fit prologue: validate the input (loud errors instead of
+        the reference's cryptic downstream failures), clamp batch size
+        (vgan.py:199), rebuild the train config for this dataset's width."""
         X = np.asarray(X)
+        if X.ndim != 2 or 0 in X.shape:
+            raise ValueError(
+                "X must be a non-empty 2-D array (n_samples, n_features); "
+                f"got shape {X.shape}"
+            )
+        if not np.isfinite(X).all():
+            raise ValueError(
+                "X contains NaN/Inf entries; the MMD Gram propagates a "
+                "single non-finite value into the whole loss — clean or "
+                "impute the data before fit()"
+            )
         self.batch_size = min(self.batch_size, X.shape[0])
         self._ndims = X.shape[1]
         self._config = config = self._make_config(self._ndims, self.batch_size)
