@@ -238,3 +238,5 @@ def test_fit_rejects_invalid_input():
         bad[3, 1] = np.nan
         with pytest.raises(ValueError, match="NaN/Inf"):
             m.fit(bad)
+        with pytest.raises(ValueError, match="numeric"):
+            m.fit(np.full((8, 2), "a"))

@@ -246,6 +246,12 @@ class _VGANCommon(EstimatorBase):
                 "X must be a non-empty 2-D array (n_samples, n_features); "
                 f"got shape {X.shape}"
             )
+        if not np.issubdtype(X.dtype, np.number) or np.issubdtype(
+            X.dtype, np.complexfloating
+        ):
+            raise ValueError(
+                f"X must be real-numeric; got dtype {X.dtype}"
+            )
         if not np.isfinite(X).all():
             raise ValueError(
                 "X contains NaN/Inf entries; the MMD Gram propagates a "

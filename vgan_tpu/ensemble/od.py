@@ -301,7 +301,10 @@ def ecod_dim_scores(x_test: jax.Array, x_train: jax.Array) -> jax.Array:
         u_l = -jnp.log(jnp.maximum(left, floor))
         u_r = -jnp.log(jnp.maximum(right, floor))
         centered = col_sorted - jnp.mean(col_sorted)
-        skew = jnp.mean(centered**3)  # sign-only use: no sd^3 normalizer
+        # standardize before cubing: only the SIGN is used, and raw cubes
+        # overflow f32 for large-scale columns (|x| > ~1e12)
+        c = centered / (jnp.std(col_sorted) + 1e-30)
+        skew = jnp.mean(c**3)
         u_auto = jnp.where(skew < 0, u_l, u_r)
         return jnp.stack([u_l, u_r, u_auto], axis=-1)  # (nt, 3)
 
