@@ -27,6 +27,7 @@ __all__ = [
     "VGAN",
     "VGAN_no_kl",
     "SubspaceEnsemble",
+    "HeterogeneousEnsemble",
     "TrainConfig",
     "__version__",
 ]
@@ -39,10 +40,10 @@ def __getattr__(name):
         from vgan_tpu.api import vgan as _vgan
 
         return getattr(_vgan, name)
-    if name == "SubspaceEnsemble":
-        from vgan_tpu.ensemble import SubspaceEnsemble
+    if name in ("SubspaceEnsemble", "HeterogeneousEnsemble"):
+        import vgan_tpu.ensemble as _ens
 
-        return SubspaceEnsemble
+        return getattr(_ens, name)
     if name == "TrainConfig":
         from vgan_tpu.train.steps import TrainConfig
 

@@ -441,7 +441,10 @@ class SubspaceEnsemble:
         axis (embarrassingly parallel) shards over it via ``shard_map``,
         each device scoring its local subspaces and the aggregation
         combining with a single ``psum``/``pmax`` (SURVEY.md section 2b,
-        ensemble/subspace parallel axis).
+        ensemble/subspace parallel axis). The dim-decomposable bases
+        (copod/hbos/ecod) ignore ``mesh`` — their whole ensemble is a few
+        matmuls on shared (nt, d) score planes, cheaper single-device than
+        any sharding at realistic sizes.
 
     Behavioral divergence from pyod (flagged): ``predict`` recomputes
     ``threshold_`` on EVERY call from the combined train+test batch, and
