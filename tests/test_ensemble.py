@@ -894,3 +894,105 @@ def test_heterogeneous_ensemble_predict_and_outliers(rng):
         HeterogeneousEnsemble(subs, proba, combination="median")
     with pytest.raises(ValueError):
         HeterogeneousEnsemble(subs, proba, members=[])
+
+
+def test_mahalanobis_scores_match_numpy(rng):
+    """mahalanobis_scores_masked == the submatrix Mahalanobis quadratic form
+    (same ddof=1 covariance and scale-aware ridge), and unmasked features
+    are exactly inert."""
+    from vgan_tpu.ensemble import mahalanobis_scores_masked
+
+    xtr = rng.normal(size=(80, 9)).astype(np.float32)
+    xte = rng.normal(size=(30, 9)).astype(np.float32)
+    mask = np.zeros(9, bool)
+    mask[[0, 2, 5, 6]] = True
+
+    ours = np.asarray(
+        mahalanobis_scores_masked(
+            jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask)
+        )
+    )
+
+    sub = np.flatnonzero(mask)
+    mu = xtr[:, sub].mean(axis=0)
+    xc = xtr[:, sub] - mu
+    cov = (xc.T @ xc) / (len(xtr) - 1)
+    cov = cov + np.eye(len(sub)) * (1e-6 * np.trace(cov) / len(sub))
+    z = xte[:, sub] - mu
+    expected = np.einsum("ij,ij->i", z, np.linalg.solve(cov, z.T).T)
+    np.testing.assert_allclose(ours, expected, rtol=2e-4)
+
+    # garbage in unmasked features cannot move the scores
+    xte_noisy = xte.copy()
+    xte_noisy[:, ~mask] += 100.0
+    ours_noisy = np.asarray(
+        mahalanobis_scores_masked(
+            jnp.asarray(xte_noisy), jnp.asarray(xtr), jnp.asarray(mask)
+        )
+    )
+    np.testing.assert_allclose(ours_noisy, ours, rtol=1e-5)
+
+
+def test_mahalanobis_rank_deficient_subspace_is_finite(rng):
+    """d_sub > n_train - 1: the ridge keeps the solve well-posed (scores
+    finite, outliers still ranked above inliers along the data directions).
+    """
+    from vgan_tpu.ensemble import mahalanobis_scores_masked
+
+    d = 20
+    xtr = rng.normal(size=(8, d)).astype(np.float32)  # rank 7 < d_sub=20
+    xte = rng.normal(size=(10, d)).astype(np.float32)
+    mask = np.ones(d, bool)
+    s = np.asarray(
+        mahalanobis_scores_masked(
+            jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask)
+        )
+    )
+    assert np.all(np.isfinite(s)) and np.all(s >= 0)
+
+
+def test_ensemble_mahalanobis_base(rng):
+    """End-to-end SubspaceEnsemble(base='mahalanobis'): correlated train
+    data, outliers planted OFF the correlation structure (unit marginal
+    scale — invisible to axis-aligned distance bases, loud in Mahalanobis),
+    aggregation paths and predict()."""
+    d = 10
+    z = rng.normal(size=(300, 1)).astype(np.float32)
+    xtr = np.repeat(z, d, axis=1) + 0.1 * rng.normal(size=(300, d)).astype(
+        np.float32
+    )
+    inl_z = rng.normal(size=(30, 1)).astype(np.float32)
+    inliers = np.repeat(inl_z, d, axis=1) + 0.1 * rng.normal(
+        size=(30, d)
+    ).astype(np.float32)
+    outliers = rng.normal(size=(10, d)).astype(np.float32)  # decorrelated
+    xte = np.vstack([inliers, outliers])
+
+    subs = rng.uniform(size=(12, d)) < 0.5
+    subs[~subs.any(axis=1), 0] = True
+    subs[:, :2] = True  # every mask keeps >= 2 coupled dims
+    proba = np.full(12, 1 / 12, np.float32)
+
+    for agg in ("average", "max", "aom"):
+        ens = SubspaceEnsemble(
+            subs, proba, base="mahalanobis", aggregation=agg, chunk=5
+        ).fit(xtr)
+        scores = ens.decision_function(xte)
+        assert scores[30:].mean() > scores[:30].mean(), agg
+
+    ens = SubspaceEnsemble(subs, proba, base="mahalanobis").fit(xtr)
+    labels = ens.predict(xte)
+    assert labels.shape == (40,)
+    assert ens.threshold_ is not None
+    assert labels[30:].mean() > labels[:30].mean()
+
+    # per-subspace matrix consistent with the weighted-average aggregation
+    ens_raw = SubspaceEnsemble(
+        subs, proba, base="mahalanobis", normalize=None
+    ).fit(xtr)
+    s = ens_raw.per_subspace_scores(xte)
+    np.testing.assert_allclose(
+        (proba[:, None] * s).sum(axis=0),
+        ens_raw.decision_function(xte),
+        rtol=1e-4,
+    )

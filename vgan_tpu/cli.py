@@ -117,8 +117,8 @@ def build_parser() -> argparse.ArgumentParser:
                        help="data to score (defaults to --train)")
     score.add_argument("--generator", required=True)
     score.add_argument("--base",
-                       choices=["knn", "knn_mean", "lof", "iforest", "copod",
-                                "hbos", "ecod"],
+                       choices=["knn", "knn_mean", "lof", "iforest",
+                                "mahalanobis", "copod", "hbos", "ecod"],
                        default="knn")
     score.add_argument("--members", default=None, metavar="B1,B2,...",
                        help="comma-separated base list for a heterogeneous "

@@ -9,6 +9,7 @@ from vgan_tpu.ensemble.od import (
     hbos_dim_scores,
     knn_scores_masked,
     lof_scores_masked,
+    mahalanobis_scores_masked,
     mean_dist_scores_masked,
 )
 
@@ -22,5 +23,6 @@ __all__ = [
     "iforest_scores_masked",
     "knn_scores_masked",
     "lof_scores_masked",
+    "mahalanobis_scores_masked",
     "mean_dist_scores_masked",
 ]

@@ -13,8 +13,10 @@ distances are computed with the matmul identity
 so each subspace's distance matrix is a batched MXU matmul, ``vmap`` batches
 over thousands of masks, and ``lax.map`` chunks the mask axis to bound
 memory. Base detectors implemented natively (KNN k-th-distance, KNN mean
-distance, LOF); a pyod adapter covers arbitrary CPU detectors for parity
-checks when pyod is installed (it is NOT a dependency).
+distance, LOF, isolation forest, Mahalanobis/PCA-family, and the
+dim-decomposable COPOD/HBOS/ECOD); a pyod adapter covers arbitrary CPU
+detectors for parity checks when pyod is installed (it is NOT a
+dependency).
 """
 
 from __future__ import annotations
@@ -212,6 +214,46 @@ def lof_scores_masked(
     return jnp.mean(lrd_tr[nbr_te], axis=-1) / (lrd_te + eps)
 
 
+def mahalanobis_scores_masked(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 0,
+) -> jax.Array:
+    """Squared Mahalanobis distance to the train distribution in the masked
+    subspace — the PCA-family base detector (equals the sum over ALL
+    principal components of proj^2/eigenvalue, i.e. the classic PCA outlier
+    score of Shyu et al. with every component kept; pyod's MCD without the
+    robust covariance estimator). Reference capability: the pyod pin at
+    /root/reference/requirements.txt:58 (PCA/MCD detector family).
+
+    TPU-native trick: centering commutes with masking, so the masked
+    covariance is the Hadamard-masked FULL covariance
+    ``cov_m = (m m^T) .* cov`` — one (n x d^2) matmul shared by every mask
+    (mask-independent, so XLA computes it once per vmapped chunk), then one
+    (d, d) Cholesky + triangular solve per mask. Unmasked dims get an
+    identity diagonal (and contribute exactly 0 to the quadratic form since
+    the residual is masked); masked dims get a scale-aware 1e-6 ridge so
+    rank-deficient subspaces (d_sub > n_train - 1) stay solvable.
+
+    ``k`` is ignored (signature parity with the neighbor scorers). Self-
+    inclusion is inherent (distribution-based, like iforest/copod).
+    """
+    del k
+    mask_f = mask.astype(x_train.dtype)
+    n = x_train.shape[0]
+    mu = jnp.mean(x_train, axis=0)
+    xc = x_train - mu[None, :]
+    cov = jnp.dot(
+        xc.T, xc, preferred_element_type=x_train.dtype
+    ) / max(n - 1, 1)
+    cov_m = cov * (mask_f[:, None] * mask_f[None, :])
+    d_sub = jnp.maximum(jnp.sum(mask_f), 1.0)
+    ridge = 1e-6 * jnp.trace(cov_m) / d_sub
+    cov_m = cov_m + jnp.diag(mask_f * ridge + (1.0 - mask_f))
+    z = (x_test - mu[None, :]) * mask_f[None, :]
+    chol = jnp.linalg.cholesky(cov_m)
+    w = jax.scipy.linalg.cho_solve((chol, True), z.T)  # (d, nt)
+    return jnp.sum(z * w.T, axis=-1)
+
+
 def copod_dim_scores(x_test: jax.Array, x_train: jax.Array) -> jax.Array:
     """Per-dimension two-sided ECDF tail scores, COPOD-style.
 
@@ -379,6 +421,7 @@ _BASE_SCORERS = {
     "knn_mean": mean_dist_scores_masked,
     "lof": lof_scores_masked,
     "iforest": _iforest_adapter,
+    "mahalanobis": mahalanobis_scores_masked,
 }
 
 # Dim-decomposable bases: per-dim score planes shared across ALL masks, the
@@ -394,6 +437,7 @@ _BASE_SCORERS_EXCL = {
     "knn_mean": functools.partial(mean_dist_scores_masked, exclude_self=True),
     "lof": functools.partial(lof_scores_masked, exclude_self=True),
     "iforest": _iforest_adapter,
+    "mahalanobis": mahalanobis_scores_masked,
 }
 
 
@@ -406,10 +450,11 @@ class SubspaceEnsemble:
         Either pass explicit masks (n_subspaces, d) + probabilities, or a
         fitted ``VGAN``/``VGAN_no_kl`` via ``from_model``.
     base:
-        'knn' (k-th NN distance), 'knn_mean', 'lof', 'iforest', 'copod',
-        'hbos', 'ecod', or a pyod-style detector instance (CPU fallback
-        loop; pyod optional — any object with sklearn-style
-        get_params/fit/decision_function).
+        'knn' (k-th NN distance), 'knn_mean', 'lof', 'iforest',
+        'mahalanobis' (per-subspace squared Mahalanobis distance — the
+        PCA/MCD family), 'copod', 'hbos', 'ecod', or a pyod-style detector
+        instance (CPU fallback loop; pyod optional — any object with
+        sklearn-style get_params/fit/decision_function).
     k:
         neighborhood size for the distance-based native detectors.
     n_trees:
@@ -528,8 +573,8 @@ class SubspaceEnsemble:
         bases (knn/knn_mean/lof) — set it when the leading rows of
         ``x_test`` ARE the training rows (pyod's unsupplied-X kneighbors
         semantics; ``predict`` uses this for its train-score threshold).
-        Distribution-based bases (iforest/copod/hbos/ecod/pyod instances)
-        inherently include the point, as in pyod."""
+        Distribution-based bases (iforest/mahalanobis/copod/hbos/ecod/pyod
+        instances) inherently include the point, as in pyod."""
         assert self._x_train is not None, "call fit(X_train) first"
         if exclude_self and isinstance(self.base, str) and self.base in (
             "knn", "knn_mean", "lof",
