@@ -996,3 +996,55 @@ def test_ensemble_mahalanobis_base(rng):
         ens_raw.decision_function(xte),
         rtol=1e-4,
     )
+
+
+class _NoiseDetector:
+    """pyod-style detector returning seeded noise — a deliberately broken
+    ensemble member for the 'select' reliability-weighting test."""
+
+    def __init__(self, seed=0):
+        self.seed = seed
+
+    def get_params(self):
+        return {"seed": self.seed}
+
+    def fit(self, x):
+        return self
+
+    def decision_function(self, x):
+        return np.random.default_rng(self.seed).normal(size=len(x))
+
+
+def test_heterogeneous_select_downweights_noise_member(rng):
+    """combination='select': a pure-noise member gets a smaller consensus-
+    correlation weight than the real detectors, and the combined scores
+    still rank planted outliers on top."""
+    from vgan_tpu.ensemble import HeterogeneousEnsemble
+
+    d = 10
+    xtr = rng.normal(size=(120, d)).astype(np.float32)
+    inliers = rng.normal(size=(40, d)).astype(np.float32)
+    outliers = rng.normal(size=(10, d)).astype(np.float32) + 5.0
+    xte = np.vstack([inliers, outliers])
+    subs = rng.uniform(size=(8, d)) < 0.5
+    subs[~subs.any(axis=1), 0] = True
+    proba = np.full(8, 1 / 8, np.float32)
+
+    het = HeterogeneousEnsemble(
+        subs, proba, combination="select",
+        members=[{"base": "knn", "k": 8}, {"base": "ecod"},
+                 {"base": _NoiseDetector()}],
+    ).fit(xtr)
+    assert het.member_weights_ is None  # not scored yet
+    scores = het.decision_function(xte)
+    w = het.member_weights_
+    assert w is not None and w.shape == (3,)
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-5)
+    assert w[2] < w[0] and w[2] < w[1]  # noise member downweighted
+    assert scores[40:].mean() > scores[:40].mean()
+
+    # degenerate fall-back: all correlations clip to zero -> uniform
+    w_uniform = HeterogeneousEnsemble._select_weights(
+        np.stack([np.array([1.0, -1.0]), np.array([-1.0, 1.0])])
+    )
+    np.testing.assert_allclose(w_uniform, [0.5, 0.5])

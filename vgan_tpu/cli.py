@@ -123,6 +123,11 @@ def build_parser() -> argparse.ArgumentParser:
     score.add_argument("--members", default=None, metavar="B1,B2,...",
                        help="comma-separated base list for a heterogeneous "
                             "(suod-style) combination; overrides --base")
+    score.add_argument("--combination",
+                       choices=["average", "max", "select"],
+                       default="average",
+                       help="member combination for --members ('select' = "
+                            "consensus-correlation reliability weighting)")
     score.add_argument("--k", type=int, default=10)
     score.add_argument("--n-trees", type=int, default=100,
                        help="forest size for --base iforest")
@@ -225,6 +230,7 @@ def main(argv=None) -> int:
             ens = HeterogeneousEnsemble.from_model(
                 model, subspace_count=args.subspaces,
                 members=[{"base": b} for b in args.members.split(",")],
+                combination=args.combination,
                 k=args.k, n_trees=args.n_trees,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),
             ).fit(x_train)

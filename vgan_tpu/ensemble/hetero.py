@@ -37,8 +37,19 @@ class HeterogeneousEnsemble:
         ``[{"base": "knn", "k": 10}, {"base": "lof", "k": 20},
         {"base": "ecod"}]``.
     combination:
-        'average' (mean of standardized member scores) or 'max'
-        (suod/combo's maximization combinator).
+        'average' (mean of standardized member scores), 'max'
+        (suod/combo's maximization combinator), or 'select' —
+        a sel_suod-inspired reliability weighting: members are weighted
+        by their Pearson correlation to the consensus (the mean of the
+        standardized member scores), clipped at zero and renormalized,
+        so a member that disagrees with the ensemble consensus (noisy or
+        broken on this data) is automatically downweighted. (The SELECT
+        family of Rayana & Akoglu 2016 builds pseudo-ground-truth from
+        detector consensus the same way; the reference pins the author's
+        sel_suod==0.1 at requirements.txt:73 for this capability.) The
+        fitted weights of the LAST scoring call are exposed as
+        ``member_weights_``; falls back to 'average' when every
+        correlation clips to zero.
     contamination:
         expected outlier fraction for ``predict`` (pyod semantics, as in
         ``SubspaceEnsemble``).
@@ -58,10 +69,10 @@ class HeterogeneousEnsemble:
         contamination: float = 0.1,
         **shared,
     ):
-        if combination not in ("average", "max"):
+        if combination not in ("average", "max", "select"):
             raise ValueError(
-                f"unknown combination={combination!r}: expected 'average' "
-                "or 'max'"
+                f"unknown combination={combination!r}: expected 'average', "
+                "'max', or 'select'"
             )
         if not members:
             raise ValueError("members must be non-empty")
@@ -72,6 +83,7 @@ class HeterogeneousEnsemble:
         self.combination = combination
         self.contamination = contamination
         self._threshold = None
+        self._member_weights = None
 
     @classmethod
     def from_model(cls, model, subspace_count: int = 500, **kwargs):
@@ -111,7 +123,38 @@ class HeterogeneousEnsemble:
         s = self.member_scores(x_test, exclude_self=exclude_self)
         if self.combination == "max":
             return s.max(axis=0)
+        if self.combination == "select":
+            w = self._select_weights(s)
+            self._member_weights = w
+            return w @ s
         return s.mean(axis=0)
+
+    @staticmethod
+    def _select_weights(s: np.ndarray) -> np.ndarray:
+        """Consensus-correlation reliability weights for 'select'.
+
+        Member scores arrive standardized (mean 0, std 1 over the batch),
+        so the Pearson correlation to the consensus is just the mean
+        product with the re-standardized consensus. Negative correlations
+        clip to zero (an anti-correlated member is noise w.r.t. the
+        ensemble, not signal to subtract); all-zero clips fall back to
+        uniform weights (== 'average').
+        """
+        s64 = s.astype(np.float64)
+        consensus = s64.mean(axis=0)
+        consensus = (consensus - consensus.mean()) / (consensus.std() + 1e-12)
+        corr = (s64 * consensus).mean(axis=1)
+        w = np.clip(corr, 0.0, None)
+        total = w.sum()
+        if total <= 0.0:
+            return np.full(len(s), 1.0 / len(s), np.float32)
+        return (w / total).astype(np.float32)
+
+    @property
+    def member_weights_(self) -> Optional[np.ndarray]:
+        """Reliability weights from the last 'select' scoring call (one per
+        member, summing to 1), or None before scoring / for other modes."""
+        return self._member_weights
 
     def predict(self, x_test: np.ndarray) -> np.ndarray:
         """0/1 labels at the (1 - contamination) train-score quantile.
