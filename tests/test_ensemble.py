@@ -1048,3 +1048,98 @@ def test_heterogeneous_select_downweights_noise_member(rng):
         np.stack([np.array([1.0, -1.0]), np.array([-1.0, 1.0])])
     )
     np.testing.assert_allclose(w_uniform, [0.5, 0.5])
+
+
+def test_loda_scores_match_numpy(rng):
+    """loda_scores_masked vs a direct numpy transcription of the LODA
+    recipe (masked dense projections -> equal-width train histograms ->
+    mean -log density), on the SAME projection matrix."""
+    import jax
+
+    from vgan_tpu.ensemble import loda_scores_masked
+
+    d, n_tr, nt, P, B = 7, 60, 25, 16, 10
+    xtr = rng.normal(size=(n_tr, d)).astype(np.float32)
+    xte = np.vstack([
+        rng.normal(size=(nt - 5, d)),
+        rng.normal(size=(5, d)) + 4.0,  # includes out-of-range points
+    ]).astype(np.float32)
+    mask = np.array([1, 0, 1, 1, 0, 1, 0], bool)
+
+    ours = np.asarray(loda_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask),
+        n_projections=P, n_bins=B, seed=3,
+    ))
+
+    w = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), (d, P), jnp.float32),
+        np.float64,
+    ) * mask.astype(np.float64)[:, None]
+    z_tr = xtr.astype(np.float64) @ w
+    z_te = xte.astype(np.float64) @ w
+    eps = 1e-12
+    want = np.zeros(nt)
+    for p in range(P):
+        lo, hi = z_tr[:, p].min(), z_tr[:, p].max()
+        width = max((hi - lo) / B, eps)
+        idx_tr = np.clip(((z_tr[:, p] - lo) / width).astype(int), 0, B - 1)
+        counts = np.bincount(idx_tr, minlength=B).astype(np.float64)
+        density = counts / (n_tr * width)
+        idx_te = np.clip(((z_te[:, p] - lo) / width).astype(int), 0, B - 1)
+        dens_te = density[idx_te]
+        dens_te[(z_te[:, p] < lo) | (z_te[:, p] > hi)] = 0.0
+        want += -np.log(dens_te + eps)
+    want /= P
+    np.testing.assert_allclose(ours, want, rtol=2e-4)
+
+
+def test_loda_deterministic_per_seed(rng):
+    from vgan_tpu.ensemble import loda_scores_masked
+
+    xtr = jnp.asarray(rng.normal(size=(50, 6)).astype(np.float32))
+    xte = jnp.asarray(rng.normal(size=(20, 6)).astype(np.float32))
+    mask = jnp.asarray(np.ones(6, bool))
+    a = np.asarray(loda_scores_masked(xte, xtr, mask, seed=0))
+    b = np.asarray(loda_scores_masked(xte, xtr, mask, seed=0))
+    c = np.asarray(loda_scores_masked(xte, xtr, mask, seed=1))
+    np.testing.assert_array_equal(a, b)
+    assert not np.allclose(a, c)
+
+
+def test_ensemble_loda_base(rng):
+    """End-to-end SubspaceEnsemble(base='loda'): planted mean-shift
+    outliers score above inliers through every aggregation, predict()
+    works, and the per-subspace matrix is consistent with the
+    weighted-average aggregation."""
+    d = 12
+    xtr = rng.normal(size=(200, d)).astype(np.float32)
+    inliers = rng.normal(size=(30, d)).astype(np.float32)
+    outliers = rng.normal(size=(10, d)).astype(np.float32) + 4.0
+    xte = np.vstack([inliers, outliers])
+
+    subs = rng.uniform(size=(10, d)) < 0.5
+    subs[~subs.any(axis=1), 0] = True
+    proba = np.full(10, 1 / 10, np.float32)
+
+    for agg in ("average", "max", "moa"):
+        ens = SubspaceEnsemble(
+            subs, proba, base="loda", aggregation=agg, chunk=4,
+            n_projections=32,
+        ).fit(xtr)
+        scores = ens.decision_function(xte)
+        assert scores[30:].mean() > scores[:30].mean(), agg
+
+    ens = SubspaceEnsemble(subs, proba, base="loda", n_projections=32).fit(xtr)
+    labels = ens.predict(xte)
+    assert labels.shape == (40,)
+    assert labels[30:].mean() > labels[:30].mean()
+
+    ens_raw = SubspaceEnsemble(
+        subs, proba, base="loda", normalize=None, n_projections=32
+    ).fit(xtr)
+    s = ens_raw.per_subspace_scores(xte)
+    np.testing.assert_allclose(
+        (proba[:, None] * s).sum(axis=0),
+        ens_raw.decision_function(xte),
+        rtol=1e-4,
+    )

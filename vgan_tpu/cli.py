@@ -118,7 +118,8 @@ def build_parser() -> argparse.ArgumentParser:
     score.add_argument("--generator", required=True)
     score.add_argument("--base",
                        choices=["knn", "knn_mean", "lof", "iforest",
-                                "mahalanobis", "copod", "hbos", "ecod"],
+                                "mahalanobis", "loda", "copod", "hbos",
+                                "ecod"],
                        default="knn")
     score.add_argument("--members", default=None, metavar="B1,B2,...",
                        help="comma-separated base list for a heterogeneous "

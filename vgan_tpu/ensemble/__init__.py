@@ -8,6 +8,7 @@ from vgan_tpu.ensemble.od import (
     ecod_dim_scores,
     hbos_dim_scores,
     knn_scores_masked,
+    loda_scores_masked,
     lof_scores_masked,
     mahalanobis_scores_masked,
     mean_dist_scores_masked,
@@ -22,6 +23,7 @@ __all__ = [
     "iforest_scores",
     "iforest_scores_masked",
     "knn_scores_masked",
+    "loda_scores_masked",
     "lof_scores_masked",
     "mahalanobis_scores_masked",
     "mean_dist_scores_masked",

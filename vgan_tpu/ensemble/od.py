@@ -254,6 +254,72 @@ def mahalanobis_scores_masked(
     return jnp.sum(z * w.T, axis=-1)
 
 
+def loda_scores_masked(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 0,
+    *, n_projections: int = 100, n_bins: int = 10, seed: int = 0,
+) -> jax.Array:
+    """LODA (Pevny 2016, pyod.models.loda) in the masked subspace: project
+    onto ``n_projections`` random directions, fit an equal-width histogram
+    per direction on the train projections, score a point by the mean
+    negative log density of its bins. Part of the reference's downstream
+    detector surface via the pyod/suod pins (requirements.txt:58,68 — LODA
+    is a canonical suod ensemble member).
+
+    TPU-native shape: the projections for EVERY mask share one dense
+    N(0, 1) matrix ``W (d, P)`` (generated from ``seed``, so vmap over
+    masks hoists it), masked per subspace as ``W .* m`` — both the train
+    and test projections are single MXU matmuls, and the histogram
+    build/lookup is ``n_bins`` unrolled elementwise+reduce passes (no
+    scatter, no (n, P, B) one-hot ever materializes).
+
+    Divergences vs pyod's LODA (documented): projections are DENSE rather
+    than sqrt(d)-sparse — sparsity is a CPU speed trick that interacts
+    badly with masking (a sparse direction whose support misses the mask
+    dies), while the mask already sparsifies the dense direction; and test
+    values outside the train range get the floor density (maximal score),
+    matching this module's HBOS out-of-range policy.
+
+    ``k`` is ignored (signature parity with the neighbor scorers). Memory
+    is O((nt + ntr) x P) per in-flight mask.
+    """
+    del k
+    eps = 1e-12
+    mask_f = mask.astype(x_train.dtype)
+    n_tr = x_train.shape[0]
+    w = jax.random.normal(
+        jax.random.PRNGKey(seed), (x_train.shape[1], n_projections),
+        x_train.dtype,
+    )
+    wm = w * mask_f[:, None]
+    z_tr = jnp.dot(x_train, wm, preferred_element_type=x_train.dtype)
+    z_te = jnp.dot(x_test, wm, preferred_element_type=x_train.dtype)
+    lo = jnp.min(z_tr, axis=0)
+    hi = jnp.max(z_tr, axis=0)
+    width = jnp.maximum((hi - lo) / n_bins, eps)
+    idx_tr = jnp.clip(((z_tr - lo) / width).astype(jnp.int32), 0, n_bins - 1)
+    idx_te = jnp.clip(((z_te - lo) / width).astype(jnp.int32), 0, n_bins - 1)
+    density_te = jnp.zeros_like(z_te)
+    for b in range(n_bins):
+        count_b = jnp.sum((idx_tr == b).astype(x_train.dtype), axis=0)
+        dens_b = count_b / (n_tr * width)
+        density_te = density_te + jnp.where(
+            idx_te == b, dens_b[None, :], 0.0
+        )
+    in_range = (z_te >= lo[None, :]) & (z_te <= hi[None, :])
+    nll = -jnp.log(jnp.where(in_range, density_te, 0.0) + eps)
+    return jnp.mean(nll, axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _loda_scorer(n_projections: int, n_bins: int, seed: int):
+    """Module-level memo so every (P, B, seed) combination is ONE hashable
+    static — the jitted ensemble paths cache-hit across calls."""
+    return functools.partial(
+        loda_scores_masked,
+        n_projections=n_projections, n_bins=n_bins, seed=seed,
+    )
+
+
 def copod_dim_scores(x_test: jax.Array, x_train: jax.Array) -> jax.Array:
     """Per-dimension two-sided ECDF tail scores, COPOD-style.
 
@@ -440,6 +506,24 @@ _BASE_SCORERS_EXCL = {
     "mahalanobis": mahalanobis_scores_masked,
 }
 
+# Bases whose scorer carries extra hyperparameters (resolved through a
+# memoized partial so the jitted paths still see one hashable static).
+_PARAM_BASES = ("loda",)
+
+
+def _scorer_and_k(
+    base: str, *, k: int, n_trees: int, n_projections: int, n_bins: int,
+    projection_seed: int, exclude_self: bool = False,
+):
+    """Resolve a base name to its (scorer, static-k) pair — the single
+    dispatch point shared by the ensemble paths and the serving exporters.
+    ``exclude_self`` reaches the neighbor bases only; distribution-based
+    bases (iforest/mahalanobis/loda) inherently include the point."""
+    if base == "loda":
+        return _loda_scorer(n_projections, n_bins, projection_seed), 0
+    scorers = _BASE_SCORERS_EXCL if exclude_self else _BASE_SCORERS
+    return scorers[base], (n_trees if base == "iforest" else k)
+
 
 class SubspaceEnsemble:
     """Ensemble outlier detector over V-GAN subspaces.
@@ -452,9 +536,10 @@ class SubspaceEnsemble:
     base:
         'knn' (k-th NN distance), 'knn_mean', 'lof', 'iforest',
         'mahalanobis' (per-subspace squared Mahalanobis distance — the
-        PCA/MCD family), 'copod', 'hbos', 'ecod', or a pyod-style detector
-        instance (CPU fallback loop; pyod optional — any object with
-        sklearn-style get_params/fit/decision_function).
+        PCA/MCD family), 'loda' (random-projection histograms), 'copod',
+        'hbos', 'ecod', or a pyod-style detector instance (CPU fallback
+        loop; pyod optional — any object with sklearn-style
+        get_params/fit/decision_function).
     k:
         neighborhood size for the distance-based native detectors.
     n_trees:
@@ -475,6 +560,10 @@ class SubspaceEnsemble:
     bucket_seed:
         seed for the deterministic shuffle that assigns subspaces to
         'aom'/'moa' buckets (decorrelates adjacent masks).
+    n_projections, projection_seed:
+        random-direction count and seed for base='loda' (the projection
+        matrix is shared across all subspaces, masked per subspace;
+        'loda' also uses ``n_bins`` for its histogram resolution).
     contamination:
         expected outlier fraction; sets the ``predict`` threshold at the
         (1 - contamination) quantile of the train scores (pyod semantics).
@@ -518,6 +607,8 @@ class SubspaceEnsemble:
         n_bins: int = 10,
         contamination: float = 0.1,
         bucket_seed: int = 0,
+        n_projections: int = 100,
+        projection_seed: int = 0,
     ):
         if aggregation not in ("average", "max", "aom", "moa"):
             raise ValueError(
@@ -529,12 +620,12 @@ class SubspaceEnsemble:
                 f"unknown normalize={normalize!r}: expected 'zscore' or None"
             )
         if isinstance(base, str) and base not in (
-            *_BASE_SCORERS, *_DIM_BASES,
+            *_BASE_SCORERS, *_DIM_BASES, *_PARAM_BASES,
         ):
             raise ValueError(
                 f"unknown base={base!r}: expected one of "
-                f"{sorted(_BASE_SCORERS)} + {sorted(_DIM_BASES)} or a "
-                "pyod-style detector instance"
+                f"{sorted(_BASE_SCORERS)} + {sorted(_DIM_BASES)} + "
+                f"{sorted(_PARAM_BASES)} or a pyod-style detector instance"
             )
         self.subspaces = np.asarray(subspaces, dtype=bool)
         proba = np.asarray(proba, dtype=np.float32)
@@ -550,6 +641,8 @@ class SubspaceEnsemble:
         self.n_bins = n_bins
         self.contamination = contamination
         self.bucket_seed = bucket_seed
+        self.n_projections = n_projections
+        self.projection_seed = projection_seed
         self._x_train = None
         self._threshold = None
 
@@ -573,8 +666,8 @@ class SubspaceEnsemble:
         bases (knn/knn_mean/lof) — set it when the leading rows of
         ``x_test`` ARE the training rows (pyod's unsupplied-X kneighbors
         semantics; ``predict`` uses this for its train-score threshold).
-        Distribution-based bases (iforest/mahalanobis/copod/hbos/ecod/pyod
-        instances) inherently include the point, as in pyod."""
+        Distribution-based bases (iforest/mahalanobis/loda/copod/hbos/
+        ecod/pyod instances) inherently include the point, as in pyod."""
         assert self._x_train is not None, "call fit(X_train) first"
         if exclude_self and isinstance(self.base, str) and self.base in (
             "knn", "knn_mean", "lof",
@@ -620,9 +713,11 @@ class SubspaceEnsemble:
         compiled program; ``reduce=False`` returns the raw
         (n_chunks, chunk, nt) score blocks (padding rows included).
         """
-        scorers = _BASE_SCORERS_EXCL if exclude_self else _BASE_SCORERS
-        scorer = scorers[self.base]
-        k = self.n_trees if self.base == "iforest" else self.k
+        scorer, k = _scorer_and_k(
+            self.base, k=self.k, n_trees=self.n_trees,
+            n_projections=self.n_projections, n_bins=self.n_bins,
+            projection_seed=self.projection_seed, exclude_self=exclude_self,
+        )
         n_shards = self.mesh.shape["data"] if self.mesh is not None else 1
         chunk = self.chunk
         if (

@@ -68,14 +68,16 @@ def export_ensemble_scorer(ensemble, path) -> None:
     from vgan_tpu.ensemble.od import (
         _BASE_SCORERS,
         _DIM_BASES,
+        _PARAM_BASES,
         _chunked_masks,
         _dim_ensemble_scores,
         _local_chunked_scores,
+        _scorer_and_k,
     )
 
     assert ensemble._x_train is not None, "fit the ensemble first"
     assert isinstance(ensemble.base, str) and ensemble.base in (
-        *_BASE_SCORERS, *_DIM_BASES,
+        *_BASE_SCORERS, *_DIM_BASES, *_PARAM_BASES,
     ), "only native base scorers export"
     if ensemble.aggregation not in ("average", "max"):
         raise ValueError(
@@ -100,8 +102,11 @@ def export_ensemble_scorer(ensemble, path) -> None:
                 normalize=ensemble.normalize,
             )
     else:
-        scorer = _BASE_SCORERS[ensemble.base]
-        k = ensemble.n_trees if ensemble.base == "iforest" else ensemble.k
+        scorer, k = _scorer_and_k(
+            ensemble.base, k=ensemble.k, n_trees=ensemble.n_trees,
+            n_projections=ensemble.n_projections, n_bins=ensemble.n_bins,
+            projection_seed=ensemble.projection_seed,
+        )
         masks_np, proba_np = _chunked_masks(
             ensemble.subspaces, ensemble.proba, ensemble.chunk
         )
@@ -144,16 +149,18 @@ def export_per_subspace_scorer(ensemble, path) -> None:
     from vgan_tpu.ensemble.od import (
         _BASE_SCORERS,
         _DIM_BASES,
+        _PARAM_BASES,
         _chunked_masks,
         _dim_scores_impl,
         _dim_subspace_raw,
         _per_subspace_chunked,
+        _scorer_and_k,
         _zscore,
     )
 
     assert ensemble._x_train is not None, "fit the ensemble first"
     assert isinstance(ensemble.base, str) and ensemble.base in (
-        *_BASE_SCORERS, *_DIM_BASES,
+        *_BASE_SCORERS, *_DIM_BASES, *_PARAM_BASES,
     ), "only native base scorers export"
     x_train = ensemble._x_train
     d = x_train.shape[1]
@@ -173,8 +180,11 @@ def export_per_subspace_scorer(ensemble, path) -> None:
                 s = _zscore(s)
             return s
     else:
-        scorer = _BASE_SCORERS[ensemble.base]
-        k = ensemble.n_trees if ensemble.base == "iforest" else ensemble.k
+        scorer, k = _scorer_and_k(
+            ensemble.base, k=ensemble.k, n_trees=ensemble.n_trees,
+            n_projections=ensemble.n_projections, n_bins=ensemble.n_bins,
+            projection_seed=ensemble.projection_seed,
+        )
         masks_np, _ = _chunked_masks(
             ensemble.subspaces, ensemble.proba, ensemble.chunk
         )
