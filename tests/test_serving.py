@@ -109,3 +109,32 @@ def test_dim_base_scorer_export_roundtrip(rng, tmp_path):
         np.testing.assert_allclose(
             ps_fn(xte), ens.per_subspace_scores(xte), rtol=1e-5, atol=1e-6
         )
+
+
+def test_hetero_export_roundtrip(tmp_path, rng):
+    """export_hetero_scorer: one serialized program (members + batch
+    standardization + combination) matches the live decision_function for
+    every combination mode, including in-program 'select' weights."""
+    from vgan_tpu.ensemble import HeterogeneousEnsemble
+    from vgan_tpu.serving import export_hetero_scorer, load_ensemble_scorer
+
+    d = 9
+    xtr = rng.normal(size=(70, d)).astype(np.float32)
+    masks = rng.random(size=(7, d)) < 0.5
+    masks[:, 0] |= ~masks.any(axis=1)
+    proba = np.full(7, 1 / 7, np.float32)
+
+    for combination in ("average", "max", "select"):
+        het = HeterogeneousEnsemble(
+            masks, proba, combination=combination,
+            members=[{"base": "knn", "k": 6}, {"base": "ecod"},
+                     {"base": "loda", "n_projections": 24}],
+        ).fit(xtr)
+        path = tmp_path / f"het_{combination}.bin"
+        export_hetero_scorer(het, path)
+        fn = load_ensemble_scorer(path)
+        for nt in (12, 25):
+            xte = rng.normal(size=(nt, d)).astype(np.float32)
+            np.testing.assert_allclose(
+                fn(xte), het.decision_function(xte), rtol=2e-4, atol=1e-5
+            )

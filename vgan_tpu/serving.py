@@ -58,13 +58,11 @@ def sample_masks(sampler_fn, nsubs: int, latent_size: int, seed: int = 777):
     return np.asarray(sampler_fn(z))
 
 
-def export_ensemble_scorer(ensemble, path) -> None:
-    """Serialize a fitted :class:`vgan_tpu.ensemble.SubspaceEnsemble`'s
-    ``decision_function`` to ``path`` (StableHLO, symbolic test-batch dim).
-
-    The training set, subspace masks, probabilities, and the base-scorer
-    program are all embedded; a serving process needs only jax to score.
-    """
+def _ensemble_score_fn(ensemble):
+    """The jittable ``x_test -> aggregated scores`` closure for a fitted
+    native-base :class:`SubspaceEnsemble` (shared by the ensemble and
+    heterogeneous exporters). Raises on non-native bases and on the
+    bucketed aggregations, which cannot ride a chunk-reduced program."""
     from vgan_tpu.ensemble.od import (
         _BASE_SCORERS,
         _DIM_BASES,
@@ -88,7 +86,6 @@ def export_ensemble_scorer(ensemble, path) -> None:
             "and bucket on the serving side"
         )
     x_train = ensemble._x_train
-    d = x_train.shape[1]
 
     if ensemble.base in _DIM_BASES:
         flat_masks = jnp.asarray(ensemble.subspaces, dtype=jnp.float32)
@@ -120,6 +117,68 @@ def export_ensemble_scorer(ensemble, path) -> None:
                 aggregation=ensemble.aggregation,
                 normalize=ensemble.normalize,
             )
+
+    return score, x_train.shape[1]
+
+
+def export_ensemble_scorer(ensemble, path) -> None:
+    """Serialize a fitted :class:`vgan_tpu.ensemble.SubspaceEnsemble`'s
+    ``decision_function`` to ``path`` (StableHLO, symbolic test-batch dim).
+
+    The training set, subspace masks, probabilities, and the base-scorer
+    program are all embedded; a serving process needs only jax to score.
+    """
+    score, d = _ensemble_score_fn(ensemble)
+    batch = jax.export.symbolic_shape("b")[0]
+    x_spec = jax.ShapeDtypeStruct((batch, d), jnp.float32)
+    exported = jax.export.export(jax.jit(score))(x_spec)
+    Path(path).write_bytes(exported.serialize())
+
+
+def export_hetero_scorer(het, path) -> None:
+    """Serialize a fitted
+    :class:`vgan_tpu.ensemble.HeterogeneousEnsemble`'s
+    ``decision_function`` as ONE StableHLO program: every member's
+    chunk-reduced subspace scores, the per-member batch standardization,
+    and the 'average'/'max'/'select' combination all run in a single
+    serialized graph (the 'select' reliability weights are computed
+    in-program from the batch, exactly as the live path derives them).
+
+    All members must use native base scorers and 'average'/'max'
+    aggregation (as for :func:`export_ensemble_scorer`); member ``mesh``
+    settings don't apply to the serialized single-program path. The live
+    path standardizes in float64 on host while the exported program runs
+    float32 throughout — scores agree to ~1e-5 relative, not bitwise.
+    """
+    member_fns = []
+    d = None
+    for m in het.members:
+        fn, d_m = _ensemble_score_fn(m)
+        member_fns.append(fn)
+        assert d is None or d == d_m
+        d = d_m
+    combination = het.combination
+    n_members = len(member_fns)
+
+    def score(x_test):
+        s = jnp.stack([fn(x_test) for fn in member_fns])
+        mu = jnp.mean(s, axis=1, keepdims=True)
+        sd = jnp.std(s, axis=1, keepdims=True) + 1e-12
+        s = (s - mu) / sd
+        if combination == "max":
+            return jnp.max(s, axis=0)
+        if combination == "select":
+            consensus = jnp.mean(s, axis=0)
+            consensus = (consensus - jnp.mean(consensus)) / (
+                jnp.std(consensus) + 1e-12
+            )
+            corr = jnp.mean(s * consensus[None, :], axis=1)
+            w = jnp.clip(corr, 0.0, None)
+            total = jnp.sum(w)
+            uniform = jnp.full((n_members,), 1.0 / n_members, s.dtype)
+            w = jnp.where(total > 0, w / jnp.maximum(total, 1e-30), uniform)
+            return w @ s
+        return jnp.mean(s, axis=0)
 
     batch = jax.export.symbolic_shape("b")[0]
     x_spec = jax.ShapeDtypeStruct((batch, d), jnp.float32)
