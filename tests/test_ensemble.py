@@ -1143,3 +1143,46 @@ def test_ensemble_loda_base(rng):
         ens_raw.decision_function(xte),
         rtol=1e-4,
     )
+
+
+def test_random_subspaces_properties():
+    """Feature-bagging pool: pyod-convention sizes in [d//2, d-1], distinct
+    dims, uniform proba, deterministic per seed."""
+    from vgan_tpu.ensemble import random_subspaces
+
+    d, n = 20, 64
+    masks, proba = random_subspaces(d, n, seed=5)
+    assert masks.shape == (n, d) and masks.dtype == bool
+    sizes = masks.sum(axis=1)
+    assert sizes.min() >= d // 2 and sizes.max() <= d - 1
+    np.testing.assert_allclose(proba.sum(), 1.0, rtol=1e-6)
+    assert proba.std() == 0  # uniform
+
+    m2, _ = random_subspaces(d, n, seed=5)
+    np.testing.assert_array_equal(masks, m2)
+    m3, _ = random_subspaces(d, n, seed=6)
+    assert (masks != m3).any()
+
+    small, _ = random_subspaces(10, 8, seed=0, min_dims=2, max_dims=3)
+    assert set(small.sum(axis=1)) <= {2, 3}
+
+    with pytest.raises(ValueError):
+        random_subspaces(5, 4, min_dims=0)
+    with pytest.raises(ValueError):
+        random_subspaces(5, 4, min_dims=4, max_dims=2)
+
+
+def test_random_subspaces_drive_ensemble(rng):
+    """The feature-bagging pool plugs into SubspaceEnsemble end-to-end."""
+    from vgan_tpu.ensemble import SubspaceEnsemble, random_subspaces
+
+    d = 8
+    xtr = rng.normal(size=(100, d)).astype(np.float32)
+    xte = np.vstack([
+        rng.normal(size=(20, d)),
+        rng.normal(size=(5, d)) + 5.0,
+    ]).astype(np.float32)
+    masks, proba = random_subspaces(d, 16, seed=1)
+    ens = SubspaceEnsemble(masks, proba, base="knn", k=5).fit(xtr)
+    s = ens.decision_function(xte)
+    assert s[20:].mean() > s[:20].mean()

@@ -12,6 +12,7 @@ from vgan_tpu.ensemble.od import (
     lof_scores_masked,
     mahalanobis_scores_masked,
     mean_dist_scores_masked,
+    random_subspaces,
 )
 
 __all__ = [
@@ -27,4 +28,5 @@ __all__ = [
     "lof_scores_masked",
     "mahalanobis_scores_masked",
     "mean_dist_scores_masked",
+    "random_subspaces",
 ]

@@ -446,6 +446,39 @@ def _chunked_masks(subspaces, proba, chunk: int, n_shards: int = 1):
     )
 
 
+def random_subspaces(
+    d: int, n_subspaces: int, seed: int = 0,
+    min_dims: Optional[int] = None, max_dims: Optional[int] = None,
+):
+    """Feature-bagging mask pool: ``(masks (n, d) bool, uniform proba)``.
+
+    The baseline the V-GAN paper (arXiv:2504.07522) compares its learned
+    subspace distribution against — pyod's FeatureBagging convention
+    (requirements.txt:58): each member draws a subspace size uniformly in
+    ``[d//2, d-1]`` (overridable via ``min_dims``/``max_dims``) and then
+    that many distinct feature indices. Feed the result to
+    :class:`SubspaceEnsemble`/:class:`HeterogeneousEnsemble` exactly like
+    a learned ``(model.subspaces, model.proba)`` pair to quantify what the
+    LEARNED distribution adds over random bagging on your data.
+    """
+    if min_dims is None:
+        min_dims = max(1, d // 2)
+    if max_dims is None:
+        max_dims = max(1, d - 1)
+    if not 1 <= min_dims <= max_dims <= d:
+        raise ValueError(
+            f"need 1 <= min_dims <= max_dims <= d, got "
+            f"min_dims={min_dims}, max_dims={max_dims}, d={d}"
+        )
+    rng = np.random.default_rng(seed)
+    masks = np.zeros((n_subspaces, d), bool)
+    sizes = rng.integers(min_dims, max_dims + 1, size=n_subspaces)
+    for i, sz in enumerate(sizes):
+        masks[i, rng.choice(d, size=sz, replace=False)] = True
+    proba = np.full(n_subspaces, 1.0 / n_subspaces, np.float32)
+    return masks, proba
+
+
 def _zscore(s):
     """Per-subspace standardization over the test axis (suod-style)."""
     mu = jnp.mean(s, axis=1, keepdims=True)
