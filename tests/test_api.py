@@ -240,3 +240,14 @@ def test_fit_rejects_invalid_input():
             m.fit(bad)
         with pytest.raises(ValueError, match="numeric"):
             m.fit(np.full((8, 2), "a"))
+
+
+def test_fit_accepts_boolean_matrix(rng):
+    """One-hot / binary feature matrices are a legitimate input class —
+    cast to float32 rather than rejected by the dtype validation."""
+    from vgan_tpu import VGAN_no_kl
+
+    x = rng.uniform(size=(48, 4)) < 0.5
+    m = VGAN_no_kl(epochs=1, batch_size=16, verbose=False)
+    m.fit(x)  # must not raise
+    assert np.isfinite(m.train_history["generator_loss"][-1])

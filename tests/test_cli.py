@@ -191,3 +191,28 @@ def test_score_heterogeneous_members(data_file, tmp_path):
     scores = np.load(scores_path)
     assert scores.shape == (96,)
     assert np.all(np.isfinite(scores))
+
+
+def test_score_bases_literal_matches_registry():
+    """The CLI's jax-free _SCORE_BASES literal must track the ensemble's
+    actual native-base registry."""
+    from vgan_tpu.cli import _SCORE_BASES
+    from vgan_tpu.ensemble.od import _BASE_SCORERS, _DIM_BASES, _PARAM_BASES
+
+    assert set(_SCORE_BASES) == {*_BASE_SCORERS, *_DIM_BASES, *_PARAM_BASES}
+
+
+def test_score_members_whitespace_and_validation(tmp_path):
+    """--members tolerates 'knn, lof' spacing and rejects unknown names
+    with a parser error (not a raw constructor traceback)."""
+    import pytest
+
+    from vgan_tpu.cli import build_parser, main
+
+    # unknown member must exit via the parser error path (SystemExit 2)
+    np_file = tmp_path / "x.npy"
+    np.save(np_file, np.random.default_rng(0).normal(size=(40, 4)).astype(np.float32))
+    gen = tmp_path / "missing_gen.msgpack"
+    with pytest.raises(SystemExit):
+        main(["score", "--train", str(np_file), "--generator", str(gen),
+              "--members", "knn, nosuchbase"])

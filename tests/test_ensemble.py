@@ -293,6 +293,11 @@ def test_knn_fused_zero_proba_max_and_small_train(rng):
     from vgan_tpu.ops.pallas.knn_score import knn_kernel_supported
 
     assert not knn_kernel_supported(10, 8, 4, 10)  # k > ntr
+    # very wide d past the resident cap: even the minimum streamed step
+    # exceeds VMEM -> the caller must use the generic path, not crash
+    assert not knn_kernel_supported(100, 30000, 30000, 10)
+    # wide-but-streamable d keeps the fused path (stress regime)
+    assert knn_kernel_supported(100, 30000, 10240, 10)
 
     xtr = rng.normal(size=(60, 6)).astype(np.float32)
     xte = rng.normal(size=(20, 6)).astype(np.float32)
@@ -660,7 +665,14 @@ def test_streaming_knn_matches_dense(rng, monkeypatch):
 
 def test_streaming_knn_through_ensemble(rng, monkeypatch):
     """SubspaceEnsemble end-to-end over the streaming route (chunked vmap
-    over masks composes with the train-axis scan)."""
+    over masks composes with the train-axis scan), against a NUMPY oracle.
+
+    The expected scores are computed host-side (not via the dense jitted
+    path: with identical static args and shapes a dense-then-patch
+    comparison would hit the jit cache and never retrace with streaming
+    engaged), and chunk=3 differs from any earlier test's mask-chunk
+    shapes so this trace happens AFTER the monkeypatch below.
+    """
     import vgan_tpu.ensemble.od as od
 
     xtr = rng.normal(size=(70, 6)).astype(np.float32)
@@ -669,13 +681,21 @@ def test_streaming_knn_through_ensemble(rng, monkeypatch):
     masks[~masks.any(axis=1), 0] = True
     proba = np.full(9, 1 / 9)
 
-    ens = SubspaceEnsemble(masks, proba, base="knn", k=4, chunk=4,
-                           normalize=None).fit(xtr)
-    dense = ens.decision_function(xte)
     monkeypatch.setattr(od, "STREAM_NTR", 48)
     monkeypatch.setattr(od, "_STREAM_BLOCK", 32)
+    ens = SubspaceEnsemble(masks, proba, base="knn", k=4, chunk=3,
+                           normalize=None).fit(xtr)
     stream = ens.decision_function(xte)
-    np.testing.assert_allclose(stream, dense, rtol=1e-5, atol=1e-6)
+
+    per = np.stack([
+        np.sort(
+            np.sqrt(((xte[:, None, m] - xtr[None, :, m]) ** 2).sum(-1)),
+            axis=1,
+        )[:, 3]
+        for m in masks
+    ])
+    expected = (proba[:, None] * per).sum(axis=0)
+    np.testing.assert_allclose(stream, expected, rtol=1e-4, atol=1e-6)
 
 
 def test_streaming_memory_governors(rng, monkeypatch):
@@ -1044,8 +1064,10 @@ def test_heterogeneous_select_downweights_noise_member(rng):
     assert scores[40:].mean() > scores[:40].mean()
 
     # degenerate fall-back: all correlations clip to zero -> uniform
-    w_uniform = HeterogeneousEnsemble._select_weights(
-        np.stack([np.array([1.0, -1.0]), np.array([-1.0, 1.0])])
+    from vgan_tpu.ensemble.hetero import _combine
+
+    _, w_uniform = _combine(
+        np.stack([np.array([1.0, -1.0]), np.array([-1.0, 1.0])]), "select"
     )
     np.testing.assert_allclose(w_uniform, [0.5, 0.5])
 
@@ -1186,3 +1208,50 @@ def test_random_subspaces_drive_ensemble(rng):
     ens = SubspaceEnsemble(masks, proba, base="knn", k=5).fit(xtr)
     s = ens.decision_function(xte)
     assert s[20:].mean() > s[:20].mean()
+
+
+def test_mahalanobis_constant_columns_finite(rng):
+    """A mask selecting only zero-variance train columns must yield finite
+    scores (absolute ridge floor), with deviating test points scoring far
+    above conforming ones — not silent Cholesky NaNs."""
+    from vgan_tpu.ensemble import mahalanobis_scores_masked
+
+    d = 6
+    xtr = rng.normal(size=(40, d)).astype(np.float32)
+    xtr[:, 2] = 1.0
+    xtr[:, 4] = -3.0  # two constant columns
+    mask = np.zeros(d, bool)
+    mask[[2, 4]] = True
+    xte = np.vstack([
+        np.tile(np.array([0, 0, 1.0, 0, -3.0, 0], np.float32), (5, 1)),
+        rng.normal(size=(5, d)).astype(np.float32) + 2.0,  # deviates
+    ])
+    s = np.asarray(
+        mahalanobis_scores_masked(
+            jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask)
+        )
+    )
+    assert np.all(np.isfinite(s))
+    assert s[5:].min() > s[:5].max()
+
+
+def test_effective_chunk_governors():
+    """Per-base chunk clamp: mahalanobis bounds chunk x d^2; streaming
+    neighbor bases bound chunk x nt x block; others pass through."""
+    from vgan_tpu.ensemble.od import (
+        _MAHA_CHUNK_BUDGET,
+        _effective_chunk,
+    )
+
+    # mahalanobis at huge d: one mask in flight
+    assert _effective_chunk("mahalanobis", 128, 100, 1000, 10240) == 1
+    # small d: untouched
+    assert _effective_chunk("mahalanobis", 128, 100, 1000, 16) == 128
+    # budget boundary
+    d = 4096
+    expect = max(1, min(128, _MAHA_CHUNK_BUDGET // (d * d)))
+    assert _effective_chunk("mahalanobis", 128, 100, 1000, d) == expect
+    # non-streaming knn: untouched
+    assert _effective_chunk("knn", 128, 100, 1000, 10240) == 128
+    # loda/dim bases: untouched
+    assert _effective_chunk("loda", 128, 100, 10 ** 6, 10240) == 128

@@ -138,3 +138,31 @@ def test_hetero_export_roundtrip(tmp_path, rng):
             np.testing.assert_allclose(
                 fn(xte), het.decision_function(xte), rtol=2e-4, atol=1e-5
             )
+
+
+def test_streaming_engaged_export_roundtrip(tmp_path, rng, monkeypatch):
+    """Exporting a neighbor-base ensemble whose train set exceeds
+    STREAM_NTR must trace (the streamed tile sizing cannot read the
+    symbolic batch dim — it falls back to the export hint) and the loaded
+    program must match the live scores. Regression: this previously
+    raised InconclusiveDimensionOperation at export."""
+    import vgan_tpu.ensemble.od as od
+    from vgan_tpu.ensemble import SubspaceEnsemble
+    from vgan_tpu.serving import export_ensemble_scorer, load_ensemble_scorer
+
+    monkeypatch.setattr(od, "STREAM_NTR", 32)
+    xtr = rng.normal(size=(64, 6)).astype(np.float32)
+    masks = rng.random(size=(5, 6)) < 0.5
+    masks[:, 0] |= ~masks.any(axis=1)
+    proba = np.full(5, 0.2, np.float32)
+
+    for base in ("knn", "lof"):
+        ens = SubspaceEnsemble(masks, proba, base=base, k=4).fit(xtr)
+        path = tmp_path / f"stream_{base}.bin"
+        export_ensemble_scorer(ens, path)
+        fn = load_ensemble_scorer(path)
+        for nt in (9, 21):
+            xte = rng.normal(size=(nt, 6)).astype(np.float32)
+            np.testing.assert_allclose(
+                fn(xte), ens.decision_function(xte), rtol=1e-4, atol=1e-6
+            )

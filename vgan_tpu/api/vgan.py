@@ -246,6 +246,10 @@ class _VGANCommon(EstimatorBase):
                 "X must be a non-empty 2-D array (n_samples, n_features); "
                 f"got shape {X.shape}"
             )
+        if X.dtype == np.bool_:
+            # one-hot / binary feature matrices are a legitimate input
+            # class — cast rather than reject
+            X = X.astype(np.float32)
         if not np.issubdtype(X.dtype, np.number) or np.issubdtype(
             X.dtype, np.complexfloating
         ):

@@ -15,6 +15,12 @@ from __future__ import annotations
 import argparse
 import sys
 
+# Native base scorers for `score` --base/--members (kept as a literal so the
+# parser builds without importing jax; validated against the ensemble's
+# registry in tests/test_cli.py).
+_SCORE_BASES = ("knn", "knn_mean", "lof", "iforest", "mahalanobis",
+                "loda", "copod", "hbos", "ecod")
+
 
 def _add_common_hyperparams(p: argparse.ArgumentParser) -> None:
     p.add_argument("--batch-size", type=int, default=500)
@@ -116,11 +122,7 @@ def build_parser() -> argparse.ArgumentParser:
     score.add_argument("--test", default=None,
                        help="data to score (defaults to --train)")
     score.add_argument("--generator", required=True)
-    score.add_argument("--base",
-                       choices=["knn", "knn_mean", "lof", "iforest",
-                                "mahalanobis", "loda", "copod", "hbos",
-                                "ecod"],
-                       default="knn")
+    score.add_argument("--base", choices=sorted(_SCORE_BASES), default="knn")
     score.add_argument("--members", default=None, metavar="B1,B2,...",
                        help="comma-separated base list for a heterogeneous "
                             "(suod-style) combination; overrides --base")
@@ -221,16 +223,27 @@ def main(argv=None) -> int:
 
         from vgan_tpu.ensemble import SubspaceEnsemble
 
+        # validate --members before any data/model loading so a typo'd
+        # base name errors instantly via the parser
+        member_bases = None
+        if args.members:
+            member_bases = [b.strip() for b in args.members.split(",")]
+            bad = [b for b in member_bases if b not in _SCORE_BASES]
+            if bad:
+                build_parser().error(
+                    f"--members: unknown base(s) {bad}; "
+                    f"choose from {sorted(_SCORE_BASES)}"
+                )
         x_train = _load_data(args.train)
         x_test = _load_data(args.test) if args.test else x_train
         model = VGAN_no_kl(seed=args.seed, verbose=False)
         model.load_models(args.generator, ndims=x_train.shape[1])
-        if args.members:
+        if member_bases:
             from vgan_tpu.ensemble import HeterogeneousEnsemble
 
             ens = HeterogeneousEnsemble.from_model(
                 model, subspace_count=args.subspaces,
-                members=[{"base": b} for b in args.members.split(",")],
+                members=[{"base": b} for b in member_bases],
                 combination=args.combination,
                 k=args.k, n_trees=args.n_trees,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),

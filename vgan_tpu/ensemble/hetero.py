@@ -24,6 +24,45 @@ import numpy as np
 from vgan_tpu.ensemble.od import SubspaceEnsemble
 
 
+def _standardize(s, xp=np):
+    """Per-member standardization over the test batch (suod's
+    score-alignment step). ``xp`` is the array backend — numpy on the live
+    path, jax.numpy inside the exported program — so the algorithm exists
+    ONCE for both."""
+    mu = xp.mean(s, axis=1, keepdims=True)
+    sd = xp.std(s, axis=1, keepdims=True) + 1e-12
+    return (s - mu) / sd
+
+
+def _combine(s, combination: str, xp=np):
+    """Combine STANDARDIZED member scores ``s (n_members, nt)``.
+
+    Returns ``(combined (nt,), weights_or_None)``; 'select' derives the
+    consensus-correlation reliability weights (see the class docstring).
+    Single implementation shared by the live numpy path and the traced
+    jnp program in :func:`vgan_tpu.serving.export_hetero_scorer` — keep
+    backend-agnostic (no in-place ops, no data-dependent Python control
+    flow on array values).
+    """
+    if combination == "max":
+        return xp.max(s, axis=0), None
+    if combination == "select":
+        consensus = xp.mean(s, axis=0)
+        consensus = (consensus - xp.mean(consensus)) / (
+            xp.std(consensus) + 1e-12
+        )
+        corr = xp.mean(s * consensus[None, :], axis=1)
+        w = xp.clip(corr, 0.0, None)
+        total = xp.sum(w)
+        n = s.shape[0]
+        uniform = xp.full((n,), 1.0 / n, s.dtype)
+        # anti-correlated members clip to 0; all-zero clips fall back to
+        # uniform (== 'average')
+        w = xp.where(total > 0, w / xp.maximum(total, 1e-30), uniform)
+        return w @ s, w
+    return xp.mean(s, axis=0), None
+
+
 class HeterogeneousEnsemble:
     """Combine several base-detector families over one subspace pool.
 
@@ -111,44 +150,19 @@ class HeterogeneousEnsemble:
                 x_test, exclude_self=exclude_self and neighbor
             )
             rows.append(np.asarray(s, np.float64))
-        s = np.stack(rows)
-        mu = s.mean(axis=1, keepdims=True)
-        sd = s.std(axis=1, keepdims=True) + 1e-12
-        return ((s - mu) / sd).astype(np.float32)
+        return _standardize(np.stack(rows)).astype(np.float32)
 
     def decision_function(
         self, x_test: np.ndarray, exclude_self: bool = False
     ) -> np.ndarray:
         """Combined outlier scores (higher = more outlying)."""
         s = self.member_scores(x_test, exclude_self=exclude_self)
-        if self.combination == "max":
-            return s.max(axis=0)
+        combined, w = _combine(
+            s.astype(np.float64), self.combination
+        )
         if self.combination == "select":
-            w = self._select_weights(s)
-            self._member_weights = w
-            return w @ s
-        return s.mean(axis=0)
-
-    @staticmethod
-    def _select_weights(s: np.ndarray) -> np.ndarray:
-        """Consensus-correlation reliability weights for 'select'.
-
-        Member scores arrive standardized (mean 0, std 1 over the batch),
-        so the Pearson correlation to the consensus is just the mean
-        product with the re-standardized consensus. Negative correlations
-        clip to zero (an anti-correlated member is noise w.r.t. the
-        ensemble, not signal to subtract); all-zero clips fall back to
-        uniform weights (== 'average').
-        """
-        s64 = s.astype(np.float64)
-        consensus = s64.mean(axis=0)
-        consensus = (consensus - consensus.mean()) / (consensus.std() + 1e-12)
-        corr = (s64 * consensus).mean(axis=1)
-        w = np.clip(corr, 0.0, None)
-        total = w.sum()
-        if total <= 0.0:
-            return np.full(len(s), 1.0 / len(s), np.float32)
-        return (w / total).astype(np.float32)
+            self._member_weights = w.astype(np.float32)
+        return combined.astype(np.float32)
 
     @property
     def member_weights_(self) -> Optional[np.ndarray]:

@@ -64,8 +64,16 @@ _STREAM_TILE_BUDGET = 2**26
 _STREAM_CHUNK_BUDGET = 2**27
 
 
+# Query-count stand-in used when nt is a SYMBOLIC dimension (jax.export
+# tracing): the streamed tiles are sized as if nt were this bound, so
+# exported programs stay memory-safe for serving batches up to it.
+_EXPORT_NT_HINT = 4096
+
+
 def _stream_block(nt: int) -> int:
     """Train-block length for the streaming scorers at ``nt`` query rows."""
+    if not isinstance(nt, int):  # symbolic batch dim under jax.export
+        nt = _EXPORT_NT_HINT
     cap = max(512, (_STREAM_TILE_BUDGET // max(nt, 1)) // 128 * 128)
     return min(_STREAM_BLOCK, cap)
 
@@ -73,6 +81,26 @@ def _stream_block(nt: int) -> int:
 def _stream_chunk(chunk: int, nt: int, blk: int) -> int:
     """Clamp the vmapped-mask chunk so the streaming tiles fit memory."""
     return max(1, min(chunk, _STREAM_CHUNK_BUDGET // max(nt * blk, 1)))
+
+
+# Mahalanobis materializes a (d, d) masked covariance + Cholesky per
+# in-flight mask; bound chunk x d^2 elements (2^26 = 256 MB of f32).
+_MAHA_CHUNK_BUDGET = 2**26
+
+
+def _effective_chunk(base, chunk: int, nt: int, ntr: int, d: int) -> int:
+    """Per-base memory governor for the vmapped-mask chunk — the single
+    clamp shared by the live scoring paths and the serving exporters (the
+    exporters pass their ``max_batch`` bound as ``nt``; the symbolic batch
+    has no concrete value at trace time)."""
+    if base in ("knn", "knn_mean", "lof") and ntr > STREAM_NTR:
+        # streaming engages: bound the per-chunk (chunk, nt, block) tiles
+        # (lof also streams the train x train neighbor pass)
+        nt_eff = max(nt, ntr) if base == "lof" else nt
+        return _stream_chunk(chunk, nt_eff, _stream_block(nt_eff))
+    if base == "mahalanobis":
+        return max(1, min(chunk, _MAHA_CHUNK_BUDGET // max(d * d, 1)))
+    return chunk
 
 
 def _masked_knn_streaming(
@@ -246,7 +274,10 @@ def mahalanobis_scores_masked(
     ) / max(n - 1, 1)
     cov_m = cov * (mask_f[:, None] * mask_f[None, :])
     d_sub = jnp.maximum(jnp.sum(mask_f), 1.0)
-    ridge = 1e-6 * jnp.trace(cov_m) / d_sub
+    # absolute floor keeps the factorization PD even when every masked
+    # column is constant (trace == 0): a deviating test point then gets a
+    # huge-but-finite score instead of silent Cholesky NaNs
+    ridge = jnp.maximum(1e-6 * jnp.trace(cov_m) / d_sub, 1e-12)
     cov_m = cov_m + jnp.diag(mask_f * ridge + (1.0 - mask_f))
     z = (x_test - mu[None, :]) * mask_f[None, :]
     chol = jnp.linalg.cholesky(cov_m)
@@ -752,18 +783,10 @@ class SubspaceEnsemble:
             projection_seed=self.projection_seed, exclude_self=exclude_self,
         )
         n_shards = self.mesh.shape["data"] if self.mesh is not None else 1
-        chunk = self.chunk
-        if (
-            self.base in ("knn", "knn_mean", "lof")
-            and self._x_train.shape[0] > STREAM_NTR
-        ):
-            # streaming engages: cap the vmapped masks in flight so the
-            # per-chunk (chunk, nt, block) tiles fit the memory budget
-            # (lof also streams the train x train neighbor pass)
-            nt_eff = x_test.shape[0]
-            if self.base == "lof":
-                nt_eff = max(nt_eff, self._x_train.shape[0])
-            chunk = _stream_chunk(chunk, nt_eff, _stream_block(nt_eff))
+        chunk = _effective_chunk(
+            self.base, self.chunk, x_test.shape[0],
+            self._x_train.shape[0], self._x_train.shape[1],
+        )
         masks_np, proba_np = _chunked_masks(
             self.subspaces, self.proba, chunk, n_shards
         )

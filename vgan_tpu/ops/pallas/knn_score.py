@@ -59,8 +59,12 @@ def knn_kernel_supported(nt: int, ntr: int, d: int, k: int) -> bool:
     # k > ntr must raise loudly via the generic path, not return pad
     # sentinels as "distances". Train sets past the resident VMEM cap
     # ride the streaming kernel (third grid axis over train blocks with
-    # a running k-smallest scratch) — n_train is unbounded.
-    return k <= MAX_K and k <= ntr
+    # a running k-smallest scratch) — n_train is unbounded, but very wide
+    # d can make even the minimum streamed step exceed VMEM, in which
+    # case the caller must fall back to the generic jnp path.
+    return k <= MAX_K and k <= ntr and (
+        _resident_supported(ntr, d) or _stream_fits(d)
+    )
 
 
 def _stream_trb(d: int) -> int:
@@ -68,6 +72,21 @@ def _stream_trb(d: int) -> int:
     blocks by the same element budget as the single-block kernel."""
     D = max(128, _round_up(d, 128))
     return max(128, min(2048, (MAX_NTR_D // D) // 128 * 128))
+
+
+def _stream_fits(d: int) -> bool:
+    """The streaming kernel's per-step residents — mask group, two test
+    tiles, two train blocks (all D-wide), the k-smallest scratch, and the
+    ~3x-live (TILE, _KPAD + TRB) merge temporaries — fit a 48 MB budget
+    (headroom under the 64 MB vmem_limit_bytes)."""
+    D = max(128, _round_up(d, 128))
+    trb = _stream_trb(D)
+    elems = (
+        (MASK_G + 2 * TILE_NT + 2 * trb) * D
+        + MASK_G * TILE_NT * _KPAD
+        + 3 * TILE_NT * (_KPAD + trb)
+    )
+    return elems * 4 <= 48 * 1024 * 1024
 
 
 def _knn_kernel(

@@ -58,17 +58,24 @@ def sample_masks(sampler_fn, nsubs: int, latent_size: int, seed: int = 777):
     return np.asarray(sampler_fn(z))
 
 
-def _ensemble_score_fn(ensemble):
+def _ensemble_score_fn(ensemble, max_batch: int = 4096):
     """The jittable ``x_test -> aggregated scores`` closure for a fitted
     native-base :class:`SubspaceEnsemble` (shared by the ensemble and
     heterogeneous exporters). Raises on non-native bases and on the
-    bucketed aggregations, which cannot ride a chunk-reduced program."""
+    bucketed aggregations, which cannot ride a chunk-reduced program.
+
+    ``max_batch`` stands in for the symbolic test-batch dimension when the
+    memory governors size the program (the live path clamps against the
+    actual nt): when the train set exceeds ``STREAM_NTR`` for a neighbor
+    base, the streamed tiles and the mask chunk are sized for serving
+    batches up to ``max_batch``."""
     from vgan_tpu.ensemble.od import (
         _BASE_SCORERS,
         _DIM_BASES,
         _PARAM_BASES,
         _chunked_masks,
         _dim_ensemble_scores,
+        _effective_chunk,
         _local_chunked_scores,
         _scorer_and_k,
     )
@@ -104,8 +111,12 @@ def _ensemble_score_fn(ensemble):
             n_projections=ensemble.n_projections, n_bins=ensemble.n_bins,
             projection_seed=ensemble.projection_seed,
         )
+        chunk = _effective_chunk(
+            ensemble.base, ensemble.chunk, max_batch,
+            x_train.shape[0], x_train.shape[1],
+        )
         masks_np, proba_np = _chunked_masks(
-            ensemble.subspaces, ensemble.proba, ensemble.chunk
+            ensemble.subspaces, ensemble.proba, chunk
         )
         masks = jnp.asarray(masks_np)
         proba = jnp.asarray(proba_np)
@@ -121,21 +132,25 @@ def _ensemble_score_fn(ensemble):
     return score, x_train.shape[1]
 
 
-def export_ensemble_scorer(ensemble, path) -> None:
+def export_ensemble_scorer(ensemble, path, max_batch: int = 4096) -> None:
     """Serialize a fitted :class:`vgan_tpu.ensemble.SubspaceEnsemble`'s
     ``decision_function`` to ``path`` (StableHLO, symbolic test-batch dim).
 
     The training set, subspace masks, probabilities, and the base-scorer
     program are all embedded; a serving process needs only jax to score.
+    When the train set exceeds the streaming threshold for a neighbor
+    base, the program's memory governors are sized for serving batches up
+    to ``max_batch`` (the symbolic batch has no concrete nt to clamp
+    against; larger batches still run, with proportionally more memory).
     """
-    score, d = _ensemble_score_fn(ensemble)
+    score, d = _ensemble_score_fn(ensemble, max_batch=max_batch)
     batch = jax.export.symbolic_shape("b")[0]
     x_spec = jax.ShapeDtypeStruct((batch, d), jnp.float32)
     exported = jax.export.export(jax.jit(score))(x_spec)
     Path(path).write_bytes(exported.serialize())
 
 
-def export_hetero_scorer(het, path) -> None:
+def export_hetero_scorer(het, path, max_batch: int = 4096) -> None:
     """Serialize a fitted
     :class:`vgan_tpu.ensemble.HeterogeneousEnsemble`'s
     ``decision_function`` as ONE StableHLO program: every member's
@@ -148,37 +163,27 @@ def export_hetero_scorer(het, path) -> None:
     aggregation (as for :func:`export_ensemble_scorer`); member ``mesh``
     settings don't apply to the serialized single-program path. The live
     path standardizes in float64 on host while the exported program runs
-    float32 throughout — scores agree to ~1e-5 relative, not bitwise.
+    float32 throughout — scores agree to ~1e-5 relative, not bitwise
+    (the algorithm itself is the SAME code: `hetero._standardize` /
+    `hetero._combine` with the jnp backend).
     """
+    from vgan_tpu.ensemble.hetero import _combine, _standardize
+
     member_fns = []
     d = None
     for m in het.members:
-        fn, d_m = _ensemble_score_fn(m)
+        fn, d_m = _ensemble_score_fn(m, max_batch=max_batch)
         member_fns.append(fn)
         assert d is None or d == d_m
         d = d_m
     combination = het.combination
-    n_members = len(member_fns)
 
     def score(x_test):
-        s = jnp.stack([fn(x_test) for fn in member_fns])
-        mu = jnp.mean(s, axis=1, keepdims=True)
-        sd = jnp.std(s, axis=1, keepdims=True) + 1e-12
-        s = (s - mu) / sd
-        if combination == "max":
-            return jnp.max(s, axis=0)
-        if combination == "select":
-            consensus = jnp.mean(s, axis=0)
-            consensus = (consensus - jnp.mean(consensus)) / (
-                jnp.std(consensus) + 1e-12
-            )
-            corr = jnp.mean(s * consensus[None, :], axis=1)
-            w = jnp.clip(corr, 0.0, None)
-            total = jnp.sum(w)
-            uniform = jnp.full((n_members,), 1.0 / n_members, s.dtype)
-            w = jnp.where(total > 0, w / jnp.maximum(total, 1e-30), uniform)
-            return w @ s
-        return jnp.mean(s, axis=0)
+        s = _standardize(
+            jnp.stack([fn(x_test) for fn in member_fns]), xp=jnp
+        )
+        combined, _ = _combine(s, combination, xp=jnp)
+        return combined
 
     batch = jax.export.symbolic_shape("b")[0]
     x_spec = jax.ShapeDtypeStruct((batch, d), jnp.float32)
@@ -196,7 +201,7 @@ def load_ensemble_scorer(path):
     return fn
 
 
-def export_per_subspace_scorer(ensemble, path) -> None:
+def export_per_subspace_scorer(ensemble, path, max_batch: int = 4096) -> None:
     """Serialize the RAW per-subspace score matrix program: ``x_test (b, d)
     -> (n_subspaces, b)`` (normalized per the ensemble's ``normalize``).
 
@@ -212,6 +217,7 @@ def export_per_subspace_scorer(ensemble, path) -> None:
         _chunked_masks,
         _dim_scores_impl,
         _dim_subspace_raw,
+        _effective_chunk,
         _per_subspace_chunked,
         _scorer_and_k,
         _zscore,
@@ -244,8 +250,12 @@ def export_per_subspace_scorer(ensemble, path) -> None:
             n_projections=ensemble.n_projections, n_bins=ensemble.n_bins,
             projection_seed=ensemble.projection_seed,
         )
+        chunk = _effective_chunk(
+            ensemble.base, ensemble.chunk, max_batch,
+            x_train.shape[0], x_train.shape[1],
+        )
         masks_np, _ = _chunked_masks(
-            ensemble.subspaces, ensemble.proba, ensemble.chunk
+            ensemble.subspaces, ensemble.proba, chunk
         )
         masks = jnp.asarray(masks_np)
 
