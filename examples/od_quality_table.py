@@ -134,7 +134,11 @@ def task_splits(seed):
 
 
 def eval_seed(seed, epochs):
-    """{(dataset, base): (auc_subspace, auc_full)} for one seed."""
+    """{(dataset, base): (auc_subspace, auc_full, auc_fb)} for one seed —
+    the learned V-GAN pool vs the full space vs a random feature-bagging
+    pool of the SAME size (the paper's learned-vs-random comparison)."""
+    from vgan_tpu.ensemble import random_subspaces
+
     results = {}
     for name, x_tr, x_te, labels in task_splits(seed):
         model = VGAN_no_kl(
@@ -143,7 +147,12 @@ def eval_seed(seed, epochs):
         )
         model.fit(x_tr)
         model.approx_subspace_dist(500)
-        full_mask = np.ones((1, x_tr.shape[1]), bool)
+        d = x_tr.shape[1]
+        full_mask = np.ones((1, d), bool)
+        # 100 members (not 500): random masks don't dedupe the way V-GAN
+        # draws collapse to ~10 unique subspaces, and bagging AUC saturates
+        # well before 100 members — this keeps the fb column tractable
+        fb_masks, fb_proba = random_subspaces(d, 100, seed=2000 + seed)
         for base in BASES:
             ens = SubspaceEnsemble(
                 model.subspaces, model.proba, base=base, k=10
@@ -154,7 +163,11 @@ def eval_seed(seed, epochs):
                 normalize=None,
             ).fit(x_tr)
             a_full = auc(full.decision_function(x_te), labels)
-            results[(name, base)] = (a_sub, a_full)
+            fb = SubspaceEnsemble(
+                fb_masks, fb_proba, base=base, k=10
+            ).fit(x_tr)
+            a_fb = auc(fb.decision_function(x_te), labels)
+            results[(name, base)] = (a_sub, a_full, a_fb)
         print(f"  seed {seed}: {name} done", flush=True)
     return results
 
@@ -180,22 +193,30 @@ def main():
         "REAL datasets whose signal hides among appended irrelevant noise "
         "features — plus three ADBench-taxonomy synthetic STRESS rows "
         "(marked *) at d=128 where the informative structure is a subtle "
-        "rank-3 factor block. Bold = subspace ensemble wins on the mean.",
+        "rank-3 factor block. The `fb` column is a RANDOM feature-bagging "
+        "pool (100 masks, pyod convention; bagging AUC saturates well "
+        "before 100 members — the paper's learned-vs-random comparison). "
+        "Bold = learned subspace ensemble "
+        "wins on the mean vs full space.",
         "",
-        "| dataset | base | subspace AUC | full-space AUC | win |",
-        "|---|---|---|---|---|",
+        "| dataset | base | subspace AUC | full-space AUC | fb AUC | win |",
+        "|---|---|---|---|---|---|",
     ]
     wins = 0
+    fb_wins = 0
     for name, base in keys:
         subs = np.array([ps[(name, base)][0] for ps in per_seed])
         full = np.array([ps[(name, base)][1] for ps in per_seed])
+        fb = np.array([ps[(name, base)][2] for ps in per_seed])
         w = subs.mean() >= full.mean()
         wins += int(w)
+        fb_wins += int(subs.mean() >= fb.mean())
         s_txt = f"{subs.mean():.3f} +/- {subs.std():.3f}"
         f_txt = f"{full.mean():.3f} +/- {full.std():.3f}"
+        b_txt = f"{fb.mean():.3f} +/- {fb.std():.3f}"
         if w:
             s_txt = f"**{s_txt}**"
-        lines.append(f"| {name} | {base} | {s_txt} | {f_txt} | "
+        lines.append(f"| {name} | {base} | {s_txt} | {f_txt} | {b_txt} | "
                      f"{'+' if w else '-'} |")
     real_keys = [k for k in keys if not k[0].endswith("*")]
     real_wins = sum(
@@ -203,14 +224,21 @@ def main():
         if np.mean([ps[k][0] for ps in per_seed])
         >= np.mean([ps[k][1] for ps in per_seed])
     )
+    fb_real_wins = sum(
+        1 for k in real_keys
+        if np.mean([ps[k][0] for ps in per_seed])
+        >= np.mean([ps[k][2] for ps in per_seed])
+    )
     lines += [
         "",
         f"Subspace ensemble >= full-space on the mean in {wins}/{len(keys)} "
         f"pairs overall; {real_wins}/{len(real_keys)} on the real "
-        "noise-augmented tasks (the paper's regime).",
+        "noise-augmented tasks (the paper's regime). Learned >= random "
+        f"feature bagging in {fb_wins}/{len(keys)} pairs overall; "
+        f"{fb_real_wins}/{len(real_keys)} on the real tasks.",
         "",
         "Per-base view on the real tasks (mean AUC delta, subspace minus "
-        "full):",
+        "full / subspace minus fb):",
         "",
     ]
     for base in BASES:
@@ -220,10 +248,17 @@ def main():
             - np.mean([ps[k][1] for ps in per_seed])
             for k in ks
         ]
+        fb_deltas = [
+            np.mean([ps[k][0] for ps in per_seed])
+            - np.mean([ps[k][2] for ps in per_seed])
+            for k in ks
+        ]
         bw = sum(1 for d in deltas if d >= 0)
+        fbw = sum(1 for d in fb_deltas if d >= 0)
         lines.append(
-            f"- **{base}**: {bw}/{len(ks)} datasets, "
-            f"mean delta {np.mean(deltas):+.3f}"
+            f"- **{base}**: vs full {bw}/{len(ks)} datasets "
+            f"(mean delta {np.mean(deltas):+.3f}); vs fb {fbw}/{len(ks)} "
+            f"(mean delta {np.mean(fb_deltas):+.3f})"
         )
     lines += [
         "",
