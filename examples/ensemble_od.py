@@ -3,7 +3,7 @@ sample the operator distribution, score test points with a vmap-batched base
 detector across all subspaces in one compiled program.
 
 Run: python examples/ensemble_od.py
-       [--base knn|knn_mean|lof|iforest|copod|hbos]
+       [--base knn|knn_mean|lof|iforest|mahalanobis|loda|copod|hbos|ecod]
        [--aggregation average|max|aom|moa]
 """
 
@@ -24,8 +24,9 @@ from vgan_tpu.ensemble import SubspaceEnsemble
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="knn",
-                    choices=["knn", "knn_mean", "lof", "iforest", "copod",
-                             "hbos"])
+                    choices=["knn", "knn_mean", "lof", "iforest",
+                             "mahalanobis", "loda", "copod", "hbos",
+                             "ecod"])
     ap.add_argument("--aggregation", default="average",
                     choices=["average", "max", "aom", "moa"])
     ap.add_argument("--epochs", type=int, default=20)
@@ -64,14 +65,31 @@ def main():
     from vgan_tpu.ensemble import HeterogeneousEnsemble
 
     het = HeterogeneousEnsemble.from_model(
-        model, subspace_count=1000,
+        model, subspace_count=1000, combination="select",
         members=[{"base": "knn", "k": 15}, {"base": "lof", "k": 15},
                  {"base": "ecod"}],
     ).fit(x_train)
     h_scores = het.decision_function(x_test)
     h_order = np.argsort(-h_scores)
     h_hits = len(set(h_order[:20]) & set(np.where(y_true == 1)[0]))
-    print(f"heterogeneous (knn+lof+ecod) precision@20: {h_hits / 20:.2f}")
+    print(f"heterogeneous (knn+lof+ecod, 'select') precision@20: "
+          f"{h_hits / 20:.2f}; member weights {het.member_weights_}")
+
+    # learned-vs-random: the paper's feature-bagging baseline on the same
+    # base detector
+    from vgan_tpu.ensemble import random_subspaces
+
+    fb_masks, fb_proba = random_subspaces(d, 100, seed=3)
+    fb = SubspaceEnsemble(
+        fb_masks, fb_proba, base=args.base, k=15,
+        aggregation=args.aggregation,
+    ).fit(x_train)
+    fb_scores = fb.decision_function(x_test)
+    fb_hits = len(
+        set(np.argsort(-fb_scores)[:20]) & set(np.where(y_true == 1)[0])
+    )
+    print(f"random feature bagging precision@20: {fb_hits / 20:.2f} "
+          "(vs learned above)")
 
 
 if __name__ == "__main__":

@@ -1255,3 +1255,24 @@ def test_effective_chunk_governors():
     assert _effective_chunk("knn", 128, 100, 1000, 10240) == 128
     # loda/dim bases: untouched
     assert _effective_chunk("loda", 128, 100, 10 ** 6, 10240) == 128
+
+
+def test_hetero_combine_backend_parity(rng):
+    """hetero._standardize/_combine produce the same results through the
+    numpy and jax.numpy backends (the live path and the exported program
+    share this code — parity here is what keeps them in lockstep)."""
+    from vgan_tpu.ensemble.hetero import _combine, _standardize
+
+    s = rng.normal(size=(4, 30)).astype(np.float32)
+    for combination in ("average", "max", "select"):
+        a, wa = _combine(_standardize(s.astype(np.float64)), combination)
+        b, wb = _combine(
+            _standardize(jnp.asarray(s), xp=jnp), combination, xp=jnp
+        )
+        np.testing.assert_allclose(np.asarray(b), a, rtol=1e-5, atol=1e-6)
+        if combination == "select":
+            np.testing.assert_allclose(
+                np.asarray(wb), wa, rtol=1e-5, atol=1e-6
+            )
+        else:
+            assert wa is None and wb is None
