@@ -262,6 +262,16 @@ def main():
         )
     lines += [
         "",
+        "**Learned vs random bagging**: the learned pool's edge "
+        "concentrates where subspace choice matters most per member — "
+        "iforest and loda — while for the stable distance/histogram bases "
+        "a 100-member random pool already averages out the noise "
+        "dimensions, matching the ~10-unique-subspace learned pool. Where "
+        "the subspace ensemble loses to the FULL space (hbos/copod/knn on "
+        "these tasks), random bagging loses the same way — i.e. those are "
+        "cases where projection itself doesn't pay, not where the LEARNED "
+        "distribution is worse than random.",
+        "",
         "**Honest negative result on the * stress rows**: the learned "
         "operator does NOT isolate the 8-dim rank-3 factor block at d=128 "
         "under this training budget — the sampled masks' informative-dim "
