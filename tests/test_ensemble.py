@@ -1276,3 +1276,44 @@ def test_hetero_combine_backend_parity(rng):
             )
         else:
             assert wa is None and wb is None
+
+
+def test_decision_scores_and_labels_pyod_attributes(rng):
+    """pyod BaseDetector parity: decision_scores_ (train scores, self-pairs
+    excluded for neighbor bases) and labels_ (fit-time contamination
+    quantile) on both ensemble classes — lazy, cached, reset by fit()."""
+    from vgan_tpu.ensemble import HeterogeneousEnsemble
+
+    d = 8
+    xtr = np.vstack([
+        rng.normal(size=(90, d)),
+        rng.normal(size=(10, d)) + 4.0,  # planted train outliers
+    ]).astype(np.float32)
+    masks = rng.uniform(size=(6, d)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.full(6, 1 / 6, np.float32)
+
+    ens = SubspaceEnsemble(masks, proba, base="knn", k=5,
+                           contamination=0.1).fit(xtr)
+    s = ens.decision_scores_
+    assert s.shape == (100,)
+    # oracle: decision_function with exclude_self on the train set
+    np.testing.assert_allclose(
+        s, ens.decision_function(xtr, exclude_self=True), rtol=1e-5
+    )
+    assert s is ens.decision_scores_  # cached
+    labels = ens.labels_
+    assert labels.sum() <= 10 + 1  # ~contamination fraction flagged
+    assert labels[90:].mean() > labels[:90].mean()  # outliers flagged
+
+    ens.fit(xtr[:50])  # refit resets the cache
+    assert ens.decision_scores_.shape == (50,)
+
+    het = HeterogeneousEnsemble(
+        masks, proba, members=[{"base": "knn", "k": 5}, {"base": "ecod"}],
+        contamination=0.1,
+    ).fit(xtr)
+    hs = het.decision_scores_
+    assert hs.shape == (100,)
+    hl = het.labels_
+    assert hl[90:].mean() > hl[:90].mean()

@@ -123,6 +123,7 @@ class HeterogeneousEnsemble:
         self.contamination = contamination
         self._threshold = None
         self._member_weights = None
+        self._decision_scores = None
 
     @classmethod
     def from_model(cls, model, subspace_count: int = 500, **kwargs):
@@ -133,7 +134,28 @@ class HeterogeneousEnsemble:
     def fit(self, x_train: np.ndarray):
         for m in self.members:
             m.fit(x_train)
+        self._decision_scores = None
         return self
+
+    @property
+    def decision_scores_(self) -> np.ndarray:
+        """Training-set combined scores (pyod ``BaseDetector`` attribute),
+        lazily computed and cached; neighbor members exclude self-pairs."""
+        x_train = self.members[0]._x_train
+        assert x_train is not None, "call fit(X_train) first"
+        if self._decision_scores is None:
+            self._decision_scores = self.decision_function(
+                np.asarray(x_train), exclude_self=True
+            )
+        return self._decision_scores
+
+    @property
+    def labels_(self) -> np.ndarray:
+        """0/1 training labels at the (1 - contamination) quantile of
+        ``decision_scores_`` (pyod fit-time thresholding semantics)."""
+        scores = self.decision_scores_
+        thr = np.quantile(scores, 1.0 - self.contamination)
+        return (scores > thr).astype(np.int64)
 
     def member_scores(
         self, x_test: np.ndarray, exclude_self: bool = False

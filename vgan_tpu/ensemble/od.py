@@ -709,6 +709,7 @@ class SubspaceEnsemble:
         self.projection_seed = projection_seed
         self._x_train = None
         self._threshold = None
+        self._decision_scores = None
 
     @classmethod
     def from_model(cls, model, subspace_count: int = 500, **kwargs):
@@ -719,7 +720,31 @@ class SubspaceEnsemble:
     def fit(self, x_train: np.ndarray):
         self._x_train = jnp.asarray(np.asarray(x_train), dtype=jnp.float32)
         self._threshold = None
+        self._decision_scores = None
         return self
+
+    @property
+    def decision_scores_(self) -> np.ndarray:
+        """Training-set outlier scores (pyod ``BaseDetector`` attribute),
+        computed lazily on first access and cached — self-pairs excluded
+        for the neighbor bases, exactly pyod's unsupplied-X kneighbors
+        semantics."""
+        assert self._x_train is not None, "call fit(X_train) first"
+        if self._decision_scores is None:
+            self._decision_scores = self.decision_function(
+                np.asarray(self._x_train), exclude_self=True
+            )
+        return self._decision_scores
+
+    @property
+    def labels_(self) -> np.ndarray:
+        """0/1 training labels at the (1 - contamination) quantile of
+        ``decision_scores_`` (pyod fit-time thresholding semantics —
+        unlike ``predict``, whose per-call one-batch threshold is a
+        documented divergence)."""
+        scores = self.decision_scores_
+        thr = np.quantile(scores, 1.0 - self.contamination)
+        return (scores > thr).astype(np.int64)
 
     def decision_function(
         self, x_test: np.ndarray, exclude_self: bool = False
