@@ -21,11 +21,16 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # Allow float64 in precision-parity tests (explicit fp32 arrays stay fp32).
 jax.config.update("jax_enable_x64", True)
-# Persistent compilation cache: test time is dominated by recompiles of the
-# same fit/epoch programs across runs.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compilation cache. It used to be enabled here (it saved
+# ~minutes of recompiles across suite runs), but XLA:CPU executable
+# (de)serialization bakes in machine features and this box is a VM whose
+# host CPU can change under it: observed 2026-08-18, cpu_aot_loader
+# "+prefer-no-scatter not supported on the host ... SIGILL" followed by
+# hard SEGFAULTS inside compilation_cache.get_executable_and_time (read of
+# a stale entry) AND put_executable_and_time (write of a fresh one, same
+# boot) on the large fit programs in test_train. A salted cache dir per
+# CPU-flags fingerprint did not help — the serialize path itself crashes —
+# so the cache stays off; the in-process jit cache is unaffected.
 
 import numpy as np
 import pytest
