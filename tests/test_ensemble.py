@@ -1317,3 +1317,51 @@ def test_decision_scores_and_labels_pyod_attributes(rng):
     assert hs.shape == (100,)
     hl = het.labels_
     assert hl[90:].mean() > hl[:90].mean()
+
+
+def test_predict_proba_pyod_semantics(rng):
+    """predict_proba: (n, 2) rows summing to 1, probabilities in [0, 1],
+    'linear' matching a hand-computed min-max of train scores, 'unify'
+    matching the erf unification, outliers getting higher P(outlier)."""
+    from scipy.special import erf
+
+    d = 8
+    xtr = rng.normal(size=(80, d)).astype(np.float32)
+    inliers = rng.normal(size=(15, d)).astype(np.float32)
+    outliers = rng.normal(size=(5, d)).astype(np.float32) + 5.0
+    xte = np.vstack([inliers, outliers])
+    masks = rng.uniform(size=(5, d)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.full(5, 0.2, np.float32)
+
+    ens = SubspaceEnsemble(masks, proba, base="knn", k=5,
+                           normalize=None).fit(xtr)
+    for method in ("linear", "unify"):
+        p = ens.predict_proba(xte, method=method)
+        assert p.shape == (20, 2)
+        assert np.all((p >= 0) & (p <= 1))
+        np.testing.assert_allclose(p.sum(axis=1), 1.0, rtol=1e-5)
+        assert p[15:, 1].mean() > p[:15, 1].mean()
+
+    tr = ens.decision_scores_.astype(np.float64)
+    te = ens.decision_function(xte).astype(np.float64)
+    lin = np.clip((te - tr.min()) / (tr.max() - tr.min()), 0, 1)
+    np.testing.assert_allclose(
+        ens.predict_proba(xte, "linear")[:, 1], lin, rtol=1e-5, atol=1e-6
+    )
+    uni = np.clip(erf((te - tr.mean()) / (tr.std() * np.sqrt(2))), 0, 1)
+    np.testing.assert_allclose(
+        ens.predict_proba(xte, "unify")[:, 1], uni, rtol=1e-5, atol=1e-6
+    )
+
+    with pytest.raises(ValueError, match="linear"):
+        ens.predict_proba(xte, method="nope")
+
+    from vgan_tpu.ensemble import HeterogeneousEnsemble
+
+    het = HeterogeneousEnsemble(
+        masks, proba, members=[{"base": "knn", "k": 5}, {"base": "ecod"}]
+    ).fit(xtr)
+    hp = het.predict_proba(xte, "unify")
+    assert hp.shape == (20, 2) and np.all((hp >= 0) & (hp <= 1))
+    assert hp[15:, 1].mean() > hp[:15, 1].mean()

@@ -157,6 +157,18 @@ class HeterogeneousEnsemble:
         thr = np.quantile(scores, 1.0 - self.contamination)
         return (scores > thr).astype(np.int64)
 
+    def predict_proba(
+        self, x_test: np.ndarray, method: str = "linear"
+    ) -> np.ndarray:
+        """(n, 2) outlier probabilities (pyod semantics; see
+        ``SubspaceEnsemble.predict_proba``). Member standardization is
+        per-batch, so the train and test passes standardize separately."""
+        from vgan_tpu.ensemble.od import _proba_from_scores
+
+        return _proba_from_scores(
+            self.decision_scores_, self.decision_function(x_test), method
+        )
+
     def member_scores(
         self, x_test: np.ndarray, exclude_self: bool = False
     ) -> np.ndarray:

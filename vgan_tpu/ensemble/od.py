@@ -510,6 +510,34 @@ def random_subspaces(
     return masks, proba
 
 
+def _proba_from_scores(
+    train_scores: np.ndarray, test_scores: np.ndarray, method: str
+) -> np.ndarray:
+    """pyod ``predict_proba`` calibration: map raw outlier scores to (n, 2)
+    probabilities using TRAIN-score statistics. 'linear' = min-max scaling
+    by the train range; 'unify' = erf of the train-standardized score
+    (Kriegel, Kroger, Schubert & Zimek 2011, as in pyod)."""
+    import math
+
+    tr = np.asarray(train_scores, np.float64)
+    te = np.asarray(test_scores, np.float64)
+    if method == "linear":
+        lo, hi = tr.min(), tr.max()
+        p = (te - lo) / max(hi - lo, 1e-12)
+    elif method == "unify":
+        mu, sd = tr.mean(), tr.std()
+        z = (te - mu) / max(sd * math.sqrt(2.0), 1e-12)
+        from scipy.special import erf
+
+        p = erf(z)
+    else:
+        raise ValueError(
+            f"unknown method={method!r}: expected 'linear' or 'unify'"
+        )
+    p = np.clip(p, 0.0, 1.0)
+    return np.stack([1.0 - p, p], axis=1).astype(np.float32)
+
+
 def _zscore(s):
     """Per-subspace standardization over the test axis (suod-style)."""
     mu = jnp.mean(s, axis=1, keepdims=True)
@@ -745,6 +773,22 @@ class SubspaceEnsemble:
         scores = self.decision_scores_
         thr = np.quantile(scores, 1.0 - self.contamination)
         return (scores > thr).astype(np.int64)
+
+    def predict_proba(
+        self, x_test: np.ndarray, method: str = "linear"
+    ) -> np.ndarray:
+        """(n, 2) outlier probabilities, pyod ``BaseDetector`` semantics.
+
+        'linear' min-max-scales test scores by the TRAIN score range;
+        'unify' is Kriegel et al.'s unification: erf of the train-
+        standardized score. Column 1 is P(outlier), column 0 its
+        complement. With ``normalize='zscore'`` the per-subspace batch
+        statistics differ between the train-only and test-only scoring
+        passes; use ``normalize=None`` for strictly pyod-faithful
+        calibration."""
+        return _proba_from_scores(
+            self.decision_scores_, self.decision_function(x_test), method
+        )
 
     def decision_function(
         self, x_test: np.ndarray, exclude_self: bool = False
