@@ -1305,6 +1305,11 @@ def test_decision_scores_and_labels_pyod_attributes(rng):
     labels = ens.labels_
     assert labels.sum() <= 10 + 1  # ~contamination fraction flagged
     assert labels[90:].mean() > labels[:90].mean()  # outliers flagged
+    # pyod invariant: computing labels_ sets threshold_ consistently
+    assert ens.threshold_ is not None
+    np.testing.assert_array_equal(
+        labels, (ens.decision_scores_ > ens.threshold_).astype(np.int64)
+    )
 
     ens.fit(xtr[:50])  # refit resets the cache
     assert ens.decision_scores_.shape == (50,)

@@ -63,10 +63,16 @@ def test_upper_softmax_zero_grad_through_snapped(x):
 def test_mmd2_biased_symmetry_and_self_zero(x, y):
     """The biased V-statistic MMD^2 is symmetric, ~zero on identical
     samples, and non-negative (PD kernel) — for arbitrary data."""
-    from vgan_tpu.ops.mmd import mmd2_biased, reference_bandwidth
+    from vgan_tpu.ops.mmd import (
+        mmd2_biased,
+        pairwise_sq_dists,
+        reference_bandwidth,
+    )
 
     xj, yj = jnp.asarray(x), jnp.asarray(y)
-    bw = float(reference_bandwidth(jnp.concatenate([xj, yj])))
+    z = jnp.concatenate([xj, yj])
+    # reference_bandwidth takes the pairwise SQUARED-DISTANCE matrix
+    bw = float(reference_bandwidth(pairwise_sq_dists(z, z)))
     if bw <= 0:  # degenerate all-equal draw: bandwidth rule needs spread
         return
     bw = jnp.asarray(bw, jnp.float32)

@@ -21,7 +21,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from vgan_tpu.ensemble.od import SubspaceEnsemble
+from vgan_tpu.ensemble.od import PyodSurfaceMixin, SubspaceEnsemble
 
 
 def _standardize(s, xp=np):
@@ -63,7 +63,7 @@ def _combine(s, combination: str, xp=np):
     return xp.mean(s, axis=0), None
 
 
-class HeterogeneousEnsemble:
+class HeterogeneousEnsemble(PyodSurfaceMixin):
     """Combine several base-detector families over one subspace pool.
 
     Parameters
@@ -137,37 +137,26 @@ class HeterogeneousEnsemble:
         self._decision_scores = None
         return self
 
-    @property
-    def decision_scores_(self) -> np.ndarray:
-        """Training-set combined scores (pyod ``BaseDetector`` attribute),
-        lazily computed and cached; neighbor members exclude self-pairs."""
+    def _train_matrix(self) -> np.ndarray:
         x_train = self.members[0]._x_train
         assert x_train is not None, "call fit(X_train) first"
-        if self._decision_scores is None:
-            self._decision_scores = self.decision_function(
-                np.asarray(x_train), exclude_self=True
-            )
-        return self._decision_scores
+        return np.asarray(x_train)
 
-    @property
-    def labels_(self) -> np.ndarray:
-        """0/1 training labels at the (1 - contamination) quantile of
-        ``decision_scores_`` (pyod fit-time thresholding semantics)."""
-        scores = self.decision_scores_
-        thr = np.quantile(scores, 1.0 - self.contamination)
-        return (scores > thr).astype(np.int64)
+    def _calibration_scores(self, x_test: np.ndarray):
+        """``predict_proba`` calibration via ONE combined train+test pass.
 
-    def predict_proba(
-        self, x_test: np.ndarray, method: str = "linear"
-    ) -> np.ndarray:
-        """(n, 2) outlier probabilities (pyod semantics; see
-        ``SubspaceEnsemble.predict_proba``). Member standardization is
-        per-batch, so the train and test passes standardize separately."""
-        from vgan_tpu.ensemble.od import _proba_from_scores
-
-        return _proba_from_scores(
-            self.decision_scores_, self.decision_function(x_test), method
-        )
+        Member scores are standardized per batch (suod's alignment step),
+        so scoring train and test separately would calibrate against
+        incomparable scales — an outlier-only test batch would be
+        standardized to look like the train distribution. Scoring the
+        combined batch (the same one-batch design ``predict`` documents)
+        puts both on shared member statistics; neighbor members exclude
+        the train rows' self-pairs."""
+        x_train = self._train_matrix()
+        n_tr = len(x_train)
+        both = np.concatenate([x_train, np.asarray(x_test, np.float32)])
+        scores = self.decision_function(both, exclude_self=True)
+        return scores[:n_tr], scores[n_tr:]
 
     def member_scores(
         self, x_test: np.ndarray, exclude_self: bool = False

@@ -538,6 +538,66 @@ def _proba_from_scores(
     return np.stack([1.0 - p, p], axis=1).astype(np.float32)
 
 
+class PyodSurfaceMixin:
+    """pyod ``BaseDetector`` post-fit surface, shared by
+    :class:`SubspaceEnsemble` and
+    :class:`~vgan_tpu.ensemble.hetero.HeterogeneousEnsemble` (one
+    implementation — the classes must not silently diverge).
+
+    Subclasses provide ``_train_matrix()`` (the fitted training data as
+    numpy), ``decision_function``, ``contamination``, and the
+    ``_decision_scores``/``_threshold`` slots.
+    """
+
+    def _train_matrix(self) -> np.ndarray:
+        raise NotImplementedError
+
+    @property
+    def decision_scores_(self) -> np.ndarray:
+        """Training-set outlier scores (pyod ``BaseDetector`` attribute),
+        computed lazily on first access and cached (reset by ``fit``);
+        self-pairs excluded for the neighbor bases, pyod's unsupplied-X
+        kneighbors semantics."""
+        x_train = self._train_matrix()
+        if self._decision_scores is None:
+            self._decision_scores = self.decision_function(
+                x_train, exclude_self=True
+            )
+        return self._decision_scores
+
+    @property
+    def labels_(self) -> np.ndarray:
+        """0/1 training labels at the (1 - contamination) quantile of
+        ``decision_scores_``. Computing this SETS ``threshold_`` to that
+        quantile, preserving pyod's invariant
+        ``labels_ == decision_scores_ > threshold_`` (a later ``predict``
+        call overwrites ``threshold_`` with its documented per-call
+        batch quantile)."""
+        scores = self.decision_scores_
+        self._threshold = float(
+            np.quantile(scores, 1.0 - self.contamination)
+        )
+        return (scores > self._threshold).astype(np.int64)
+
+    def _calibration_scores(self, x_test: np.ndarray):
+        """(train_scores, test_scores) used by ``predict_proba``."""
+        return self.decision_scores_, self.decision_function(
+            np.asarray(x_test)
+        )
+
+    def predict_proba(
+        self, x_test: np.ndarray, method: str = "linear"
+    ) -> np.ndarray:
+        """(n, 2) outlier probabilities, pyod ``BaseDetector`` semantics.
+
+        'linear' min-max-scales test scores by the TRAIN score range;
+        'unify' is Kriegel et al.'s unification: erf of the train-
+        standardized score. Column 1 is P(outlier), column 0 its
+        complement."""
+        tr, te = self._calibration_scores(x_test)
+        return _proba_from_scores(tr, te, method)
+
+
 def _zscore(s):
     """Per-subspace standardization over the test axis (suod-style)."""
     mu = jnp.mean(s, axis=1, keepdims=True)
@@ -617,7 +677,7 @@ def _scorer_and_k(
     return scorers[base], (n_trees if base == "iforest" else k)
 
 
-class SubspaceEnsemble:
+class SubspaceEnsemble(PyodSurfaceMixin):
     """Ensemble outlier detector over V-GAN subspaces.
 
     Parameters
@@ -751,44 +811,9 @@ class SubspaceEnsemble:
         self._decision_scores = None
         return self
 
-    @property
-    def decision_scores_(self) -> np.ndarray:
-        """Training-set outlier scores (pyod ``BaseDetector`` attribute),
-        computed lazily on first access and cached — self-pairs excluded
-        for the neighbor bases, exactly pyod's unsupplied-X kneighbors
-        semantics."""
+    def _train_matrix(self) -> np.ndarray:
         assert self._x_train is not None, "call fit(X_train) first"
-        if self._decision_scores is None:
-            self._decision_scores = self.decision_function(
-                np.asarray(self._x_train), exclude_self=True
-            )
-        return self._decision_scores
-
-    @property
-    def labels_(self) -> np.ndarray:
-        """0/1 training labels at the (1 - contamination) quantile of
-        ``decision_scores_`` (pyod fit-time thresholding semantics —
-        unlike ``predict``, whose per-call one-batch threshold is a
-        documented divergence)."""
-        scores = self.decision_scores_
-        thr = np.quantile(scores, 1.0 - self.contamination)
-        return (scores > thr).astype(np.int64)
-
-    def predict_proba(
-        self, x_test: np.ndarray, method: str = "linear"
-    ) -> np.ndarray:
-        """(n, 2) outlier probabilities, pyod ``BaseDetector`` semantics.
-
-        'linear' min-max-scales test scores by the TRAIN score range;
-        'unify' is Kriegel et al.'s unification: erf of the train-
-        standardized score. Column 1 is P(outlier), column 0 its
-        complement. With ``normalize='zscore'`` the per-subspace batch
-        statistics differ between the train-only and test-only scoring
-        passes; use ``normalize=None`` for strictly pyod-faithful
-        calibration."""
-        return _proba_from_scores(
-            self.decision_scores_, self.decision_function(x_test), method
-        )
+        return np.asarray(self._x_train)
 
     def decision_function(
         self, x_test: np.ndarray, exclude_self: bool = False
