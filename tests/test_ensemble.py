@@ -1370,3 +1370,99 @@ def test_predict_proba_pyod_semantics(rng):
     hp = het.predict_proba(xte, "unify")
     assert hp.shape == (20, 2) and np.all((hp >= 0) & (hp <= 1))
     assert hp[15:, 1].mean() > hp[:15, 1].mean()
+
+
+def test_kde_full_mask_matches_sklearn(rng):
+    """base='kde' with a full mask == -KernelDensity.score_samples exactly
+    (same gaussian kernel, same normalization)."""
+    sk = pytest.importorskip("sklearn.neighbors")
+    from vgan_tpu.ensemble import kde_scores_masked
+
+    d = 5
+    xtr = rng.normal(size=(60, d)).astype(np.float32)
+    xte = rng.normal(size=(25, d)).astype(np.float32)
+    for h in (0.7, 1.0, 2.5):
+        ours = np.asarray(kde_scores_masked(
+            jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(np.ones(d, bool)),
+            bandwidth=h,
+        ))
+        kd = sk.KernelDensity(bandwidth=h).fit(xtr)
+        np.testing.assert_allclose(
+            ours, -kd.score_samples(xte), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_kde_masked_matches_sklearn_on_subspace(rng):
+    """A masked KDE score equals sklearn KDE fitted on the PROJECTED data
+    (masking == projection for density in the selected dims)."""
+    sk = pytest.importorskip("sklearn.neighbors")
+    from vgan_tpu.ensemble import kde_scores_masked
+
+    d = 8
+    xtr = rng.normal(size=(50, d)).astype(np.float32)
+    xte = rng.normal(size=(20, d)).astype(np.float32)
+    mask = np.zeros(d, bool)
+    mask[[1, 4, 6]] = True
+    ours = np.asarray(kde_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask), bandwidth=1.3
+    ))
+    kd = sk.KernelDensity(bandwidth=1.3).fit(xtr[:, mask])
+    np.testing.assert_allclose(
+        ours, -kd.score_samples(xte[:, mask]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_kde_streaming_matches_dense(rng, monkeypatch):
+    """Past STREAM_NTR the running-max logsumexp carry must agree with the
+    dense path exactly (incl. exclude_self)."""
+    import vgan_tpu.ensemble.od as od
+    from vgan_tpu.ensemble import kde_scores_masked
+
+    xtr = rng.normal(size=(70, 6)).astype(np.float32)
+    xte = jnp.asarray(xtr[:20])  # leading rows ARE train rows
+    mask = np.array([1, 0, 1, 1, 0, 1], bool)
+    for excl in (False, True):
+        dense = np.asarray(kde_scores_masked(
+            xte, jnp.asarray(xtr), jnp.asarray(mask), bandwidth=0.9,
+            exclude_self=excl,
+        ))
+        monkeypatch.setattr(od, "STREAM_NTR", 32)
+        monkeypatch.setattr(od, "_STREAM_BLOCK", 32)
+        stream = np.asarray(kde_scores_masked(
+            xte, jnp.asarray(xtr), jnp.asarray(mask), bandwidth=0.9,
+            exclude_self=excl,
+        ))
+        monkeypatch.undo()
+        np.testing.assert_allclose(stream, dense, rtol=1e-5, atol=1e-6)
+
+
+def test_ensemble_kde_base(rng):
+    """End-to-end SubspaceEnsemble(base='kde'): outliers rank above
+    inliers, predict works, per-subspace consistency, pyod attributes."""
+    d = 10
+    xtr = rng.normal(size=(150, d)).astype(np.float32)
+    inliers = rng.normal(size=(30, d)).astype(np.float32)
+    outliers = rng.normal(size=(10, d)).astype(np.float32) + 3.5
+    xte = np.vstack([inliers, outliers])
+    subs = rng.uniform(size=(8, d)) < 0.5
+    subs[~subs.any(axis=1), 0] = True
+    proba = np.full(8, 1 / 8, np.float32)
+
+    ens = SubspaceEnsemble(
+        subs, proba, base="kde", kde_bandwidth=1.2, chunk=3
+    ).fit(xtr)
+    scores = ens.decision_function(xte)
+    assert scores[30:].mean() > scores[:30].mean()
+    labels = ens.predict(xte)
+    assert labels[30:].mean() > labels[:30].mean()
+    assert np.all(np.isfinite(ens.decision_scores_))
+
+    ens_raw = SubspaceEnsemble(
+        subs, proba, base="kde", normalize=None, kde_bandwidth=1.2
+    ).fit(xtr)
+    s = ens_raw.per_subspace_scores(xte)
+    np.testing.assert_allclose(
+        (proba[:, None] * s).sum(axis=0),
+        ens_raw.decision_function(xte),
+        rtol=1e-4,
+    )

@@ -19,7 +19,7 @@ import sys
 # parser builds without importing jax; validated against the ensemble's
 # registry in tests/test_cli.py).
 _SCORE_BASES = ("knn", "knn_mean", "lof", "iforest", "mahalanobis",
-                "loda", "copod", "hbos", "ecod")
+                "loda", "kde", "copod", "hbos", "ecod")
 
 
 def _add_common_hyperparams(p: argparse.ArgumentParser) -> None:

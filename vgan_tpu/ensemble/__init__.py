@@ -7,6 +7,7 @@ from vgan_tpu.ensemble.od import (
     copod_dim_scores,
     ecod_dim_scores,
     hbos_dim_scores,
+    kde_scores_masked,
     knn_scores_masked,
     loda_scores_masked,
     lof_scores_masked,
@@ -23,6 +24,7 @@ __all__ = [
     "hbos_dim_scores",
     "iforest_scores",
     "iforest_scores_masked",
+    "kde_scores_masked",
     "knn_scores_masked",
     "loda_scores_masked",
     "lof_scores_masked",

@@ -285,6 +285,104 @@ def mahalanobis_scores_masked(
     return jnp.sum(z * w.T, axis=-1)
 
 
+def _kde_log_kernel_sum(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array,
+    bandwidth: float, exclude_self: bool,
+) -> jax.Array:
+    """``logsumexp_j(-d2_m(test_i, train_j) / (2 h^2))`` per test row, with
+    the train axis streamed in blocks past ``STREAM_NTR`` (running
+    max + rescaled sumexp carry — the (nt, ntr) matrix never
+    materializes)."""
+    inv = 1.0 / (2.0 * bandwidth * bandwidth)
+    n_tr = x_train.shape[0]
+    if n_tr <= STREAM_NTR:
+        d2 = _masked_sq_dists(x_test, x_train, mask)
+        if exclude_self:
+            d2 = _mask_diagonal(d2)
+        return jax.scipy.special.logsumexp(-d2 * inv, axis=1)
+
+    nt = x_test.shape[0]
+    blk = _stream_block(nt)
+    nb = -(-n_tr // blk)
+    pad = nb * blk - n_tr
+    blocks = jnp.pad(x_train, ((0, pad), (0, 0))).reshape(
+        nb, blk, x_train.shape[1]
+    )
+    mask_f = mask.astype(x_test.dtype)
+    an = jnp.dot(x_test * x_test, mask_f)
+    xm = x_test * mask_f[None, :]
+    neg_inf = jnp.asarray(-jnp.inf, x_test.dtype)
+
+    def body(carry, inp):
+        m_run, s_run = carry  # running max and rescaled sumexp, (nt,)
+        xb, b_idx = inp
+        bn = jnp.dot(xb * xb, mask_f)
+        cross = jnp.dot(xm, xb.T, preferred_element_type=x_test.dtype)
+        d2 = jnp.maximum(an[:, None] + bn[None, :] - 2.0 * cross, 0.0)
+        cols = b_idx * blk + jax.lax.broadcasted_iota(
+            jnp.int32, d2.shape, 1
+        )
+        logk = jnp.where(cols < n_tr, -d2 * inv, neg_inf)
+        if exclude_self:
+            rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+            logk = jnp.where(rows == cols, neg_inf, logk)
+        m_blk = jnp.max(logk, axis=1)
+        m_new = jnp.maximum(m_run, m_blk)
+        # rescale both the carry and the block to the new max; exp(-inf
+        # - -inf) cannot occur: m_new >= m_run > -inf after block 0
+        s_blk = jnp.sum(jnp.exp(logk - m_new[:, None]), axis=1)
+        s_new = s_run * jnp.exp(m_run - m_new) + s_blk
+        return (m_new, s_new), None
+
+    init = (
+        jnp.full((nt,), -jnp.inf, x_test.dtype),
+        jnp.zeros((nt,), x_test.dtype),
+    )
+    (m_run, s_run), _ = jax.lax.scan(
+        body, init, (blocks, jnp.arange(nb, dtype=jnp.int32))
+    )
+    return m_run + jnp.log(s_run)
+
+
+def kde_scores_masked(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 0,
+    *, bandwidth: float = 1.0, exclude_self: bool = False,
+) -> jax.Array:
+    """Negative Gaussian-KDE log-density in the masked subspace (pyod
+    pyod.models.kde / sklearn KernelDensity semantics — the probabilistic
+    density base family; reference capability via the pyod pin at
+    requirements.txt:58).
+
+    ``-log p(x)`` with ``p(x) = mean_j N(x; train_j, h^2 I)`` restricted to
+    the masked dims: ``-(logsumexp_j(-d2_m/(2h^2)) - log n
+    - (d_sub/2) log(2 pi h^2))``. The pairwise term rides the same masked
+    squared-distance MXU matmul as the neighbor bases, streamed in train
+    blocks past ``STREAM_NTR`` (running-max logsumexp carry).
+    ``exclude_self`` drops the positional (i, i) pair and divides by
+    ``n - 1``. For a full mask this equals
+    ``-sklearn.neighbors.KernelDensity(bandwidth=h).score_samples``
+    exactly. ``k`` is ignored (signature parity)."""
+    del k
+    mask_f = mask.astype(x_train.dtype)
+    n_tr = x_train.shape[0]
+    d_sub = jnp.sum(mask_f)
+    ll = _kde_log_kernel_sum(x_test, x_train, mask, bandwidth, exclude_self)
+    n_eff = max(n_tr - 1, 1) if exclude_self else n_tr
+    log_norm = jnp.log(jnp.asarray(float(n_eff), x_train.dtype)) + (
+        0.5 * d_sub * jnp.log(2.0 * jnp.pi * bandwidth * bandwidth)
+    )
+    return -(ll - log_norm)
+
+
+@functools.lru_cache(maxsize=None)
+def _kde_scorer(bandwidth: float, exclude_self: bool):
+    """Memoized partial (one hashable static per config; see
+    :func:`_loda_scorer`)."""
+    return functools.partial(
+        kde_scores_masked, bandwidth=bandwidth, exclude_self=exclude_self,
+    )
+
+
 def loda_scores_masked(
     x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 0,
     *, n_projections: int = 100, n_bins: int = 10, seed: int = 0,
@@ -660,19 +758,23 @@ _BASE_SCORERS_EXCL = {
 
 # Bases whose scorer carries extra hyperparameters (resolved through a
 # memoized partial so the jitted paths still see one hashable static).
-_PARAM_BASES = ("loda",)
+_PARAM_BASES = ("loda", "kde")
 
 
 def _scorer_and_k(
     base: str, *, k: int, n_trees: int, n_projections: int, n_bins: int,
-    projection_seed: int, exclude_self: bool = False,
+    projection_seed: int, kde_bandwidth: float = 1.0,
+    exclude_self: bool = False,
 ):
     """Resolve a base name to its (scorer, static-k) pair — the single
     dispatch point shared by the ensemble paths and the serving exporters.
     ``exclude_self`` reaches the neighbor bases only; distribution-based
-    bases (iforest/mahalanobis/loda) inherently include the point."""
+    bases (iforest/mahalanobis/loda/kde) inherently include the point, as
+    pyod's do."""
     if base == "loda":
         return _loda_scorer(n_projections, n_bins, projection_seed), 0
+    if base == "kde":
+        return _kde_scorer(float(kde_bandwidth), False), 0
     scorers = _BASE_SCORERS_EXCL if exclude_self else _BASE_SCORERS
     return scorers[base], (n_trees if base == "iforest" else k)
 
@@ -688,7 +790,8 @@ class SubspaceEnsemble(PyodSurfaceMixin):
     base:
         'knn' (k-th NN distance), 'knn_mean', 'lof', 'iforest',
         'mahalanobis' (per-subspace squared Mahalanobis distance — the
-        PCA/MCD family), 'loda' (random-projection histograms), 'copod',
+        PCA/MCD family), 'loda' (random-projection histograms), 'kde'
+        (negative Gaussian kernel-density log-likelihood), 'copod',
         'hbos', 'ecod', or a pyod-style detector instance (CPU fallback
         loop; pyod optional — any object with sklearn-style
         get_params/fit/decision_function).
@@ -716,6 +819,9 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         random-direction count and seed for base='loda' (the projection
         matrix is shared across all subspaces, masked per subspace;
         'loda' also uses ``n_bins`` for its histogram resolution).
+    kde_bandwidth:
+        Gaussian kernel width for base='kde' (sklearn KernelDensity's
+        default 1.0).
     contamination:
         expected outlier fraction; sets the ``predict`` threshold at the
         (1 - contamination) quantile of the train scores (pyod semantics).
@@ -761,6 +867,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         bucket_seed: int = 0,
         n_projections: int = 100,
         projection_seed: int = 0,
+        kde_bandwidth: float = 1.0,
     ):
         if aggregation not in ("average", "max", "aom", "moa"):
             raise ValueError(
@@ -795,6 +902,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         self.bucket_seed = bucket_seed
         self.n_projections = n_projections
         self.projection_seed = projection_seed
+        self.kde_bandwidth = kde_bandwidth
         self._x_train = None
         self._threshold = None
         self._decision_scores = None
@@ -824,8 +932,9 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         bases (knn/knn_mean/lof) — set it when the leading rows of
         ``x_test`` ARE the training rows (pyod's unsupplied-X kneighbors
         semantics; ``predict`` uses this for its train-score threshold).
-        Distribution-based bases (iforest/mahalanobis/loda/copod/hbos/
-        ecod/pyod instances) inherently include the point, as in pyod."""
+        Distribution-based bases (iforest/mahalanobis/loda/kde/copod/
+        hbos/ecod/pyod instances) inherently include the point, as in
+        pyod."""
         assert self._x_train is not None, "call fit(X_train) first"
         if exclude_self and isinstance(self.base, str) and self.base in (
             "knn", "knn_mean", "lof",
@@ -874,7 +983,8 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         scorer, k = _scorer_and_k(
             self.base, k=self.k, n_trees=self.n_trees,
             n_projections=self.n_projections, n_bins=self.n_bins,
-            projection_seed=self.projection_seed, exclude_self=exclude_self,
+            projection_seed=self.projection_seed,
+            kde_bandwidth=self.kde_bandwidth, exclude_self=exclude_self,
         )
         n_shards = self.mesh.shape["data"] if self.mesh is not None else 1
         chunk = _effective_chunk(

@@ -110,6 +110,7 @@ def _ensemble_score_fn(ensemble, max_batch: int = 4096):
             ensemble.base, k=ensemble.k, n_trees=ensemble.n_trees,
             n_projections=ensemble.n_projections, n_bins=ensemble.n_bins,
             projection_seed=ensemble.projection_seed,
+            kde_bandwidth=ensemble.kde_bandwidth,
         )
         chunk = _effective_chunk(
             ensemble.base, ensemble.chunk, max_batch,
@@ -249,6 +250,7 @@ def export_per_subspace_scorer(ensemble, path, max_batch: int = 4096) -> None:
             ensemble.base, k=ensemble.k, n_trees=ensemble.n_trees,
             n_projections=ensemble.n_projections, n_bins=ensemble.n_bins,
             projection_seed=ensemble.projection_seed,
+            kde_bandwidth=ensemble.kde_bandwidth,
         )
         chunk = _effective_chunk(
             ensemble.base, ensemble.chunk, max_batch,
