@@ -25,8 +25,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="knn",
                     choices=["knn", "knn_mean", "lof", "iforest",
-                             "mahalanobis", "loda", "copod", "hbos",
-                             "ecod"])
+                             "mahalanobis", "loda", "kde", "copod",
+                             "hbos", "ecod"])
     ap.add_argument("--aggregation", default="average",
                     choices=["average", "max", "aom", "moa"])
     ap.add_argument("--epochs", type=int, default=20)

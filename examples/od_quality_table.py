@@ -4,7 +4,7 @@ VERDICT round-2 item 8: quantify the paper's central claim (arXiv:2504.07522
 — the learned subspace ensemble dominates full-space detectors when the
 anomaly signal lives in a subspace of a high-dimensional space) as a
 mean +/- std AUC table over >= 5 seeds, across the native base-detector
-family (knn / lof / iforest / mahalanobis / loda / hbos / copod / ecod), on bundled sklearn datasets
+family (knn / lof / iforest / mahalanobis / loda / kde / hbos / copod / ecod), on bundled sklearn datasets
 (noise-augmented, the paper's regime) plus synthetic ADBench-style
 generators at d >= 100. No network access here, so the ADBench tables
 themselves cannot be reproduced; these generators follow ADBench's anomaly
@@ -31,7 +31,8 @@ from vgan_tpu.ensemble import SubspaceEnsemble
 from od_quality_eval import auc, one_class_task  # noqa: E402 (sibling example)
 
 BASES = (
-    "knn", "lof", "iforest", "mahalanobis", "loda", "hbos", "copod", "ecod",
+    "knn", "lof", "iforest", "mahalanobis", "loda", "kde", "hbos", "copod",
+    "ecod",
 )
 
 
