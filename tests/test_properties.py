@@ -89,7 +89,11 @@ def test_mmd2_biased_symmetry_and_self_zero(x, y):
 def test_masked_scorers_ignore_masked_out_dims(x, noise):
     """Perturbing ONLY masked-out dimensions never changes a masked
     scorer's output — the defining invariant of subspace projection."""
-    from vgan_tpu.ensemble import knn_scores_masked, loda_scores_masked
+    from vgan_tpu.ensemble import (
+        kde_scores_masked,
+        knn_scores_masked,
+        loda_scores_masked,
+    )
 
     mask = np.array([1, 0, 1, 0, 1, 0], bool)
     xtr = jnp.asarray(x[:20])
@@ -101,6 +105,9 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
         lambda a: knn_scores_masked(jnp.asarray(a), xtr, jnp.asarray(mask), 3),
         lambda a: loda_scores_masked(
             jnp.asarray(a), xtr, jnp.asarray(mask), n_projections=8, seed=1
+        ),
+        lambda a: kde_scores_masked(
+            jnp.asarray(a), xtr, jnp.asarray(mask), bandwidth=1.1
         ),
     ):
         np.testing.assert_allclose(
