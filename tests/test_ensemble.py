@@ -1466,3 +1466,45 @@ def test_ensemble_kde_base(rng):
         ens_raw.decision_function(xte),
         rtol=1e-4,
     )
+
+
+def test_kde_streaming_through_ensemble(rng, monkeypatch):
+    """SubspaceEnsemble(base='kde') through the streaming regime (vmapped
+    mask chunks over the train-block scan, _effective_chunk governing),
+    against a numpy logsumexp oracle — traced AFTER the monkeypatch with a
+    fresh chunk so the jit cache cannot return a dense executable."""
+    import vgan_tpu.ensemble.od as od
+
+    d = 6
+    xtr = rng.normal(size=(70, d)).astype(np.float32)
+    xte = rng.normal(size=(15, d)).astype(np.float32)
+    masks = rng.uniform(size=(7, d)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.full(7, 1 / 7)
+    h = 1.1
+
+    monkeypatch.setattr(od, "STREAM_NTR", 32)
+    monkeypatch.setattr(od, "_STREAM_BLOCK", 32)
+    assert od._effective_chunk("kde", 128, 15, 70, d) <= 128  # governed
+    ens = SubspaceEnsemble(masks, proba, base="kde", kde_bandwidth=h,
+                           chunk=5, normalize=None).fit(xtr)
+    got = ens.decision_function(xte)
+
+    per = []
+    for m in masks:
+        d2 = ((xte[:, None, m] - xtr[None, :, m]) ** 2).sum(-1)
+        ll = np.log(np.exp(-d2 / (2 * h * h)).sum(axis=1))
+        d_sub = m.sum()
+        per.append(-(ll - np.log(70) - 0.5 * d_sub * np.log(2 * np.pi * h * h)))
+    expected = (proba[:, None] * np.stack(per)).sum(axis=0)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_kde_bandwidth_validation():
+    import pytest as _pytest
+
+    masks = np.ones((2, 4), bool)
+    proba = np.full(2, 0.5, np.float32)
+    for bad in (0, -1.5):
+        with _pytest.raises(ValueError, match="kde_bandwidth"):
+            SubspaceEnsemble(masks, proba, base="kde", kde_bandwidth=bad)

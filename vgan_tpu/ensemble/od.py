@@ -93,7 +93,7 @@ def _effective_chunk(base, chunk: int, nt: int, ntr: int, d: int) -> int:
     clamp shared by the live scoring paths and the serving exporters (the
     exporters pass their ``max_batch`` bound as ``nt``; the symbolic batch
     has no concrete value at trace time)."""
-    if base in ("knn", "knn_mean", "lof") and ntr > STREAM_NTR:
+    if base in ("knn", "knn_mean", "lof", "kde") and ntr > STREAM_NTR:
         # streaming engages: bound the per-chunk (chunk, nt, block) tiles
         # (lof also streams the train x train neighbor pass)
         nt_eff = max(nt, ntr) if base == "lof" else nt
@@ -101,6 +101,40 @@ def _effective_chunk(base, chunk: int, nt: int, ntr: int, d: int) -> int:
     if base == "mahalanobis":
         return max(1, min(chunk, _MAHA_CHUNK_BUDGET // max(d * d, 1)))
     return chunk
+
+
+def _scan_masked_d2_blocks(x_test, x_train, mask, body, init):
+    """``lax.scan`` over ``_stream_block(nt)``-length train blocks: the ONE
+    place the streamed masked-distance machinery lives (padding/reshape,
+    the matmul-identity d2, and the global column indices for padding and
+    positional self-pair handling). ``body(carry, d2, cols) -> carry``
+    applies its own sentinel to padded columns (``cols >= n_train``) and,
+    if needed, positional self-pairs (``rows == cols``) — the knn merge
+    uses a big finite value, the kde logsumexp uses -inf."""
+    nt = x_test.shape[0]
+    n_tr, d = x_train.shape
+    blk = _stream_block(nt)
+    nb = -(-n_tr // blk)
+    pad = nb * blk - n_tr
+    blocks = jnp.pad(x_train, ((0, pad), (0, 0))).reshape(nb, blk, d)
+    mask_f = mask.astype(x_test.dtype)
+    an = jnp.dot(x_test * x_test, mask_f)  # (nt,)
+    xm = x_test * mask_f[None, :]
+
+    def wrapped(carry, inp):
+        xb, b_idx = inp
+        bn = jnp.dot(xb * xb, mask_f)
+        cross = jnp.dot(xm, xb.T, preferred_element_type=x_test.dtype)
+        d2 = jnp.maximum(an[:, None] + bn[None, :] - 2.0 * cross, 0.0)
+        cols = b_idx * blk + jax.lax.broadcasted_iota(
+            jnp.int32, d2.shape, 1
+        )
+        return body(carry, d2, cols), None
+
+    carry, _ = jax.lax.scan(
+        wrapped, init, (blocks, jnp.arange(nb, dtype=jnp.int32))
+    )
+    return carry
 
 
 def _masked_knn_streaming(
@@ -117,25 +151,11 @@ def _masked_knn_streaming(
     Returns ascending ``(d2_vals (nt, k), train_idx (nt, k))``.
     """
     nt = x_test.shape[0]
-    ntr, d = x_train.shape
-    blk = _stream_block(nt)
-    nb = -(-ntr // blk)
-    pad = nb * blk - ntr
+    ntr = x_train.shape[0]
     big = jnp.asarray(jnp.finfo(x_test.dtype).max / 4, x_test.dtype)
-    blocks = jnp.pad(x_train, ((0, pad), (0, 0))).reshape(nb, blk, d)
-    mask_f = mask.astype(x_test.dtype)
-    an = jnp.dot(x_test * x_test, mask_f)  # (nt,)
-    xm = x_test * mask_f[None, :]
 
-    def body(carry, inp):
+    def body(carry, d2, cols):
         vals, idxs = carry  # (nt, k) each
-        xb, b_idx = inp
-        bn = jnp.dot(xb * xb, mask_f)
-        cross = jnp.dot(xm, xb.T, preferred_element_type=x_test.dtype)
-        d2 = jnp.maximum(an[:, None] + bn[None, :] - 2.0 * cross, 0.0)
-        cols = b_idx * blk + jax.lax.broadcasted_iota(
-            jnp.int32, d2.shape, 1
-        )
         d2 = jnp.where(cols < ntr, d2, big)  # block padding is no neighbor
         if exclude_self:
             rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
@@ -146,16 +166,13 @@ def _masked_knn_streaming(
         )
         new_vals, pos = jax.lax.approx_min_k(cand_vals, k, recall_target=1.0)
         new_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
-        return (new_vals, new_idx), None
+        return (new_vals, new_idx)
 
     init = (
         jnp.full((nt, k), big, x_test.dtype),
         jnp.full((nt, k), -1, jnp.int32),
     )
-    (vals, idxs), _ = jax.lax.scan(
-        body, init, (blocks, jnp.arange(nb, dtype=jnp.int32))
-    )
-    return vals, idxs
+    return _scan_masked_d2_blocks(x_test, x_train, mask, body, init)
 
 
 def knn_scores_masked(
@@ -302,26 +319,10 @@ def _kde_log_kernel_sum(
         return jax.scipy.special.logsumexp(-d2 * inv, axis=1)
 
     nt = x_test.shape[0]
-    blk = _stream_block(nt)
-    nb = -(-n_tr // blk)
-    pad = nb * blk - n_tr
-    blocks = jnp.pad(x_train, ((0, pad), (0, 0))).reshape(
-        nb, blk, x_train.shape[1]
-    )
-    mask_f = mask.astype(x_test.dtype)
-    an = jnp.dot(x_test * x_test, mask_f)
-    xm = x_test * mask_f[None, :]
     neg_inf = jnp.asarray(-jnp.inf, x_test.dtype)
 
-    def body(carry, inp):
+    def body(carry, d2, cols):
         m_run, s_run = carry  # running max and rescaled sumexp, (nt,)
-        xb, b_idx = inp
-        bn = jnp.dot(xb * xb, mask_f)
-        cross = jnp.dot(xm, xb.T, preferred_element_type=x_test.dtype)
-        d2 = jnp.maximum(an[:, None] + bn[None, :] - 2.0 * cross, 0.0)
-        cols = b_idx * blk + jax.lax.broadcasted_iota(
-            jnp.int32, d2.shape, 1
-        )
         logk = jnp.where(cols < n_tr, -d2 * inv, neg_inf)
         if exclude_self:
             rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
@@ -329,18 +330,18 @@ def _kde_log_kernel_sum(
         m_blk = jnp.max(logk, axis=1)
         m_new = jnp.maximum(m_run, m_blk)
         # rescale both the carry and the block to the new max; exp(-inf
-        # - -inf) cannot occur: m_new >= m_run > -inf after block 0
+        # - -inf) cannot occur: every block holds >= 1 real column
+        # (block length >= 512 and only the LAST block is padded), so
+        # m_new > -inf from block 0 onward
         s_blk = jnp.sum(jnp.exp(logk - m_new[:, None]), axis=1)
         s_new = s_run * jnp.exp(m_run - m_new) + s_blk
-        return (m_new, s_new), None
+        return (m_new, s_new)
 
     init = (
         jnp.full((nt,), -jnp.inf, x_test.dtype),
         jnp.zeros((nt,), x_test.dtype),
     )
-    (m_run, s_run), _ = jax.lax.scan(
-        body, init, (blocks, jnp.arange(nb, dtype=jnp.int32))
-    )
+    m_run, s_run = _scan_masked_d2_blocks(x_test, x_train, mask, body, init)
     return m_run + jnp.log(s_run)
 
 
@@ -877,6 +878,11 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         if normalize not in (None, "zscore"):
             raise ValueError(
                 f"unknown normalize={normalize!r}: expected 'zscore' or None"
+            )
+        if not kde_bandwidth > 0:
+            raise ValueError(
+                f"kde_bandwidth must be positive; got {kde_bandwidth!r} "
+                "(sklearn KernelDensity convention)"
             )
         if isinstance(base, str) and base not in (
             *_BASE_SCORERS, *_DIM_BASES, *_PARAM_BASES,
