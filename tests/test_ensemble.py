@@ -1508,3 +1508,28 @@ def test_kde_bandwidth_validation():
     for bad in (0, -1.5):
         with _pytest.raises(ValueError, match="kde_bandwidth"):
             SubspaceEnsemble(masks, proba, base="kde", kde_bandwidth=bad)
+
+
+def test_heterogeneous_member_specific_kwargs(rng):
+    """Member dicts thread base-specific hyperparameters (kde_bandwidth,
+    n_projections) to their own SubspaceEnsemble without leaking to
+    siblings."""
+    from vgan_tpu.ensemble import HeterogeneousEnsemble
+
+    d = 6
+    xtr = rng.normal(size=(60, d)).astype(np.float32)
+    xte = rng.normal(size=(12, d)).astype(np.float32)
+    masks = rng.uniform(size=(4, d)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.full(4, 0.25, np.float32)
+
+    het = HeterogeneousEnsemble(
+        masks, proba,
+        members=[{"base": "kde", "kde_bandwidth": 2.5},
+                 {"base": "loda", "n_projections": 16}],
+    ).fit(xtr)
+    assert het.members[0].kde_bandwidth == 2.5
+    assert het.members[1].n_projections == 16
+    assert het.members[1].kde_bandwidth == 1.0  # default, not leaked
+    s = het.decision_function(xte)
+    assert s.shape == (12,) and np.all(np.isfinite(s))
