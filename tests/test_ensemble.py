@@ -1533,3 +1533,45 @@ def test_heterogeneous_member_specific_kwargs(rng):
     assert het.members[1].kde_bandwidth == 1.0  # default, not leaked
     s = het.decision_function(xte)
     assert s.shape == (12,) and np.all(np.isfinite(s))
+
+
+def test_heterogeneous_per_member_pools(rng):
+    """A member dict may carry its OWN subspaces/proba — e.g. a learned
+    pool combined with a feature-bagging pool — without affecting the
+    siblings or the shared default."""
+    from vgan_tpu.ensemble import HeterogeneousEnsemble, random_subspaces
+
+    d = 8
+    xtr = rng.normal(size=(80, d)).astype(np.float32)
+    xte = np.vstack([
+        rng.normal(size=(15, d)),
+        rng.normal(size=(5, d)) + 4.0,
+    ]).astype(np.float32)
+    learned = rng.uniform(size=(5, d)) < 0.5
+    learned[~learned.any(axis=1), 0] = True
+    learned_p = np.full(5, 0.2, np.float32)
+    fb_masks, fb_proba = random_subspaces(d, 12, seed=4)
+
+    het = HeterogeneousEnsemble(
+        learned, learned_p,
+        members=[
+            {"base": "knn", "k": 5},
+            {"base": "knn", "k": 5, "subspaces": fb_masks, "proba": fb_proba},
+        ],
+    ).fit(xtr)
+    assert het.members[0].subspaces.shape == (5, d)
+    assert het.members[1].subspaces.shape == (12, d)
+    s = het.decision_function(xte)
+    assert s[15:].mean() > s[:15].mean()
+    # exported program embeds each member's own pool
+    import tempfile
+
+    from vgan_tpu.serving import export_hetero_scorer, load_ensemble_scorer
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/het_pools.bin"
+        export_hetero_scorer(het, path)
+        fn = load_ensemble_scorer(path)
+        np.testing.assert_allclose(
+            fn(xte), het.decision_function(xte), rtol=2e-4, atol=1e-5
+        )

@@ -74,7 +74,11 @@ class HeterogeneousEnsemble(PyodSurfaceMixin):
         sequence of kwargs dicts, one per member — each builds a
         ``SubspaceEnsemble(subspaces, proba, **shared, **member)``. E.g.
         ``[{"base": "knn", "k": 10}, {"base": "lof", "k": 20},
-        {"base": "ecod"}]``.
+        {"base": "ecod"}]``. A member dict may carry its OWN
+        ``subspaces``/``proba`` to score a different pool (suod-style —
+        e.g. a learned-pool member combined with a
+        :func:`~vgan_tpu.ensemble.od.random_subspaces` feature-bagging
+        member).
     combination:
         'average' (mean of standardized member scores), 'max'
         (suod/combo's maximization combinator), or 'select' —
@@ -115,10 +119,17 @@ class HeterogeneousEnsemble(PyodSurfaceMixin):
             )
         if not members:
             raise ValueError("members must be non-empty")
-        self.members = [
-            SubspaceEnsemble(subspaces, proba, **{**shared, **m})
-            for m in members
-        ]
+        self.members = []
+        for m in members:
+            kwargs = {**shared, **m}
+            # a member may bring its OWN pool (suod trains different
+            # detectors on different projections) — e.g. mix a learned-
+            # pool member with a random_subspaces feature-bagging member
+            m_subs = kwargs.pop("subspaces", subspaces)
+            m_proba = kwargs.pop("proba", proba)
+            self.members.append(
+                SubspaceEnsemble(m_subs, m_proba, **kwargs)
+            )
         self.combination = combination
         self.contamination = contamination
         self._threshold = None
