@@ -134,6 +134,10 @@ def build_parser() -> argparse.ArgumentParser:
     score.add_argument("--k", type=int, default=10)
     score.add_argument("--n-trees", type=int, default=100,
                        help="forest size for --base iforest")
+    score.add_argument("--kde-bandwidth", type=float, default=1.0,
+                       help="Gaussian kernel width for --base kde")
+    score.add_argument("--n-projections", type=int, default=100,
+                       help="random-direction count for --base loda")
     score.add_argument("--mesh", default=None, metavar="data=N",
                        help="shard the subspace axis over a device mesh")
     score.add_argument("--subspaces", type=int, default=500)
@@ -246,12 +250,16 @@ def main(argv=None) -> int:
                 members=[{"base": b} for b in member_bases],
                 combination=args.combination,
                 k=args.k, n_trees=args.n_trees,
+                kde_bandwidth=args.kde_bandwidth,
+                n_projections=args.n_projections,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),
             ).fit(x_train)
         else:
             ens = SubspaceEnsemble.from_model(
                 model, subspace_count=args.subspaces,
                 base=args.base, k=args.k, n_trees=args.n_trees,
+                kde_bandwidth=args.kde_bandwidth,
+                n_projections=args.n_projections,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),
             ).fit(x_train)
         scores = ens.decision_function(x_test)
