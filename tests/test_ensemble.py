@@ -1575,3 +1575,50 @@ def test_heterogeneous_per_member_pools(rng):
         np.testing.assert_allclose(
             fn(xte), het.decision_function(xte), rtol=2e-4, atol=1e-5
         )
+
+
+def test_test_chunked_scores_match_one_shot(rng):
+    """test_chunk slicing is EXACT vs one-shot scoring for every
+    normalize x aggregation combination and base family (incl. the global
+    zscore moments and the seeded bucket assignment)."""
+    d = 7
+    xtr = rng.normal(size=(80, d)).astype(np.float32)
+    xte = rng.normal(size=(33, d)).astype(np.float32)  # not a multiple of 7
+    masks = rng.uniform(size=(9, d)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = rng.random(9).astype(np.float32)
+    proba /= proba.sum()
+
+    for base, kw in (("knn", dict(k=5)), ("ecod", {}),
+                     ("kde", dict(kde_bandwidth=1.2))):
+        for normalize in ("zscore", None):
+            for agg in ("average", "max", "aom"):
+                one = SubspaceEnsemble(
+                    masks, proba, base=base, aggregation=agg,
+                    normalize=normalize, **kw,
+                ).fit(xtr).decision_function(xte)
+                chunked = SubspaceEnsemble(
+                    masks, proba, base=base, aggregation=agg,
+                    normalize=normalize, test_chunk=7, **kw,
+                ).fit(xtr).decision_function(xte)
+                np.testing.assert_allclose(
+                    chunked, one, rtol=1e-4, atol=1e-6,
+                    err_msg=f"{base}/{normalize}/{agg}",
+                )
+
+
+def test_test_chunk_validation_and_predict_bypass(rng):
+    import pytest as _pytest
+
+    masks = np.ones((2, 4), bool)
+    proba = np.full(2, 0.5, np.float32)
+    with _pytest.raises(ValueError, match="test_chunk"):
+        SubspaceEnsemble(masks, proba, test_chunk=0)
+
+    # predict (exclude_self combined batch) bypasses chunking and works
+    xtr = rng.normal(size=(30, 4)).astype(np.float32)
+    xte = rng.normal(size=(10, 4)).astype(np.float32) + 3.0
+    ens = SubspaceEnsemble(masks, proba, base="knn", k=3,
+                           test_chunk=8).fit(xtr)
+    labels = ens.predict(xte)
+    assert labels.shape == (10,)

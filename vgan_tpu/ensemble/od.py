@@ -823,6 +823,13 @@ class SubspaceEnsemble(PyodSurfaceMixin):
     kde_bandwidth:
         Gaussian kernel width for base='kde' (sklearn KernelDensity's
         default 1.0).
+    test_chunk:
+        score ``decision_function`` test sets larger than this in
+        ``test_chunk``-row slices — n_test becomes unbounded at
+        O(n_subspaces x test_chunk) device memory. Exact (global zscore
+        moments via a float64 accumulation pass); ``exclude_self`` calls
+        (``predict``'s combined batch) bypass chunking since they rely
+        on positional alignment. None (default) scores in one shot.
     contamination:
         expected outlier fraction; sets the ``predict`` threshold at the
         (1 - contamination) quantile of the train scores (pyod semantics).
@@ -869,6 +876,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         n_projections: int = 100,
         projection_seed: int = 0,
         kde_bandwidth: float = 1.0,
+        test_chunk: Optional[int] = None,
     ):
         if aggregation not in ("average", "max", "aom", "moa"):
             raise ValueError(
@@ -883,6 +891,10 @@ class SubspaceEnsemble(PyodSurfaceMixin):
             raise ValueError(
                 f"kde_bandwidth must be positive; got {kde_bandwidth!r} "
                 "(sklearn KernelDensity convention)"
+            )
+        if test_chunk is not None and test_chunk < 1:
+            raise ValueError(
+                f"test_chunk must be a positive int or None; got {test_chunk!r}"
             )
         if isinstance(base, str) and base not in (
             *_BASE_SCORERS, *_DIM_BASES, *_PARAM_BASES,
@@ -909,6 +921,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         self.n_projections = n_projections
         self.projection_seed = projection_seed
         self.kde_bandwidth = kde_bandwidth
+        self.test_chunk = test_chunk
         self._x_train = None
         self._threshold = None
         self._decision_scores = None
@@ -951,6 +964,15 @@ class SubspaceEnsemble(PyodSurfaceMixin):
                 "exclude_self=True needs k < n_train (self-pairs are "
                 "excluded, so only n_train - 1 neighbors remain)"
             )
+        if (
+            self.test_chunk is not None
+            and not exclude_self
+            and len(np.asarray(x_test)) > self.test_chunk
+        ):
+            # exclude_self relies on positional (test row i == train row i)
+            # alignment, which slicing would break — predict()'s combined
+            # batch therefore stays unchunked
+            return self._test_chunked_scores(x_test)
         if self.aggregation in ("aom", "moa"):
             s = self.per_subspace_scores(x_test, exclude_self=exclude_self)
             return _bucket_aggregate(
@@ -1147,30 +1169,79 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         aggregations ('aom'/'moa') combine; also useful for per-subspace
         analysis. Honors ``mesh`` (mask-chunk axis sharded; the output
         gathers on host). ``exclude_self`` as in ``decision_function``."""
+        s = self._raw_per_subspace(x_test, exclude_self=exclude_self)
+        if self.normalize == "zscore":
+            s = np.asarray(_zscore(jnp.asarray(s)))
+        return s
+
+    def _test_chunked_scores(self, x_test: np.ndarray) -> np.ndarray:
+        """Aggregated scores for a test set scored in ``test_chunk``-row
+        slices — n_test is unbounded at O(n_subspaces x test_chunk) device
+        memory. Exact: 'zscore' uses GLOBAL per-subspace moments (one
+        accumulation pass in float64, then a normalize+aggregate pass —
+        each subspace's statistics are over the WHOLE test set, identical
+        semantics to the one-shot path), and the bucketed aggregations
+        reuse the same seeded bucket assignment per slice."""
+        x_test = np.asarray(x_test, np.float32)
+        nt = len(x_test)
+        tc = self.test_chunk
+        slices = [slice(i, min(i + tc, nt)) for i in range(0, nt, tc)]
+        mu = sd = None
+        if self.normalize == "zscore":
+            cnt = 0
+            s1 = s2 = 0.0
+            for sl in slices:
+                s = self._raw_per_subspace(x_test[sl]).astype(np.float64)
+                s1 = s1 + s.sum(axis=1)
+                s2 = s2 + (s * s).sum(axis=1)
+                cnt += s.shape[1]
+            mu = s1 / cnt
+            sd = np.sqrt(np.maximum(s2 / cnt - mu * mu, 0.0)) + 1e-12
+        out = []
+        keep = np.asarray(self.proba) > 0
+        for sl in slices:
+            s = self._raw_per_subspace(x_test[sl])
+            if mu is not None:
+                s = (
+                    (s.astype(np.float64) - mu[:, None]) / sd[:, None]
+                ).astype(np.float32)
+            if self.aggregation in ("aom", "moa"):
+                out.append(_bucket_aggregate(
+                    s, self.proba, self.aggregation, self.n_buckets,
+                    seed=self.bucket_seed,
+                ))
+            elif self.aggregation == "max":
+                out.append(s[keep].max(axis=0))
+            else:
+                out.append((self.proba[:, None] * s).sum(axis=0))
+        return np.concatenate(out)
+
+    def _raw_per_subspace(
+        self, x_test: np.ndarray, exclude_self: bool = False
+    ) -> np.ndarray:
+        """UN-normalized (n_subspaces, nt) matrix (the raw scores under
+        ``per_subspace_scores``; the test-chunked paths normalize with
+        GLOBAL moments instead of per-call batch moments)."""
         assert self._x_train is not None, "call fit(X_train) first"
         if not isinstance(self.base, str):
-            s = self._pyod_per_subspace_raw(np.asarray(x_test))
-        elif self.base in _DIM_BASES:
+            return self._pyod_per_subspace_raw(np.asarray(x_test))
+        if self.base in _DIM_BASES:
             x_test_j = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
             masks = jnp.asarray(self.subspaces, dtype=jnp.float32)
             dim_scores = _dim_scores_jit(
                 x_test_j, self._x_train, base=self.base, n_bins=self.n_bins
             )
-            s = np.asarray(_dim_subspace_raw(dim_scores, masks))
-        else:
-            x_test_j = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
-            s = None
-            if self.base in ("knn", "knn_mean") and self.mesh is None:
-                s = self._knn_fused_per_subspace(
-                    x_test_j, exclude_self=exclude_self
-                )
-            if s is None:
-                raw = self._native_scores(x_test_j, exclude_self, reduce=False)
-                nt = x_test_j.shape[0]
-                s = np.asarray(raw).reshape(-1, nt)[: len(self.subspaces)]
-        if self.normalize == "zscore":
-            s = np.asarray(_zscore(jnp.asarray(s)))
-        return s
+            return np.asarray(_dim_subspace_raw(dim_scores, masks))
+        x_test_j = jnp.asarray(np.asarray(x_test), dtype=jnp.float32)
+        if self.base in ("knn", "knn_mean") and self.mesh is None:
+            s = self._knn_fused_per_subspace(
+                x_test_j, exclude_self=exclude_self
+            )
+            if s is not None:
+                return s
+        raw = self._native_scores(x_test_j, exclude_self, reduce=False)
+        nt = x_test_j.shape[0]
+        return np.asarray(raw).reshape(-1, nt)[: len(self.subspaces)]
 
     def _knn_fused_per_subspace(
         self, x_test, force: bool = False, exclude_self: bool = False
