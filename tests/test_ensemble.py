@@ -1622,3 +1622,27 @@ def test_test_chunk_validation_and_predict_bypass(rng):
                            test_chunk=8).fit(xtr)
     labels = ens.predict(xte)
     assert labels.shape == (10,)
+
+
+def test_heterogeneous_test_chunk_threads_to_members(rng):
+    """shared test_chunk reaches every member; chunked hetero scoring
+    matches the unchunked combination exactly."""
+    from vgan_tpu.ensemble import HeterogeneousEnsemble
+
+    d = 6
+    xtr = rng.normal(size=(50, d)).astype(np.float32)
+    xte = rng.normal(size=(23, d)).astype(np.float32)
+    masks = rng.uniform(size=(5, d)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.full(5, 0.2, np.float32)
+    members = [{"base": "knn", "k": 4}, {"base": "ecod"}]
+
+    one = HeterogeneousEnsemble(masks, proba, members=members).fit(xtr)
+    chunked = HeterogeneousEnsemble(
+        masks, proba, members=members, test_chunk=7
+    ).fit(xtr)
+    assert all(m.test_chunk == 7 for m in chunked.members)
+    np.testing.assert_allclose(
+        chunked.decision_function(xte), one.decision_function(xte),
+        rtol=1e-4, atol=1e-6,
+    )
