@@ -1646,3 +1646,73 @@ def test_heterogeneous_test_chunk_threads_to_members(rng):
         chunked.decision_function(xte), one.decision_function(xte),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_pool_length_and_test_chunk_validation():
+    """Mismatched subspaces/proba lengths and non-int test_chunk raise
+    loudly (silent mis-weighting after chunk padding otherwise)."""
+    masks = np.ones((3, 4), bool)
+    with pytest.raises(ValueError, match="disagree"):
+        SubspaceEnsemble(masks, np.full(2, 0.5, np.float32))
+    with pytest.raises(ValueError, match="test_chunk"):
+        SubspaceEnsemble(masks, np.full(3, 1 / 3, np.float32), test_chunk=7.5)
+
+    from vgan_tpu.ensemble import HeterogeneousEnsemble
+
+    with pytest.raises(ValueError, match="BOTH"):
+        HeterogeneousEnsemble(
+            masks, np.full(3, 1 / 3, np.float32),
+            members=[{"base": "knn", "subspaces": np.ones((5, 4), bool)}],
+        )
+
+
+def test_test_chunk_applies_to_nonneighbor_exclude_self(rng, monkeypatch):
+    """decision_scores_ (exclude_self=True through the mixin) must STILL
+    chunk for non-neighbor bases — exclude_self is a no-op there and the
+    memory bound is the point of test_chunk."""
+    import vgan_tpu.ensemble.od as od
+
+    d = 5
+    xtr = rng.normal(size=(33, d)).astype(np.float32)
+    masks = rng.uniform(size=(4, d)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.full(4, 0.25, np.float32)
+
+    calls = {"n": 0}
+    orig = SubspaceEnsemble._raw_per_subspace
+
+    def counting(self, x, exclude_self=False):
+        calls["n"] += 1
+        return orig(self, x, exclude_self=exclude_self)
+
+    monkeypatch.setattr(SubspaceEnsemble, "_raw_per_subspace", counting)
+    ens = SubspaceEnsemble(masks, proba, base="ecod", test_chunk=7).fit(xtr)
+    s = ens.decision_scores_  # 33 rows -> 5 slices through the chunked path
+    assert s.shape == (33,)
+    assert calls["n"] >= 5  # sliced, not one-shot
+
+    # agreement with the unchunked scores
+    one = SubspaceEnsemble(masks, proba, base="ecod").fit(xtr)
+    np.testing.assert_allclose(s, one.decision_scores_, rtol=1e-4, atol=1e-6)
+
+
+def test_test_chunk_recompute_path_exact(rng, monkeypatch):
+    """With the host cache budget forced to zero, native bases recompute
+    the slices — still exact vs one-shot."""
+    import vgan_tpu.ensemble.od as od
+
+    d = 6
+    xtr = rng.normal(size=(40, d)).astype(np.float32)
+    xte = rng.normal(size=(19, d)).astype(np.float32)
+    masks = rng.uniform(size=(5, d)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.full(5, 0.2, np.float32)
+
+    monkeypatch.setattr(od, "_TEST_CHUNK_CACHE_ELEMS", 1)
+    chunked = SubspaceEnsemble(
+        masks, proba, base="knn", k=4, test_chunk=6
+    ).fit(xtr).decision_function(xte)
+    one = SubspaceEnsemble(
+        masks, proba, base="knn", k=4
+    ).fit(xtr).decision_function(xte)
+    np.testing.assert_allclose(chunked, one, rtol=1e-4, atol=1e-6)

@@ -124,7 +124,14 @@ class HeterogeneousEnsemble(PyodSurfaceMixin):
             kwargs = {**shared, **m}
             # a member may bring its OWN pool (suod trains different
             # detectors on different projections) — e.g. mix a learned-
-            # pool member with a random_subspaces feature-bagging member
+            # pool member with a random_subspaces feature-bagging member.
+            # Pools come as a PAIR: one without the other would silently
+            # pair masks with the shared pool's probabilities.
+            if ("subspaces" in kwargs) != ("proba" in kwargs):
+                raise ValueError(
+                    "a member overriding the pool must carry BOTH "
+                    f"'subspaces' and 'proba'; got only one in {m!r}"
+                )
             m_subs = kwargs.pop("subspaces", subspaces)
             m_proba = kwargs.pop("proba", proba)
             self.members.append(

@@ -87,6 +87,11 @@ def _stream_chunk(chunk: int, nt: int, blk: int) -> int:
 # in-flight mask; bound chunk x d^2 elements (2^26 = 256 MB of f32).
 _MAHA_CHUNK_BUDGET = 2**26
 
+# test_chunk zscore: cache the moments pass's raw (n_subspaces, nt) scores
+# on host (avoiding a second scoring pass) up to this many elements (2^28
+# = 1 GB of f32); past it, native bases recompute instead.
+_TEST_CHUNK_CACHE_ELEMS = 2**28
+
 
 def _effective_chunk(base, chunk: int, nt: int, ntr: int, d: int) -> int:
     """Per-base memory governor for the vmapped-mask chunk — the single
@@ -892,7 +897,11 @@ class SubspaceEnsemble(PyodSurfaceMixin):
                 f"kde_bandwidth must be positive; got {kde_bandwidth!r} "
                 "(sklearn KernelDensity convention)"
             )
-        if test_chunk is not None and test_chunk < 1:
+        if test_chunk is not None and (
+            not isinstance(test_chunk, (int, np.integer))
+            or isinstance(test_chunk, bool)
+            or test_chunk < 1
+        ):
             raise ValueError(
                 f"test_chunk must be a positive int or None; got {test_chunk!r}"
             )
@@ -906,6 +915,12 @@ class SubspaceEnsemble(PyodSurfaceMixin):
             )
         self.subspaces = np.asarray(subspaces, dtype=bool)
         proba = np.asarray(proba, dtype=np.float32)
+        if len(proba) != len(self.subspaces):
+            raise ValueError(
+                f"subspaces and proba disagree: {len(self.subspaces)} masks "
+                f"vs {len(proba)} probabilities (a mismatched pool would be "
+                "silently mis-weighted after chunk padding)"
+            )
         self.proba = proba / proba.sum()
         self.base = base
         self.k = k
@@ -964,14 +979,20 @@ class SubspaceEnsemble(PyodSurfaceMixin):
                 "exclude_self=True needs k < n_train (self-pairs are "
                 "excluded, so only n_train - 1 neighbors remain)"
             )
+        neighbor_excl = exclude_self and isinstance(self.base, str) and (
+            self.base in ("knn", "knn_mean", "lof")
+        )
         if (
             self.test_chunk is not None
-            and not exclude_self
+            and not neighbor_excl
             and len(np.asarray(x_test)) > self.test_chunk
         ):
             # exclude_self relies on positional (test row i == train row i)
-            # alignment, which slicing would break — predict()'s combined
-            # batch therefore stays unchunked
+            # alignment, which slicing would break — but it only reaches
+            # the neighbor bases, so only THOSE bypass chunking (predict's
+            # combined batch); for every other base an exclude_self=True
+            # call (e.g. the decision_scores_ mixin) is a no-op and must
+            # still honor the memory bound
             return self._test_chunked_scores(x_test)
         if self.aggregation in ("aom", "moa"):
             s = self.per_subspace_scores(x_test, exclude_self=exclude_self)
@@ -1187,20 +1208,34 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         tc = self.test_chunk
         slices = [slice(i, min(i + tc, nt)) for i in range(0, nt, tc)]
         mu = sd = None
+        raw_cache = None
         if self.normalize == "zscore":
+            # cache the moments pass's raw slices on HOST when affordable
+            # so the normalize+aggregate pass doesn't re-score (2x chip
+            # work — and for pyod detector INSTANCES a re-score would
+            # REFIT stochastic detectors, mis-normalizing pass 2 with
+            # pass 1's moments; instances therefore always cache)
+            fits_host = len(self.subspaces) * nt <= _TEST_CHUNK_CACHE_ELEMS
+            if fits_host or not isinstance(self.base, str):
+                raw_cache = []
             cnt = 0
             s1 = s2 = 0.0
             for sl in slices:
-                s = self._raw_per_subspace(x_test[sl]).astype(np.float64)
-                s1 = s1 + s.sum(axis=1)
-                s2 = s2 + (s * s).sum(axis=1)
+                s = self._raw_per_subspace(x_test[sl])
+                if raw_cache is not None:
+                    raw_cache.append(s)
+                s64 = s.astype(np.float64)
+                s1 = s1 + s64.sum(axis=1)
+                s2 = s2 + (s64 * s64).sum(axis=1)
                 cnt += s.shape[1]
             mu = s1 / cnt
             sd = np.sqrt(np.maximum(s2 / cnt - mu * mu, 0.0)) + 1e-12
         out = []
         keep = np.asarray(self.proba) > 0
-        for sl in slices:
-            s = self._raw_per_subspace(x_test[sl])
+        for i, sl in enumerate(slices):
+            s = raw_cache[i] if raw_cache is not None else (
+                self._raw_per_subspace(x_test[sl])
+            )
             if mu is not None:
                 s = (
                     (s.astype(np.float64) - mu[:, None]) / sd[:, None]
