@@ -1716,3 +1716,138 @@ def test_test_chunk_recompute_path_exact(rng, monkeypatch):
         masks, proba, base="knn", k=4
     ).fit(xtr).decision_function(xte)
     np.testing.assert_allclose(chunked, one, rtol=1e-4, atol=1e-6)
+
+
+def _abod_oracle(xte, xtr, mask, k, exclude_self=False):
+    """Literal FastABOD (Kriegel et al. 2008 / pyod method='fast'):
+    variance over neighbor pairs of inner products weighted by inverse
+    squared norms, in the masked subspace, computed in float64."""
+    import itertools
+
+    xt = xtr[:, mask].astype(np.float64)
+    xq = xte[:, mask].astype(np.float64)
+    out = []
+    for i, x in enumerate(xq):
+        d2 = ((xt - x) ** 2).sum(1)
+        if exclude_self:
+            d2[i] = np.inf
+        nbr = np.argsort(d2)[:k]
+        w = []
+        for a, b in itertools.combinations(nbr, 2):
+            va, vb = xt[a] - x, xt[b] - x
+            w.append(np.dot(va, vb) / (np.dot(va, va) * np.dot(vb, vb)))
+        out.append(-np.var(w))
+    return np.array(out)
+
+
+def test_abod_scores_match_numpy(rng):
+    """abod_scores_masked == the literal pairwise-combinations FastABOD in
+    the masked subspace (f64 oracle; f32 device accumulation tolerance),
+    and unmasked features are exactly inert."""
+    from vgan_tpu.ensemble import abod_scores_masked
+
+    xtr = rng.normal(size=(60, 7)).astype(np.float32)
+    xte = rng.normal(size=(15, 7)).astype(np.float32)
+    mask = np.array([1, 0, 1, 1, 0, 1, 0], bool)
+    k = 6
+
+    ours = np.asarray(
+        abod_scores_masked(
+            jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask), k
+        )
+    )
+    np.testing.assert_allclose(
+        ours, _abod_oracle(xte, xtr, mask, k), rtol=3e-2
+    )
+
+    xte_noisy = xte.copy()
+    xte_noisy[:, ~mask] += 50.0
+    ours_noisy = np.asarray(
+        abod_scores_masked(
+            jnp.asarray(xte_noisy), jnp.asarray(xtr), jnp.asarray(mask), k
+        )
+    )
+    np.testing.assert_allclose(ours_noisy, ours, rtol=1e-5)
+
+
+def test_abod_exclude_self_matches_numpy(rng):
+    """exclude_self drops the positional (i, i) pair: scoring the train
+    rows themselves matches the oracle with the self-distance at +inf."""
+    from vgan_tpu.ensemble import abod_scores_masked
+
+    xtr = rng.normal(size=(40, 6)).astype(np.float32)
+    mask = np.array([1, 1, 0, 1, 0, 1], bool)
+    ours = np.asarray(
+        abod_scores_masked(
+            jnp.asarray(xtr), jnp.asarray(xtr), jnp.asarray(mask), 5,
+            exclude_self=True,
+        )
+    )
+    np.testing.assert_allclose(
+        ours, _abod_oracle(xtr, xtr, mask, 5, exclude_self=True), rtol=3e-2
+    )
+
+
+def test_abod_k_guard():
+    """The angle variance is over neighbor PAIRS — k < 2 must fail loudly
+    (a silent k=1 run would return -0.0 for every point)."""
+    from vgan_tpu.ensemble import abod_scores_masked
+
+    x = jnp.zeros((4, 3))
+    with pytest.raises(ValueError, match="k >= 2"):
+        abod_scores_masked(x, x, jnp.ones(3, bool), 1)
+
+
+def test_abod_streaming_matches_dense(rng, monkeypatch):
+    """Past STREAM_NTR the abod neighbor search streams the train axis
+    (same running k-smallest merge as knn) — identical scores."""
+    import vgan_tpu.ensemble.od as od
+
+    xtr = rng.normal(size=(90, 7)).astype(np.float32)
+    xte = rng.normal(size=(25, 7)).astype(np.float32)
+    mask = jnp.asarray(np.array([1, 0, 1, 1, 0, 1, 0], bool))
+
+    monkeypatch.setattr(od, "STREAM_NTR", 40)
+    monkeypatch.setattr(od, "_STREAM_BLOCK", 32)
+    stream = od.abod_scores_masked(jnp.asarray(xte), jnp.asarray(xtr), mask, 5)
+    monkeypatch.setattr(od, "STREAM_NTR", 10**9)
+    dense = od.abod_scores_masked(jnp.asarray(xte), jnp.asarray(xtr), mask, 5)
+    np.testing.assert_allclose(
+        np.asarray(stream), np.asarray(dense), rtol=1e-5, atol=1e-9
+    )
+
+
+def test_ensemble_abod_base(rng):
+    """End-to-end SubspaceEnsemble(base='abod'): planted far outliers rank
+    above inliers under every aggregation, predict() flags them (the
+    exclude_self path), and the chunk governor keeps scores exact."""
+    xtr = rng.normal(size=(80, 6)).astype(np.float32)
+    xte_in = rng.normal(size=(20, 6)).astype(np.float32)
+    xte_out = xte_in[:5] + np.array([8.0, 8, 0, 8, 0, 8], np.float32)
+    xte = np.concatenate([xte_in, xte_out])
+    masks = rng.uniform(size=(7, 6)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.full(7, 1 / 7)
+
+    for agg in ("average", "max", "aom", "moa"):
+        ens = SubspaceEnsemble(
+            masks, proba, base="abod", k=8, aggregation=agg, chunk=3
+        ).fit(xtr)
+        s = ens.decision_function(xte)
+        assert s[20:].min() > np.median(s[:20]), agg
+
+    ens = SubspaceEnsemble(
+        masks, proba, base="abod", k=8, contamination=0.2
+    ).fit(xtr)
+    labels = ens.predict(xte)
+    assert labels[20:].all()
+
+    # per-mask chunk=1 vs one chunk: identical raw per-subspace scores
+    a = SubspaceEnsemble(masks, proba, base="abod", k=8, chunk=1,
+                         normalize=None).fit(xtr)
+    b = SubspaceEnsemble(masks, proba, base="abod", k=8, chunk=64,
+                         normalize=None).fit(xtr)
+    np.testing.assert_allclose(
+        a.per_subspace_scores(xte), b.per_subspace_scores(xte),
+        rtol=1e-5, atol=1e-9,
+    )

@@ -90,6 +90,7 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
     """Perturbing ONLY masked-out dimensions never changes a masked
     scorer's output — the defining invariant of subspace projection."""
     from vgan_tpu.ensemble import (
+        abod_scores_masked,
         kde_scores_masked,
         knn_scores_masked,
         loda_scores_masked,
@@ -103,6 +104,7 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
 
     for scorer in (
         lambda a: knn_scores_masked(jnp.asarray(a), xtr, jnp.asarray(mask), 3),
+        lambda a: abod_scores_masked(jnp.asarray(a), xtr, jnp.asarray(mask), 3),
         lambda a: loda_scores_masked(
             jnp.asarray(a), xtr, jnp.asarray(mask), n_projections=8, seed=1
         ),

@@ -18,7 +18,7 @@ import sys
 # Native base scorers for `score` --base/--members (kept as a literal so the
 # parser builds without importing jax; validated against the ensemble's
 # registry in tests/test_cli.py).
-_SCORE_BASES = ("knn", "knn_mean", "lof", "iforest", "mahalanobis",
+_SCORE_BASES = ("knn", "knn_mean", "lof", "abod", "iforest", "mahalanobis",
                 "loda", "kde", "copod", "hbos", "ecod")
 
 

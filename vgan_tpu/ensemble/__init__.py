@@ -4,6 +4,7 @@ from vgan_tpu.ensemble.hetero import HeterogeneousEnsemble
 from vgan_tpu.ensemble.iforest import iforest_scores, iforest_scores_masked
 from vgan_tpu.ensemble.od import (
     SubspaceEnsemble,
+    abod_scores_masked,
     copod_dim_scores,
     ecod_dim_scores,
     hbos_dim_scores,
@@ -19,6 +20,7 @@ from vgan_tpu.ensemble.od import (
 __all__ = [
     "SubspaceEnsemble",
     "HeterogeneousEnsemble",
+    "abod_scores_masked",
     "copod_dim_scores",
     "ecod_dim_scores",
     "hbos_dim_scores",

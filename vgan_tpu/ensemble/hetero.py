@@ -21,7 +21,9 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from vgan_tpu.ensemble.od import PyodSurfaceMixin, SubspaceEnsemble
+from vgan_tpu.ensemble.od import (
+    PyodSurfaceMixin, SubspaceEnsemble, _NEIGHBOR_BASES,
+)
 
 
 def _standardize(s, xp=np):
@@ -184,9 +186,7 @@ class HeterogeneousEnsemble(PyodSurfaceMixin):
         ignore it, as in ``SubspaceEnsemble.decision_function``)."""
         rows = []
         for m in self.members:
-            neighbor = isinstance(m.base, str) and m.base in (
-                "knn", "knn_mean", "lof",
-            )
+            neighbor = isinstance(m.base, str) and m.base in _NEIGHBOR_BASES
             s = m.decision_function(
                 x_test, exclude_self=exclude_self and neighbor
             )

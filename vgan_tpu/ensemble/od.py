@@ -13,8 +13,8 @@ distances are computed with the matmul identity
 so each subspace's distance matrix is a batched MXU matmul, ``vmap`` batches
 over thousands of masks, and ``lax.map`` chunks the mask axis to bound
 memory. Base detectors implemented natively (KNN k-th-distance, KNN mean
-distance, LOF, isolation forest, Mahalanobis/PCA-family, and the
-dim-decomposable COPOD/HBOS/ECOD); a pyod adapter covers arbitrary CPU
+distance, LOF, ABOD, isolation forest, Mahalanobis/PCA-family, LODA, KDE,
+and the dim-decomposable COPOD/HBOS/ECOD); a pyod adapter covers arbitrary CPU
 detectors for parity checks when pyod is installed (it is NOT a
 dependency).
 """
@@ -87,22 +87,35 @@ def _stream_chunk(chunk: int, nt: int, blk: int) -> int:
 # in-flight mask; bound chunk x d^2 elements (2^26 = 256 MB of f32).
 _MAHA_CHUNK_BUDGET = 2**26
 
+# ABOD gathers a (nt, k, d) neighbor-difference block per in-flight mask;
+# bound chunk x nt x k x d elements (2^26 = 256 MB of f32).
+_ABOD_CHUNK_BUDGET = 2**26
+
 # test_chunk zscore: cache the moments pass's raw (n_subspaces, nt) scores
 # on host (avoiding a second scoring pass) up to this many elements (2^28
 # = 1 GB of f32); past it, native bases recompute instead.
 _TEST_CHUNK_CACHE_ELEMS = 2**28
 
 
-def _effective_chunk(base, chunk: int, nt: int, ntr: int, d: int) -> int:
+def _effective_chunk(
+    base, chunk: int, nt: int, ntr: int, d: int, k: int = 0,
+) -> int:
     """Per-base memory governor for the vmapped-mask chunk — the single
     clamp shared by the live scoring paths and the serving exporters (the
     exporters pass their ``max_batch`` bound as ``nt``; the symbolic batch
     has no concrete value at trace time)."""
-    if base in ("knn", "knn_mean", "lof", "kde") and ntr > STREAM_NTR:
+    if base in ("knn", "knn_mean", "lof", "abod", "kde") and ntr > STREAM_NTR:
         # streaming engages: bound the per-chunk (chunk, nt, block) tiles
         # (lof also streams the train x train neighbor pass)
         nt_eff = max(nt, ntr) if base == "lof" else nt
-        return _stream_chunk(chunk, nt_eff, _stream_block(nt_eff))
+        chunk = _stream_chunk(chunk, nt_eff, _stream_block(nt_eff))
+    if base == "abod":
+        # the gathered (nt, k, d) neighbor-difference block per in-flight
+        # mask is the dominant term; bound chunk x nt x k x d elements
+        if not isinstance(nt, int):  # symbolic batch dim under jax.export
+            nt = _EXPORT_NT_HINT
+        per_mask = max(nt * max(k, 2) * d, 1)
+        return max(1, min(chunk, _ABOD_CHUNK_BUDGET // per_mask))
     if base == "mahalanobis":
         return max(1, min(chunk, _MAHA_CHUNK_BUDGET // max(d * d, 1)))
     return chunk
@@ -262,6 +275,74 @@ def lof_scores_masked(
     reach_te = jnp.maximum(kdist_tr[nbr_te], knn_d_te)
     lrd_te = 1.0 / (jnp.mean(reach_te, axis=-1) + eps)
     return jnp.mean(lrd_tr[nbr_te], axis=-1) / (lrd_te + eps)
+
+
+def abod_scores_masked(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int,
+    exclude_self: bool = False,
+) -> jax.Array:
+    """Negated angle-based outlier factor in the masked subspace (FastABOD,
+    Kriegel et al. 2008; pyod.models.abod with method='fast' — the
+    angle-based family of the reference's pyod surface, requirements.txt:58).
+
+    For each test row x, the k nearest masked neighbors a_1..a_k define
+    k(k-1)/2 unordered difference pairs, and
+
+        ABOF(x) = Var_{i<j} [ <a_i - x, a_j - x>_m
+                              / (|a_i - x|_m^2 * |a_j - x|_m^2) ]
+
+    (population variance over pairs, as pyod's np.var; inner products
+    restricted to the masked dims). Inliers see neighbors all around them
+    (high angular variance), outliers see the cluster under a narrow cone
+    (low variance) — so the score is ``-ABOF`` (pyod's decision_scores_
+    sign flip: higher = more outlying).
+
+    TPU-native shape: the neighbor search rides the same masked-distance
+    MXU matmuls as the knn bases (streamed past ``STREAM_NTR``); the
+    gathered (nt, k, d) neighbor differences then yield ALL pairwise inner
+    products as ONE batched (k x d) @ (d x k) matmul per test row, whose
+    diagonal already IS the squared neighbor distances. ``exclude_self``
+    drops the positional (i, i) train pair as for the other neighbor
+    bases. Divergence vs pyod (documented): coincident points (zero
+    neighbor distance) get an eps-guarded denominator instead of a NaN.
+    """
+    if k < 2:
+        raise ValueError(
+            f"abod needs k >= 2 (the angle variance is over neighbor "
+            f"PAIRS); got k={k}"
+        )
+    eps = 1e-12
+    mask_f = mask.astype(x_train.dtype)
+    if x_train.shape[0] > STREAM_NTR:
+        d2, idx = _masked_knn_streaming(
+            x_test, x_train, mask, k, exclude_self
+        )
+    else:
+        d2_all = _masked_sq_dists(x_test, x_train, mask)
+        if exclude_self:
+            d2_all = _mask_diagonal(d2_all)
+        d2, idx = jax.lax.approx_min_k(d2_all, k, recall_target=1.0)
+    diffs = x_train[idx] * mask_f[None, None, :] - (
+        x_test * mask_f[None, :]
+    )[:, None, :]
+    dots = jnp.einsum(
+        "nkd,nld->nkl", diffs, diffs,
+        preferred_element_type=x_train.dtype,
+    )
+    # squared neighbor distances from the STABLE diagonal of `dots` (the
+    # matmul-identity d2 used for selection suffers cancellation for close
+    # neighbors — exactly the pairs whose 1/d2^2 weight dominates ABOF)
+    sq = jnp.diagonal(dots, axis1=1, axis2=2)
+    wcos = dots / (sq[:, :, None] * sq[:, None, :] + eps)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    pair = (rows < cols).astype(x_train.dtype)[None, :, :]
+    n_pairs = k * (k - 1) // 2
+    mean = jnp.sum(wcos * pair, axis=(1, 2)) / n_pairs
+    var = jnp.sum(
+        (wcos - mean[:, None, None]) ** 2 * pair, axis=(1, 2)
+    ) / n_pairs
+    return -var
 
 
 def mahalanobis_scores_masked(
@@ -742,9 +823,14 @@ _BASE_SCORERS = {
     "knn": knn_scores_masked,
     "knn_mean": mean_dist_scores_masked,
     "lof": lof_scores_masked,
+    "abod": abod_scores_masked,
     "iforest": _iforest_adapter,
     "mahalanobis": mahalanobis_scores_masked,
 }
+
+# Neighbor-based bases: exclude_self (positional self-pair drop) reaches
+# exactly these — the single tuple the guard sites and hetero share.
+_NEIGHBOR_BASES = ("knn", "knn_mean", "lof", "abod")
 
 # Dim-decomposable bases: per-dim score planes shared across ALL masks, the
 # whole ensemble reduces to masked-sum matmuls (see _dim_subspace_raw).
@@ -758,6 +844,7 @@ _BASE_SCORERS_EXCL = {
     "knn": functools.partial(knn_scores_masked, exclude_self=True),
     "knn_mean": functools.partial(mean_dist_scores_masked, exclude_self=True),
     "lof": functools.partial(lof_scores_masked, exclude_self=True),
+    "abod": functools.partial(abod_scores_masked, exclude_self=True),
     "iforest": _iforest_adapter,
     "mahalanobis": mahalanobis_scores_masked,
 }
@@ -794,7 +881,9 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         Either pass explicit masks (n_subspaces, d) + probabilities, or a
         fitted ``VGAN``/``VGAN_no_kl`` via ``from_model``.
     base:
-        'knn' (k-th NN distance), 'knn_mean', 'lof', 'iforest',
+        'knn' (k-th NN distance), 'knn_mean', 'lof', 'abod' (negated
+        angle-based outlier factor over the k nearest neighbors —
+        FastABOD), 'iforest',
         'mahalanobis' (per-subspace squared Mahalanobis distance — the
         PCA/MCD family), 'loda' (random-projection histograms), 'kde'
         (negative Gaussian kernel-density log-likelihood), 'copod',
@@ -963,7 +1052,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         """Aggregated outlier scores (higher = more outlying).
 
         ``exclude_self`` drops (i, i) distance pairs for the neighbor-based
-        bases (knn/knn_mean/lof) — set it when the leading rows of
+        bases (knn/knn_mean/lof/abod) — set it when the leading rows of
         ``x_test`` ARE the training rows (pyod's unsupplied-X kneighbors
         semantics; ``predict`` uses this for its train-score threshold).
         Distribution-based bases (iforest/mahalanobis/loda/kde/copod/
@@ -971,7 +1060,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         pyod."""
         assert self._x_train is not None, "call fit(X_train) first"
         if exclude_self and isinstance(self.base, str) and self.base in (
-            "knn", "knn_mean", "lof",
+            _NEIGHBOR_BASES
         ):
             # loud guard instead of sentinel-valued "distances": with
             # self-pairs dropped only n_train - 1 neighbors exist
@@ -980,7 +1069,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
                 "excluded, so only n_train - 1 neighbors remain)"
             )
         neighbor_excl = exclude_self and isinstance(self.base, str) and (
-            self.base in ("knn", "knn_mean", "lof")
+            self.base in _NEIGHBOR_BASES
         )
         if (
             self.test_chunk is not None
@@ -1038,7 +1127,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         n_shards = self.mesh.shape["data"] if self.mesh is not None else 1
         chunk = _effective_chunk(
             self.base, self.chunk, x_test.shape[0],
-            self._x_train.shape[0], self._x_train.shape[1],
+            self._x_train.shape[0], self._x_train.shape[1], k=self.k,
         )
         masks_np, proba_np = _chunked_masks(
             self.subspaces, self.proba, chunk, n_shards
@@ -1162,9 +1251,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         """
         x_train = np.asarray(self._x_train)
         x_test = np.asarray(x_test)
-        if isinstance(self.base, str) and self.base in (
-            "knn", "knn_mean", "lof",
-        ):
+        if isinstance(self.base, str) and self.base in _NEIGHBOR_BASES:
             assert self.k < len(x_train), (
                 "predict needs k < n_train (self-pairs are excluded when "
                 "scoring the train rows)"
