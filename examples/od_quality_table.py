@@ -31,8 +31,8 @@ from vgan_tpu.ensemble import SubspaceEnsemble
 from od_quality_eval import auc, one_class_task  # noqa: E402 (sibling example)
 
 BASES = (
-    "knn", "lof", "abod", "iforest", "mahalanobis", "loda", "kde", "hbos",
-    "copod", "ecod",
+    "knn", "lof", "abod", "iforest", "mahalanobis", "cblof", "loda", "kde",
+    "hbos", "copod", "ecod",
 )
 
 
@@ -134,7 +134,7 @@ def task_splits(seed):
     return out
 
 
-def eval_seed(seed, epochs):
+def eval_seed(seed, epochs, cache, cache_path):
     """{(dataset, base): (auc_subspace, auc_full, auc_fb)} for one seed —
     the learned V-GAN pool vs the full space vs a random feature-bagging
     pool of the SAME size (the paper's learned-vs-random comparison)."""
@@ -142,35 +142,56 @@ def eval_seed(seed, epochs):
 
     results = {}
     for name, x_tr, x_te, labels in task_splits(seed):
-        model = VGAN_no_kl(
-            epochs=epochs, lr=0.007, batch_size=min(500, len(x_tr)),
-            seed=int(1000 + seed), verbose=False,
-        )
-        model.fit(x_tr)
-        model.approx_subspace_dist(500)
-        d = x_tr.shape[1]
-        full_mask = np.ones((1, d), bool)
-        # 100 members (not 500): random masks don't dedupe the way V-GAN
-        # draws collapse to ~10 unique subspaces, and bagging AUC saturates
-        # well before 100 members — this keeps the fb column tractable
-        fb_masks, fb_proba = random_subspaces(d, 100, seed=2000 + seed)
+        missing = [
+            b for b in BASES if f"{seed}|{name}|{b}" not in cache
+        ]
+        if missing:
+            model = VGAN_no_kl(
+                epochs=epochs, lr=0.007, batch_size=min(500, len(x_tr)),
+                seed=int(1000 + seed), verbose=False,
+            )
+            model.fit(x_tr)
+            model.approx_subspace_dist(500)
+            d = x_tr.shape[1]
+            full_mask = np.ones((1, d), bool)
+            # 100 members (not 500): random masks don't dedupe the way V-GAN
+            # draws collapse to ~10 unique subspaces, and bagging AUC
+            # saturates well before 100 members — keeps the fb column
+            # tractable
+            fb_masks, fb_proba = random_subspaces(d, 100, seed=2000 + seed)
+            for base in missing:
+                ens = SubspaceEnsemble(
+                    model.subspaces, model.proba, base=base, k=10
+                ).fit(x_tr)
+                a_sub = auc(ens.decision_function(x_te), labels)
+                full = SubspaceEnsemble(
+                    full_mask, np.ones(1, np.float32), base=base, k=10,
+                    normalize=None,
+                ).fit(x_tr)
+                a_full = auc(full.decision_function(x_te), labels)
+                fb = SubspaceEnsemble(
+                    fb_masks, fb_proba, base=base, k=10
+                ).fit(x_tr)
+                a_fb = auc(fb.decision_function(x_te), labels)
+                cache[f"{seed}|{name}|{base}"] = [
+                    float(a_sub), float(a_full), float(a_fb),
+                ]
+            _save_cache(cache_path, cache)
+            print(f"  seed {seed}: {name} done "
+                  f"({len(missing)} bases computed)", flush=True)
+        else:
+            print(f"  seed {seed}: {name} cached", flush=True)
         for base in BASES:
-            ens = SubspaceEnsemble(
-                model.subspaces, model.proba, base=base, k=10
-            ).fit(x_tr)
-            a_sub = auc(ens.decision_function(x_te), labels)
-            full = SubspaceEnsemble(
-                full_mask, np.ones(1, np.float32), base=base, k=10,
-                normalize=None,
-            ).fit(x_tr)
-            a_full = auc(full.decision_function(x_te), labels)
-            fb = SubspaceEnsemble(
-                fb_masks, fb_proba, base=base, k=10
-            ).fit(x_tr)
-            a_fb = auc(fb.decision_function(x_te), labels)
-            results[(name, base)] = (a_sub, a_full, a_fb)
-        print(f"  seed {seed}: {name} done", flush=True)
+            results[(name, base)] = tuple(cache[f"{seed}|{name}|{base}"])
     return results
+
+
+def _save_cache(path, cache):
+    import json
+
+    tmp = path.with_suffix(".tmp")
+    tmp.write_text(json.dumps(cache))
+    tmp.replace(path)
 
 
 def main():
@@ -179,9 +200,23 @@ def main():
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--out", default=str(Path(__file__).resolve().parent.parent
                                          / "docs" / "QUALITY.md"))
+    ap.add_argument("--cache", default=str(Path(__file__).resolve().parent
+                                           / ".quality_cache.json"),
+                    help="per-(seed, dataset, base) AUC cache — interrupted "
+                         "runs resume, and adding a base recomputes only "
+                         "the new rows (delete to force a full rerun)")
     args = ap.parse_args()
 
-    per_seed = [eval_seed(s, args.epochs) for s in range(args.seeds)]
+    import json
+
+    cache_path = Path(args.cache)
+    cache = (
+        json.loads(cache_path.read_text()) if cache_path.exists() else {}
+    )
+    per_seed = [
+        eval_seed(s, args.epochs, cache, cache_path)
+        for s in range(args.seeds)
+    ]
     keys = list(per_seed[0].keys())
 
     lines = [

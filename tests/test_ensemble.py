@@ -1851,3 +1851,162 @@ def test_ensemble_abod_base(rng):
         a.per_subspace_scores(xte), b.per_subspace_scores(xte),
         rtol=1e-5, atol=1e-9,
     )
+
+
+def _cblof_oracle(xte, xtr, mask, n_clusters, alpha, beta, iters, seed):
+    """Literal CBLOF (He, Xu & Deng 2003 / pyod use_weights=False) in f64 on
+    the masked dims, sharing only the scorer's seeded init rows: fixed-iter
+    Lloyd, pyod's alpha/beta large-cluster split over size-sorted clusters,
+    own-centroid distance for large members, nearest-LARGE-centroid
+    distance for small members."""
+    import jax
+
+    xt = (xtr * mask).astype(np.float64)
+    xq = (xte * mask).astype(np.float64)
+    n = len(xt)
+    init = np.asarray(jax.random.choice(
+        jax.random.PRNGKey(seed), n, (n_clusters,), replace=False
+    ))
+    cen = xt[init].copy()
+    for _ in range(iters):
+        d2 = ((xt[:, None, :] - cen[None, :, :]) ** 2).sum(-1)
+        lab = d2.argmin(1)
+        for c in range(n_clusters):
+            if (lab == c).any():
+                cen[c] = xt[lab == c].mean(0)
+    lab = ((xt[:, None, :] - cen[None, :, :]) ** 2).sum(-1).argmin(1)
+    sizes = np.bincount(lab, minlength=n_clusters)
+    order = np.argsort(-sizes, kind="stable")
+    ss = sizes[order]
+    alpha_idx = [i for i in range(1, n_clusters) if ss[:i].sum() >= alpha * n]
+    beta_idx = [i for i in range(1, n_clusters)
+                if ss[i - 1] >= beta * max(ss[i], 1e-9)]
+    both = sorted(set(alpha_idx) & set(beta_idx))
+    thr = (both or alpha_idx or beta_idx or [n_clusters])[0]
+    large = np.zeros(n_clusters, bool)
+    large[order[:thr]] = True
+
+    d2q = ((xq[:, None, :] - cen[None, :, :]) ** 2).sum(-1)
+    labq = d2q.argmin(1)
+    own = np.sqrt(d2q[np.arange(len(xq)), labq])
+    nearest_large = np.sqrt(np.where(large[None, :], d2q, np.inf).min(1))
+    return np.where(large[labq], own, nearest_large)
+
+
+def test_cblof_scores_match_numpy(rng):
+    """cblof_scores_masked == the literal CBLOF oracle sharing only the
+    seeded init (f64 oracle vs f32 device math), on data with a genuine
+    large/small cluster structure; unmasked features are exactly inert."""
+    from vgan_tpu.ensemble import cblof_scores_masked
+
+    a = rng.normal(size=(70, 7)) + 4
+    b = rng.normal(size=(60, 7)) - 4
+    c = rng.normal(size=(5, 7)) * 0.2 + 15
+    xtr = np.concatenate([a, b, c]).astype(np.float32)
+    xte = np.concatenate([
+        rng.normal(size=(10, 7)) + 4, rng.normal(size=(4, 7)) + 15,
+    ]).astype(np.float32)
+    mask = np.array([1, 0, 1, 1, 0, 1, 1], bool)
+
+    kw = dict(n_clusters=4, alpha=0.9, beta=5.0, kmeans_iter=20,
+              cluster_seed=3)
+    ours = np.asarray(cblof_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask),
+        n_clusters=4, alpha=0.9, beta=5.0, kmeans_iter=20, cluster_seed=3,
+    ))
+    oracle = _cblof_oracle(xte, xtr, mask, kw["n_clusters"], kw["alpha"],
+                           kw["beta"], kw["kmeans_iter"], kw["cluster_seed"])
+    np.testing.assert_allclose(ours, oracle, rtol=1e-3, atol=1e-4)
+
+    xte_noisy = xte.copy()
+    xte_noisy[:, ~mask] += 50.0
+    noisy = np.asarray(cblof_scores_masked(
+        jnp.asarray(xte_noisy), jnp.asarray(xtr), jnp.asarray(mask),
+        n_clusters=4, alpha=0.9, beta=5.0, kmeans_iter=20, cluster_seed=3,
+    ))
+    np.testing.assert_allclose(noisy, ours, rtol=1e-5)
+
+
+def test_cblof_guards():
+    """n_clusters < 2 and n_clusters > n_train fail loudly at the scorer,
+    and the ensemble constructor validates alpha/beta/n_clusters."""
+    from vgan_tpu.ensemble import cblof_scores_masked
+
+    x = jnp.zeros((4, 3))
+    with pytest.raises(ValueError, match="n_clusters >= 2"):
+        cblof_scores_masked(x, x, jnp.ones(3, bool), n_clusters=1)
+    with pytest.raises(ValueError, match="n_clusters <= n_train"):
+        cblof_scores_masked(x, x, jnp.ones(3, bool), n_clusters=5)
+    masks = np.ones((2, 3), bool)
+    proba = np.full(2, 0.5)
+    with pytest.raises(ValueError, match="cluster_alpha"):
+        SubspaceEnsemble(masks, proba, base="cblof", cluster_alpha=1.5)
+    with pytest.raises(ValueError, match="cluster_beta"):
+        SubspaceEnsemble(masks, proba, base="cblof", cluster_beta=0.5)
+    with pytest.raises(ValueError, match="n_clusters >= 2"):
+        SubspaceEnsemble(masks, proba, base="cblof", n_clusters=1)
+
+
+def test_cblof_all_large_fallback(rng):
+    """When neither the alpha nor the beta rule fires (pyod raises), the
+    scorer degrades to all-clusters-large: every point scores its
+    own-centroid distance, so scores stay finite and well-ordered."""
+    from vgan_tpu.ensemble import cblof_scores_masked
+
+    # alpha=1.0 needs the cumulative sum to reach EXACTLY n (only at the
+    # last boundary when every cluster is non-empty and... with 2 equal
+    # clusters alpha fires at i=1 iff s0 >= n, impossible; beta=1e9 never
+    xtr = np.concatenate([
+        rng.normal(size=(50, 4)) + 3, rng.normal(size=(50, 4)) - 3,
+    ]).astype(np.float32)
+    s = np.asarray(cblof_scores_masked(
+        jnp.asarray(xtr), jnp.asarray(xtr), jnp.ones(4, bool),
+        n_clusters=2, alpha=1.0, beta=1e9, kmeans_iter=15, cluster_seed=0,
+    ))
+    assert np.isfinite(s).all()
+    far = np.asarray(cblof_scores_masked(
+        jnp.asarray(xtr[:1] + 40.0), jnp.asarray(xtr), jnp.ones(4, bool),
+        n_clusters=2, alpha=1.0, beta=1e9, kmeans_iter=15, cluster_seed=0,
+    ))
+    assert far[0] > s.max()
+
+
+def test_ensemble_cblof_base(rng):
+    """End-to-end SubspaceEnsemble(base='cblof'): planted far outliers rank
+    above inliers under every aggregation, predict() flags them, and the
+    chunk governor keeps per-subspace scores exact."""
+    xtr = np.concatenate([
+        rng.normal(size=(60, 6)) + 3, rng.normal(size=(60, 6)) - 3,
+    ]).astype(np.float32)
+    xte_in = (rng.normal(size=(20, 6)) + 3).astype(np.float32)
+    xte_out = xte_in[:5] + np.array([20.0, 20, 0, 20, 0, 20], np.float32)
+    xte = np.concatenate([xte_in, xte_out])
+    masks = rng.uniform(size=(7, 6)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.full(7, 1 / 7)
+
+    for agg in ("average", "max", "aom", "moa"):
+        ens = SubspaceEnsemble(
+            masks, proba, base="cblof", n_clusters=4, aggregation=agg,
+            chunk=3,
+        ).fit(xtr)
+        s = ens.decision_function(xte)
+        assert s[20:].min() > np.median(s[:20]), agg
+
+    ens = SubspaceEnsemble(
+        masks, proba, base="cblof", n_clusters=4, contamination=0.2
+    ).fit(xtr)
+    assert ens.predict(xte)[20:].all()
+
+    # chunking changes vmap batch width -> different f32 matmul rounding,
+    # which 30 Lloyd iterations amplify; with well-separated clusters no
+    # label flips occur, so scores agree to accumulated-rounding tolerance
+    # (NOT exactly, unlike the single-pass bases)
+    a = SubspaceEnsemble(masks, proba, base="cblof", n_clusters=4, chunk=1,
+                         normalize=None).fit(xtr)
+    b = SubspaceEnsemble(masks, proba, base="cblof", n_clusters=4, chunk=64,
+                         normalize=None).fit(xtr)
+    np.testing.assert_allclose(
+        a.per_subspace_scores(xte), b.per_subspace_scores(xte),
+        rtol=1e-3, atol=1e-4,
+    )

@@ -91,6 +91,7 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
     scorer's output — the defining invariant of subspace projection."""
     from vgan_tpu.ensemble import (
         abod_scores_masked,
+        cblof_scores_masked,
         kde_scores_masked,
         knn_scores_masked,
         loda_scores_masked,
@@ -105,6 +106,10 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
     for scorer in (
         lambda a: knn_scores_masked(jnp.asarray(a), xtr, jnp.asarray(mask), 3),
         lambda a: abod_scores_masked(jnp.asarray(a), xtr, jnp.asarray(mask), 3),
+        lambda a: cblof_scores_masked(
+            jnp.asarray(a), xtr, jnp.asarray(mask), n_clusters=3,
+            kmeans_iter=5,
+        ),
         lambda a: loda_scores_masked(
             jnp.asarray(a), xtr, jnp.asarray(mask), n_projections=8, seed=1
         ),

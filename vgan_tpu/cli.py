@@ -19,7 +19,7 @@ import sys
 # parser builds without importing jax; validated against the ensemble's
 # registry in tests/test_cli.py).
 _SCORE_BASES = ("knn", "knn_mean", "lof", "abod", "iforest", "mahalanobis",
-                "loda", "kde", "copod", "hbos", "ecod")
+                "cblof", "loda", "kde", "copod", "hbos", "ecod")
 
 
 def _add_common_hyperparams(p: argparse.ArgumentParser) -> None:
@@ -138,6 +138,8 @@ def build_parser() -> argparse.ArgumentParser:
                        help="Gaussian kernel width for --base kde")
     score.add_argument("--n-projections", type=int, default=100,
                        help="random-direction count for --base loda")
+    score.add_argument("--n-clusters", type=int, default=8,
+                       help="k-means cluster count for --base cblof")
     score.add_argument("--mesh", default=None, metavar="data=N",
                        help="shard the subspace axis over a device mesh")
     score.add_argument("--subspaces", type=int, default=500)
@@ -252,6 +254,7 @@ def main(argv=None) -> int:
                 k=args.k, n_trees=args.n_trees,
                 kde_bandwidth=args.kde_bandwidth,
                 n_projections=args.n_projections,
+                n_clusters=args.n_clusters,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),
             ).fit(x_train)
         else:
@@ -260,6 +263,7 @@ def main(argv=None) -> int:
                 base=args.base, k=args.k, n_trees=args.n_trees,
                 kde_bandwidth=args.kde_bandwidth,
                 n_projections=args.n_projections,
+                n_clusters=args.n_clusters,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),
             ).fit(x_train)
         scores = ens.decision_function(x_test)

@@ -5,6 +5,7 @@ from vgan_tpu.ensemble.iforest import iforest_scores, iforest_scores_masked
 from vgan_tpu.ensemble.od import (
     SubspaceEnsemble,
     abod_scores_masked,
+    cblof_scores_masked,
     copod_dim_scores,
     ecod_dim_scores,
     hbos_dim_scores,
@@ -21,6 +22,7 @@ __all__ = [
     "SubspaceEnsemble",
     "HeterogeneousEnsemble",
     "abod_scores_masked",
+    "cblof_scores_masked",
     "copod_dim_scores",
     "ecod_dim_scores",
     "hbos_dim_scores",

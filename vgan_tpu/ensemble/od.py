@@ -13,8 +13,8 @@ distances are computed with the matmul identity
 so each subspace's distance matrix is a batched MXU matmul, ``vmap`` batches
 over thousands of masks, and ``lax.map`` chunks the mask axis to bound
 memory. Base detectors implemented natively (KNN k-th-distance, KNN mean
-distance, LOF, ABOD, isolation forest, Mahalanobis/PCA-family, LODA, KDE,
-and the dim-decomposable COPOD/HBOS/ECOD); a pyod adapter covers arbitrary CPU
+distance, LOF, ABOD, isolation forest, Mahalanobis/PCA-family, CBLOF, LODA,
+KDE, and the dim-decomposable COPOD/HBOS/ECOD); a pyod adapter covers arbitrary CPU
 detectors for parity checks when pyod is installed (it is NOT a
 dependency).
 """
@@ -99,6 +99,7 @@ _TEST_CHUNK_CACHE_ELEMS = 2**28
 
 def _effective_chunk(
     base, chunk: int, nt: int, ntr: int, d: int, k: int = 0,
+    n_clusters: int = 8,
 ) -> int:
     """Per-base memory governor for the vmapped-mask chunk — the single
     clamp shared by the live scoring paths and the serving exporters (the
@@ -118,6 +119,12 @@ def _effective_chunk(
         return max(1, min(chunk, _ABOD_CHUNK_BUDGET // per_mask))
     if base == "mahalanobis":
         return max(1, min(chunk, _MAHA_CHUNK_BUDGET // max(d * d, 1)))
+    if base == "cblof":
+        # per in-flight mask: the masked (ntr, d) train copy + the (ntr,
+        # n_clusters) one-hot/assignment planes (kmeans is linear in n —
+        # no streaming needed, just bound the vmap width)
+        per_mask = max(ntr * (d + max(n_clusters, 1)), 1)
+        return max(1, min(chunk, _MAHA_CHUNK_BUDGET // per_mask))
     return chunk
 
 
@@ -386,6 +393,130 @@ def mahalanobis_scores_masked(
     chol = jnp.linalg.cholesky(cov_m)
     w = jax.scipy.linalg.cho_solve((chol, True), z.T)  # (d, nt)
     return jnp.sum(z * w.T, axis=-1)
+
+
+def cblof_scores_masked(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 0,
+    *, n_clusters: int = 8, alpha: float = 0.9, beta: float = 5.0,
+    kmeans_iter: int = 30, cluster_seed: int = 0,
+) -> jax.Array:
+    """Cluster-Based Local Outlier Factor in the masked subspace (He, Xu &
+    Deng 2003; pyod.models.cblof with use_weights=False — the clustering
+    base family of the reference's pyod surface, requirements.txt:58).
+
+    k-means (Lloyd, ``kmeans_iter`` fixed iterations, seeded train-row
+    init) clusters the masked train rows; clusters are split into large /
+    small by pyod's rule over size-sorted clusters (first boundary i where
+    the top-i sizes cover ``alpha * n`` AND the size ratio across the
+    boundary is >= ``beta``; else first alpha boundary; else first beta
+    boundary). A point in a large cluster scores its distance to its own
+    centroid; a point in a small cluster scores its distance to the
+    NEAREST LARGE centroid (masked Euclidean).
+
+    TPU-native shape: one ``lax.scan`` over Lloyd iterations, each a pair
+    of MXU matmuls (assignment via the d2 matmul identity, centroid update
+    via one-hot^T @ X) — no data-dependent loops, so ``vmap`` batches the
+    whole clustering over mask chunks; the seeded init rows are shared
+    across masks (hoisted) and masked per subspace. Divergences vs pyod
+    (documented): k-means is our fixed-iteration Lloyd with seeded row
+    init rather than sklearn's k-means++/n_init=10 (cluster assignments
+    can differ; the large/small rule and scoring on top are exact), and
+    when NEITHER rule fires pyod raises mid-fit while this scorer
+    degrades to all-clusters-large (own-centroid distance everywhere) —
+    a raise inside jit/vmap is impossible.
+
+    ``k`` is ignored (signature parity). Self-inclusion is inherent
+    (distribution-based, like iforest/mahalanobis).
+    """
+    del k
+    n_tr = x_train.shape[0]
+    if n_clusters < 2:
+        raise ValueError(
+            f"cblof needs n_clusters >= 2 (the large/small split is over "
+            f"at least two clusters); got {n_clusters}"
+        )
+    if n_clusters > n_tr:
+        raise ValueError(
+            f"cblof needs n_clusters <= n_train; got {n_clusters} clusters "
+            f"for {n_tr} train rows"
+        )
+    mask_f = mask.astype(x_train.dtype)
+    xm_tr = x_train * mask_f[None, :]
+    xm_te = x_test * mask_f[None, :]
+    init_rows = jax.random.choice(
+        jax.random.PRNGKey(cluster_seed), n_tr, (n_clusters,), replace=False
+    )
+    cen0 = xm_tr[init_rows]
+    tr_sq = jnp.sum(xm_tr * xm_tr, axis=1)
+
+    def centroid_d2(x_sq, xmat, cen):
+        c_sq = jnp.sum(cen * cen, axis=1)
+        cross = jnp.dot(xmat, cen.T, preferred_element_type=xmat.dtype)
+        return jnp.maximum(x_sq[:, None] + c_sq[None, :] - 2.0 * cross, 0.0)
+
+    def lloyd(cen, _):
+        lab = jnp.argmin(centroid_d2(tr_sq, xm_tr, cen), axis=1)
+        one = jax.nn.one_hot(lab, n_clusters, dtype=xm_tr.dtype)
+        counts = jnp.sum(one, axis=0)
+        sums = jnp.dot(one.T, xm_tr, preferred_element_type=xm_tr.dtype)
+        # empty clusters keep their previous centroid (no reseeding — the
+        # deterministic analogue of sklearn's relocation would be
+        # data-dependent control flow)
+        new = jnp.where(
+            counts[:, None] > 0,
+            sums / jnp.maximum(counts[:, None], 1.0), cen,
+        )
+        return new, None
+
+    cen, _ = jax.lax.scan(lloyd, cen0, None, length=kmeans_iter)
+    lab_tr = jnp.argmin(centroid_d2(tr_sq, xm_tr, cen), axis=1)
+    counts = jnp.sum(
+        jax.nn.one_hot(lab_tr, n_clusters, dtype=xm_tr.dtype), axis=0
+    )
+
+    # pyod's large/small boundary over size-sorted clusters: candidates
+    # i = 1..C-1, alpha rule = top-i sizes cover alpha*n, beta rule =
+    # size[i-1]/size[i] >= beta (eps floor so 0/0 boundaries never fire)
+    order = jnp.argsort(-counts)
+    sorted_sizes = counts[order]
+    alpha_ok = jnp.cumsum(sorted_sizes)[:-1] >= alpha * n_tr
+    beta_ok = sorted_sizes[:-1] >= beta * jnp.maximum(sorted_sizes[1:], 1e-9)
+
+    def first_boundary(ok):
+        return jnp.where(jnp.any(ok), jnp.argmax(ok) + 1, n_clusters)
+
+    both = alpha_ok & beta_ok
+    thr = jnp.where(
+        jnp.any(both), first_boundary(both),
+        jnp.where(
+            jnp.any(alpha_ok), first_boundary(alpha_ok),
+            first_boundary(beta_ok),
+        ),
+    )
+    large_sorted = jnp.arange(n_clusters) < thr
+    large = jnp.zeros(n_clusters, bool).at[order].set(large_sorted)
+
+    d2_te = centroid_d2(jnp.sum(xm_te * xm_te, axis=1), xm_te, cen)
+    lab_te = jnp.argmin(d2_te, axis=1)
+    own = jnp.sqrt(jnp.take_along_axis(d2_te, lab_te[:, None], axis=1)[:, 0])
+    big = jnp.asarray(jnp.finfo(x_test.dtype).max / 4, x_test.dtype)
+    nearest_large = jnp.sqrt(jnp.min(
+        jnp.where(large[None, :], d2_te, big), axis=1
+    ))
+    return jnp.where(large[lab_te], own, nearest_large)
+
+
+@functools.lru_cache(maxsize=None)
+def _cblof_scorer(
+    n_clusters: int, alpha: float, beta: float, kmeans_iter: int, seed: int,
+):
+    """Memoized partial (one hashable static per config; see
+    :func:`_loda_scorer`)."""
+    return functools.partial(
+        cblof_scores_masked,
+        n_clusters=n_clusters, alpha=alpha, beta=beta,
+        kmeans_iter=kmeans_iter, cluster_seed=seed,
+    )
 
 
 def _kde_log_kernel_sum(
@@ -851,25 +982,46 @@ _BASE_SCORERS_EXCL = {
 
 # Bases whose scorer carries extra hyperparameters (resolved through a
 # memoized partial so the jitted paths still see one hashable static).
-_PARAM_BASES = ("loda", "kde")
+_PARAM_BASES = ("loda", "kde", "cblof")
 
 
 def _scorer_and_k(
     base: str, *, k: int, n_trees: int, n_projections: int, n_bins: int,
     projection_seed: int, kde_bandwidth: float = 1.0,
+    n_clusters: int = 8, cluster_alpha: float = 0.9,
+    cluster_beta: float = 5.0, kmeans_iter: int = 30, cluster_seed: int = 0,
     exclude_self: bool = False,
 ):
     """Resolve a base name to its (scorer, static-k) pair — the single
     dispatch point shared by the ensemble paths and the serving exporters.
     ``exclude_self`` reaches the neighbor bases only; distribution-based
-    bases (iforest/mahalanobis/loda/kde) inherently include the point, as
-    pyod's do."""
+    bases (iforest/mahalanobis/loda/kde/cblof) inherently include the
+    point, as pyod's do."""
     if base == "loda":
         return _loda_scorer(n_projections, n_bins, projection_seed), 0
     if base == "kde":
         return _kde_scorer(float(kde_bandwidth), False), 0
+    if base == "cblof":
+        return _cblof_scorer(
+            int(n_clusters), float(cluster_alpha), float(cluster_beta),
+            int(kmeans_iter), int(cluster_seed),
+        ), 0
     scorers = _BASE_SCORERS_EXCL if exclude_self else _BASE_SCORERS
     return scorers[base], (n_trees if base == "iforest" else k)
+
+
+def _scorer_params(ens) -> dict:
+    """The base-scorer configuration an ensemble instance carries, as
+    :func:`_scorer_and_k` kwargs — ONE extraction point shared by the live
+    scoring paths and the serving exporters, so a new parametric base only
+    touches the dispatch, never the call sites."""
+    return dict(
+        k=ens.k, n_trees=ens.n_trees, n_projections=ens.n_projections,
+        n_bins=ens.n_bins, projection_seed=ens.projection_seed,
+        kde_bandwidth=ens.kde_bandwidth, n_clusters=ens.n_clusters,
+        cluster_alpha=ens.cluster_alpha, cluster_beta=ens.cluster_beta,
+        kmeans_iter=ens.kmeans_iter, cluster_seed=ens.cluster_seed,
+    )
 
 
 class SubspaceEnsemble(PyodSurfaceMixin):
@@ -885,7 +1037,8 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         angle-based outlier factor over the k nearest neighbors —
         FastABOD), 'iforest',
         'mahalanobis' (per-subspace squared Mahalanobis distance — the
-        PCA/MCD family), 'loda' (random-projection histograms), 'kde'
+        PCA/MCD family), 'cblof' (cluster-based: distance to the nearest
+        large k-means centroid), 'loda' (random-projection histograms), 'kde'
         (negative Gaussian kernel-density log-likelihood), 'copod',
         'hbos', 'ecod', or a pyod-style detector instance (CPU fallback
         loop; pyod optional — any object with sklearn-style
@@ -970,6 +1123,11 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         n_projections: int = 100,
         projection_seed: int = 0,
         kde_bandwidth: float = 1.0,
+        n_clusters: int = 8,
+        cluster_alpha: float = 0.9,
+        cluster_beta: float = 5.0,
+        kmeans_iter: int = 30,
+        cluster_seed: int = 0,
         test_chunk: Optional[int] = None,
     ):
         if aggregation not in ("average", "max", "aom", "moa"):
@@ -985,6 +1143,20 @@ class SubspaceEnsemble(PyodSurfaceMixin):
             raise ValueError(
                 f"kde_bandwidth must be positive; got {kde_bandwidth!r} "
                 "(sklearn KernelDensity convention)"
+            )
+        if not 0.0 < cluster_alpha <= 1.0:
+            raise ValueError(
+                f"cluster_alpha must be in (0, 1]; got {cluster_alpha!r} "
+                "(fraction of train rows the large clusters must cover)"
+            )
+        if not cluster_beta >= 1.0:
+            raise ValueError(
+                f"cluster_beta must be >= 1; got {cluster_beta!r} (size "
+                "ratio across the large/small boundary)"
+            )
+        if base == "cblof" and n_clusters < 2:
+            raise ValueError(
+                f"cblof needs n_clusters >= 2; got {n_clusters}"
             )
         if test_chunk is not None and (
             not isinstance(test_chunk, (int, np.integer))
@@ -1025,6 +1197,11 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         self.n_projections = n_projections
         self.projection_seed = projection_seed
         self.kde_bandwidth = kde_bandwidth
+        self.n_clusters = n_clusters
+        self.cluster_alpha = cluster_alpha
+        self.cluster_beta = cluster_beta
+        self.kmeans_iter = kmeans_iter
+        self.cluster_seed = cluster_seed
         self.test_chunk = test_chunk
         self._x_train = None
         self._threshold = None
@@ -1119,15 +1296,13 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         (n_chunks, chunk, nt) score blocks (padding rows included).
         """
         scorer, k = _scorer_and_k(
-            self.base, k=self.k, n_trees=self.n_trees,
-            n_projections=self.n_projections, n_bins=self.n_bins,
-            projection_seed=self.projection_seed,
-            kde_bandwidth=self.kde_bandwidth, exclude_self=exclude_self,
+            self.base, exclude_self=exclude_self, **_scorer_params(self),
         )
         n_shards = self.mesh.shape["data"] if self.mesh is not None else 1
         chunk = _effective_chunk(
             self.base, self.chunk, x_test.shape[0],
             self._x_train.shape[0], self._x_train.shape[1], k=self.k,
+            n_clusters=self.n_clusters,
         )
         masks_np, proba_np = _chunked_masks(
             self.subspaces, self.proba, chunk, n_shards

@@ -78,6 +78,7 @@ def _ensemble_score_fn(ensemble, max_batch: int = 4096):
         _effective_chunk,
         _local_chunked_scores,
         _scorer_and_k,
+        _scorer_params,
     )
 
     assert ensemble._x_train is not None, "fit the ensemble first"
@@ -107,14 +108,12 @@ def _ensemble_score_fn(ensemble, max_batch: int = 4096):
             )
     else:
         scorer, k = _scorer_and_k(
-            ensemble.base, k=ensemble.k, n_trees=ensemble.n_trees,
-            n_projections=ensemble.n_projections, n_bins=ensemble.n_bins,
-            projection_seed=ensemble.projection_seed,
-            kde_bandwidth=ensemble.kde_bandwidth,
+            ensemble.base, **_scorer_params(ensemble),
         )
         chunk = _effective_chunk(
             ensemble.base, ensemble.chunk, max_batch,
             x_train.shape[0], x_train.shape[1], k=ensemble.k,
+            n_clusters=ensemble.n_clusters,
         )
         masks_np, proba_np = _chunked_masks(
             ensemble.subspaces, ensemble.proba, chunk
@@ -221,6 +220,7 @@ def export_per_subspace_scorer(ensemble, path, max_batch: int = 4096) -> None:
         _effective_chunk,
         _per_subspace_chunked,
         _scorer_and_k,
+        _scorer_params,
         _zscore,
     )
 
@@ -247,14 +247,12 @@ def export_per_subspace_scorer(ensemble, path, max_batch: int = 4096) -> None:
             return s
     else:
         scorer, k = _scorer_and_k(
-            ensemble.base, k=ensemble.k, n_trees=ensemble.n_trees,
-            n_projections=ensemble.n_projections, n_bins=ensemble.n_bins,
-            projection_seed=ensemble.projection_seed,
-            kde_bandwidth=ensemble.kde_bandwidth,
+            ensemble.base, **_scorer_params(ensemble),
         )
         chunk = _effective_chunk(
             ensemble.base, ensemble.chunk, max_batch,
             x_train.shape[0], x_train.shape[1], k=ensemble.k,
+            n_clusters=ensemble.n_clusters,
         )
         masks_np, _ = _chunked_masks(
             ensemble.subspaces, ensemble.proba, chunk
