@@ -2010,3 +2010,142 @@ def test_ensemble_cblof_base(rng):
         a.per_subspace_scores(xte), b.per_subspace_scores(xte),
         rtol=1e-3, atol=1e-4,
     )
+
+
+def _gmm_oracle(xte, xtr, mask, n_components, iters, seed, reg=1e-6):
+    """Literal diagonal-covariance EM in f64 on the masked dims, sharing
+    only the scorer's seeded init (train-row means, masked global
+    variances, uniform weights); returns -log p(x)."""
+    import jax
+    from scipy.special import logsumexp
+
+    m = mask.astype(np.float64)
+    xt = (xtr * m).astype(np.float64)
+    xq = (xte * m).astype(np.float64)
+    n, d = xt.shape
+    d_sub = m.sum()
+    init = np.asarray(jax.random.choice(
+        jax.random.PRNGKey(seed), n, (n_components,), replace=False
+    ))
+    mu = xt[init].copy()
+    var = np.maximum(xt.var(0), reg)[None, :].repeat(n_components, 0)
+    var = var * m + (1 - m)
+    logw = np.full(n_components, -np.log(n_components))
+
+    def log_prob(x, mu, var, logw):
+        inv = m[None, :] / var
+        quad = (x ** 2) @ inv.T - 2 * x @ (mu * inv).T + (
+            (mu ** 2 * inv).sum(1)[None, :]
+        )
+        logdet = (m[None, :] * np.log(var)).sum(1)
+        return logw[None, :] - 0.5 * (
+            quad + logdet[None, :] + d_sub * np.log(2 * np.pi)
+        )
+
+    for _ in range(iters):
+        lp = log_prob(xt, mu, var, logw)
+        resp = np.exp(lp - logsumexp(lp, axis=1, keepdims=True))
+        nc = resp.sum(0) + 1e-12
+        mu = resp.T @ xt / nc[:, None]
+        ex2 = resp.T @ (xt ** 2) / nc[:, None]
+        var = np.maximum(ex2 - mu ** 2, 0.0) + reg
+        var = var * m + (1 - m)
+        logw = np.log(nc / nc.sum())
+    return -logsumexp(log_prob(xq, mu, var, logw), axis=1)
+
+
+def test_gmm_scores_match_numpy(rng):
+    """gmm_scores_masked == the literal diagonal-EM oracle sharing only
+    the seeded init (f64 oracle vs f32 device EM on well-separated
+    components), and unmasked features are exactly inert."""
+    from vgan_tpu.ensemble import gmm_scores_masked
+
+    a = rng.normal(size=(80, 7)) + 4
+    b = rng.normal(size=(70, 7)) - 4
+    xtr = np.concatenate([a, b]).astype(np.float32)
+    xte = np.concatenate([
+        rng.normal(size=(12, 7)) + 4, rng.normal(size=(4, 7)) + 12,
+    ]).astype(np.float32)
+    mask = np.array([1, 0, 1, 1, 0, 1, 1], bool)
+
+    ours = np.asarray(gmm_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask),
+        n_components=3, em_iter=20, component_seed=5,
+    ))
+    oracle = _gmm_oracle(xte, xtr, mask, 3, 20, 5)
+    np.testing.assert_allclose(ours, oracle, rtol=1e-3, atol=1e-3)
+
+    xte_noisy = xte.copy()
+    xte_noisy[:, ~mask] += 50.0
+    noisy = np.asarray(gmm_scores_masked(
+        jnp.asarray(xte_noisy), jnp.asarray(xtr), jnp.asarray(mask),
+        n_components=3, em_iter=20, component_seed=5,
+    ))
+    np.testing.assert_allclose(noisy, ours, rtol=1e-5)
+
+
+def test_gmm_single_component_matches_diag_gaussian(rng):
+    """n_components=1 collapses EM to the closed-form diagonal Gaussian:
+    scores == -log N(x; mean, diag var) of the masked train moments
+    (EM fixed point after one iteration, any seed)."""
+    from vgan_tpu.ensemble import gmm_scores_masked
+
+    xtr = rng.normal(size=(60, 5)).astype(np.float32) * np.array(
+        [1.0, 3.0, 0.5, 2.0, 1.0], np.float32
+    )
+    xte = rng.normal(size=(15, 5)).astype(np.float32)
+    mask = np.array([1, 1, 0, 1, 1], bool)
+    ours = np.asarray(gmm_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask),
+        n_components=1, em_iter=5, component_seed=0,
+    ))
+    m = mask.astype(np.float64)
+    xt = (xtr * m).astype(np.float64)
+    xq = (xte * m).astype(np.float64)
+    mu, var = xt.mean(0), np.maximum(xt.var(0), 0) + 1e-6
+    ll = -0.5 * (
+        ((xq - mu) ** 2 / var * m).sum(1)
+        + (m * np.log(var)).sum()
+        + m.sum() * np.log(2 * np.pi)
+    )
+    np.testing.assert_allclose(ours, -ll, rtol=1e-4, atol=1e-4)
+
+
+def test_gmm_guards():
+    from vgan_tpu.ensemble import gmm_scores_masked
+
+    x = jnp.zeros((4, 3))
+    with pytest.raises(ValueError, match="n_components >= 1"):
+        gmm_scores_masked(x, x, jnp.ones(3, bool), n_components=0)
+    with pytest.raises(ValueError, match="n_components <= n_train"):
+        gmm_scores_masked(x, x, jnp.ones(3, bool), n_components=5)
+    with pytest.raises(ValueError, match="n_clusters >= 1"):
+        SubspaceEnsemble(
+            np.ones((2, 3), bool), np.full(2, 0.5), base="gmm", n_clusters=0
+        )
+
+
+def test_ensemble_gmm_base(rng):
+    """End-to-end SubspaceEnsemble(base='gmm'): planted far outliers rank
+    above inliers under every aggregation and predict() flags them."""
+    xtr = np.concatenate([
+        rng.normal(size=(60, 6)) + 3, rng.normal(size=(60, 6)) - 3,
+    ]).astype(np.float32)
+    xte_in = (rng.normal(size=(20, 6)) + 3).astype(np.float32)
+    xte_out = xte_in[:5] + np.array([15.0, 15, 0, 15, 0, 15], np.float32)
+    xte = np.concatenate([xte_in, xte_out])
+    masks = rng.uniform(size=(7, 6)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.full(7, 1 / 7)
+
+    for agg in ("average", "max", "aom", "moa"):
+        ens = SubspaceEnsemble(
+            masks, proba, base="gmm", n_clusters=3, aggregation=agg, chunk=3
+        ).fit(xtr)
+        s = ens.decision_function(xte)
+        assert s[20:].min() > np.median(s[:20]), agg
+
+    ens = SubspaceEnsemble(
+        masks, proba, base="gmm", n_clusters=3, contamination=0.2
+    ).fit(xtr)
+    assert ens.predict(xte)[20:].all()

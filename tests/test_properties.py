@@ -92,6 +92,7 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
     from vgan_tpu.ensemble import (
         abod_scores_masked,
         cblof_scores_masked,
+        gmm_scores_masked,
         kde_scores_masked,
         knn_scores_masked,
         loda_scores_masked,
@@ -109,6 +110,10 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
         lambda a: cblof_scores_masked(
             jnp.asarray(a), xtr, jnp.asarray(mask), n_clusters=3,
             kmeans_iter=5,
+        ),
+        lambda a: gmm_scores_masked(
+            jnp.asarray(a), xtr, jnp.asarray(mask), n_components=2,
+            em_iter=5,
         ),
         lambda a: loda_scores_masked(
             jnp.asarray(a), xtr, jnp.asarray(mask), n_projections=8, seed=1

@@ -19,7 +19,7 @@ import sys
 # parser builds without importing jax; validated against the ensemble's
 # registry in tests/test_cli.py).
 _SCORE_BASES = ("knn", "knn_mean", "lof", "abod", "iforest", "mahalanobis",
-                "cblof", "loda", "kde", "copod", "hbos", "ecod")
+                "cblof", "gmm", "loda", "kde", "copod", "hbos", "ecod")
 
 
 def _add_common_hyperparams(p: argparse.ArgumentParser) -> None:

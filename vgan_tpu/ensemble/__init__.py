@@ -8,6 +8,7 @@ from vgan_tpu.ensemble.od import (
     cblof_scores_masked,
     copod_dim_scores,
     ecod_dim_scores,
+    gmm_scores_masked,
     hbos_dim_scores,
     kde_scores_masked,
     knn_scores_masked,
@@ -24,6 +25,7 @@ __all__ = [
     "abod_scores_masked",
     "cblof_scores_masked",
     "copod_dim_scores",
+    "gmm_scores_masked",
     "ecod_dim_scores",
     "hbos_dim_scores",
     "iforest_scores",

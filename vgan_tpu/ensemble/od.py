@@ -13,8 +13,8 @@ distances are computed with the matmul identity
 so each subspace's distance matrix is a batched MXU matmul, ``vmap`` batches
 over thousands of masks, and ``lax.map`` chunks the mask axis to bound
 memory. Base detectors implemented natively (KNN k-th-distance, KNN mean
-distance, LOF, ABOD, isolation forest, Mahalanobis/PCA-family, CBLOF, LODA,
-KDE, and the dim-decomposable COPOD/HBOS/ECOD); a pyod adapter covers arbitrary CPU
+distance, LOF, ABOD, isolation forest, Mahalanobis/PCA-family, CBLOF, GMM,
+LODA, KDE, and the dim-decomposable COPOD/HBOS/ECOD); a pyod adapter covers arbitrary CPU
 detectors for parity checks when pyod is installed (it is NOT a
 dependency).
 """
@@ -119,10 +119,11 @@ def _effective_chunk(
         return max(1, min(chunk, _ABOD_CHUNK_BUDGET // per_mask))
     if base == "mahalanobis":
         return max(1, min(chunk, _MAHA_CHUNK_BUDGET // max(d * d, 1)))
-    if base == "cblof":
+    if base in ("cblof", "gmm"):
         # per in-flight mask: the masked (ntr, d) train copy + the (ntr,
-        # n_clusters) one-hot/assignment planes (kmeans is linear in n —
-        # no streaming needed, just bound the vmap width)
+        # n_clusters) assignment/responsibility planes (both k-means and
+        # EM are linear in n — no streaming needed, just bound the vmap
+        # width)
         per_mask = max(ntr * (d + max(n_clusters, 1)), 1)
         return max(1, min(chunk, _MAHA_CHUNK_BUDGET // per_mask))
     return chunk
@@ -504,6 +505,109 @@ def cblof_scores_masked(
         jnp.where(large[None, :], d2_te, big), axis=1
     ))
     return jnp.where(large[lab_te], own, nearest_large)
+
+
+def gmm_scores_masked(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 0,
+    *, n_components: int = 4, em_iter: int = 30, component_seed: int = 0,
+    reg_covar: float = 1e-6,
+) -> jax.Array:
+    """Negative Gaussian-mixture log-likelihood in the masked subspace —
+    the probabilistic-mixture base family (pyod.models.gmm semantics:
+    ``decision_scores_ = -score_samples``; reference capability via the
+    pyod pin at requirements.txt:58).
+
+    Diagonal-covariance EM with ``em_iter`` fixed iterations and seeded
+    train-row means init (rows shared across masks so ``vmap`` hoists
+    them; per-dim variances init to the masked train variance). Every
+    E/M step is matmul-shaped: the quadratic form expands to three
+    ``(n, d) @ (d, C)`` contractions against per-component
+    ``mask/var`` vectors, and the M-step moments are
+    ``resp.T @ xm`` / ``resp.T @ xm^2`` — no data-dependent control
+    flow, so the whole EM batches over mask chunks under ``vmap``.
+
+    Divergences vs pyod/sklearn (documented): DIAGONAL covariance
+    (sklearn's default is 'full' — a d x d Cholesky per component per
+    iteration; on masked subspaces the mahalanobis base already covers
+    the full-covariance unimodal case), fixed-iteration EM with seeded
+    row init rather than k-means init + convergence checks, and
+    ``reg_covar`` floors the variances (sklearn adds it). ``k`` is
+    ignored (signature parity); self-inclusion is inherent.
+    """
+    del k
+    n_tr = x_train.shape[0]
+    if n_components < 1:
+        raise ValueError(
+            f"gmm needs n_components >= 1; got {n_components}"
+        )
+    if n_components > n_tr:
+        raise ValueError(
+            f"gmm needs n_components <= n_train; got {n_components} "
+            f"components for {n_tr} train rows"
+        )
+    mask_f = mask.astype(x_train.dtype)
+    xm_tr = x_train * mask_f[None, :]
+    xm_te = x_test * mask_f[None, :]
+    d_sub = jnp.sum(mask_f)
+    init_rows = jax.random.choice(
+        jax.random.PRNGKey(component_seed), n_tr, (n_components,),
+        replace=False,
+    )
+    mu0 = xm_tr[init_rows]  # (C, d)
+    var_tr = jnp.var(xm_tr, axis=0)
+    var0 = jnp.broadcast_to(
+        jnp.maximum(var_tr, reg_covar)[None, :], mu0.shape
+    ) * mask_f[None, :] + (1.0 - mask_f)[None, :]
+    logw0 = jnp.full(
+        (n_components,), -jnp.log(float(n_components)), x_train.dtype
+    )
+    log2pi = jnp.log(2.0 * jnp.pi).astype(x_train.dtype)
+
+    def log_prob(xmat, mu, var, logw):
+        # (n, C) component log-densities over the masked dims only:
+        # quad expands to matmuls against mask/var, mu.mask/var
+        inv = mask_f[None, :] / var  # (C, d), zero on unmasked dims
+        quad = (
+            jnp.dot(xmat * xmat, inv.T,
+                    preferred_element_type=xmat.dtype)
+            - 2.0 * jnp.dot(xmat, (mu * inv).T,
+                            preferred_element_type=xmat.dtype)
+            + jnp.sum(mu * mu * inv, axis=1)[None, :]
+        )
+        logdet = jnp.sum(mask_f[None, :] * jnp.log(var), axis=1)
+        return logw[None, :] - 0.5 * (
+            quad + logdet[None, :] + d_sub * log2pi
+        )
+
+    def em(carry, _):
+        mu, var, logw = carry
+        resp = jax.nn.softmax(log_prob(xm_tr, mu, var, logw), axis=1)
+        nc = jnp.sum(resp, axis=0) + 1e-12  # (C,)
+        new_mu = jnp.dot(
+            resp.T, xm_tr, preferred_element_type=xm_tr.dtype
+        ) / nc[:, None]
+        ex2 = jnp.dot(
+            resp.T, xm_tr * xm_tr, preferred_element_type=xm_tr.dtype
+        ) / nc[:, None]
+        new_var = jnp.maximum(ex2 - new_mu * new_mu, 0.0) + reg_covar
+        new_var = new_var * mask_f[None, :] + (1.0 - mask_f)[None, :]
+        new_logw = jnp.log(nc / jnp.sum(nc))
+        return (new_mu, new_var, new_logw), None
+
+    (mu, var, logw), _ = jax.lax.scan(
+        em, (mu0, var0, logw0), None, length=em_iter
+    )
+    return -jax.nn.logsumexp(log_prob(xm_te, mu, var, logw), axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _gmm_scorer(n_components: int, em_iter: int, seed: int):
+    """Memoized partial (one hashable static per config; see
+    :func:`_loda_scorer`)."""
+    return functools.partial(
+        gmm_scores_masked,
+        n_components=n_components, em_iter=em_iter, component_seed=seed,
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -982,7 +1086,7 @@ _BASE_SCORERS_EXCL = {
 
 # Bases whose scorer carries extra hyperparameters (resolved through a
 # memoized partial so the jitted paths still see one hashable static).
-_PARAM_BASES = ("loda", "kde", "cblof")
+_PARAM_BASES = ("loda", "kde", "cblof", "gmm")
 
 
 def _scorer_and_k(
@@ -1005,6 +1109,12 @@ def _scorer_and_k(
         return _cblof_scorer(
             int(n_clusters), float(cluster_alpha), float(cluster_beta),
             int(kmeans_iter), int(cluster_seed),
+        ), 0
+    if base == "gmm":
+        # gmm reads the cluster knobs: n_clusters = mixture components,
+        # kmeans_iter = EM iterations, cluster_seed = means init
+        return _gmm_scorer(
+            int(n_clusters), int(kmeans_iter), int(cluster_seed),
         ), 0
     scorers = _BASE_SCORERS_EXCL if exclude_self else _BASE_SCORERS
     return scorers[base], (n_trees if base == "iforest" else k)
@@ -1038,7 +1148,10 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         FastABOD), 'iforest',
         'mahalanobis' (per-subspace squared Mahalanobis distance — the
         PCA/MCD family), 'cblof' (cluster-based: distance to the nearest
-        large k-means centroid), 'loda' (random-projection histograms), 'kde'
+        large k-means centroid), 'gmm' (negative diagonal-Gaussian-mixture
+        log-likelihood; reads n_clusters/kmeans_iter/cluster_seed as its
+        components/EM-iterations/init seed), 'loda' (random-projection
+        histograms), 'kde'
         (negative Gaussian kernel-density log-likelihood), 'copod',
         'hbos', 'ecod', or a pyod-style detector instance (CPU fallback
         loop; pyod optional — any object with sklearn-style
@@ -1157,6 +1270,11 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         if base == "cblof" and n_clusters < 2:
             raise ValueError(
                 f"cblof needs n_clusters >= 2; got {n_clusters}"
+            )
+        if base == "gmm" and n_clusters < 1:
+            raise ValueError(
+                f"gmm needs n_clusters >= 1 (mixture components); "
+                f"got {n_clusters}"
             )
         if test_chunk is not None and (
             not isinstance(test_chunk, (int, np.integer))
