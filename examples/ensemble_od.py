@@ -3,7 +3,8 @@ sample the operator distribution, score test points with a vmap-batched base
 detector across all subspaces in one compiled program.
 
 Run: python examples/ensemble_od.py
-       [--base knn|knn_mean|lof|iforest|mahalanobis|loda|copod|hbos|ecod]
+       [--base knn|knn_mean|lof|abod|iforest|mahalanobis|cblof|gmm|loda|
+               kde|copod|hbos|ecod]
        [--aggregation average|max|aom|moa]
 """
 
@@ -17,16 +18,14 @@ import argparse
 import numpy as np
 
 from vgan_tpu import VGAN_no_kl
+from vgan_tpu.cli import _SCORE_BASES  # the canonical native-base list
 from vgan_tpu.data import correlated_gaussian
 from vgan_tpu.ensemble import SubspaceEnsemble
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--base", default="knn",
-                    choices=["knn", "knn_mean", "lof", "iforest",
-                             "mahalanobis", "loda", "kde", "copod",
-                             "hbos", "ecod"])
+    ap.add_argument("--base", default="knn", choices=sorted(_SCORE_BASES))
     ap.add_argument("--aggregation", default="average",
                     choices=["average", "max", "aom", "moa"])
     ap.add_argument("--epochs", type=int, default=20)

@@ -2149,3 +2149,44 @@ def test_ensemble_gmm_base(rng):
         masks, proba, base="gmm", n_clusters=3, contamination=0.2
     ).fit(xtr)
     assert ens.predict(xte)[20:].all()
+
+
+def test_kmeans_plusplus_init(rng):
+    """init='kmeans++' (D^2-weighted sequential seeding): deterministic per
+    seed, spreads the initial centroids across well-separated clusters
+    (every true cluster gets a seed — row init can miss one), and flows
+    through the ensemble + vmap path."""
+    import vgan_tpu.ensemble.od as od
+
+    centers = np.array([[0, 0], [30, 0], [0, 30], [30, 30]], np.float64)
+    xtr = np.concatenate([
+        rng.normal(size=(40, 2)) + c for c in centers
+    ]).astype(np.float32)
+    xm = jnp.asarray(xtr)
+
+    cen_a = np.asarray(od._init_centroids(xm, 4, 7, "kmeans++"))
+    cen_b = np.asarray(od._init_centroids(xm, 4, 7, "kmeans++"))
+    np.testing.assert_array_equal(cen_a, cen_b)
+
+    # each seeded centroid lands in a distinct true cluster
+    owner = np.linalg.norm(
+        cen_a[:, None, :] - centers[None, :, :], axis=-1
+    ).argmin(1)
+    assert len(set(owner.tolist())) == 4, owner
+
+    with pytest.raises(ValueError, match="cluster_init"):
+        od._init_centroids(xm, 4, 7, "bogus")
+
+    masks = np.ones((3, 2), bool)
+    proba = np.full(3, 1 / 3)
+    for base in ("cblof", "gmm"):
+        ens = SubspaceEnsemble(
+            masks, proba, base=base, n_clusters=4,
+            cluster_init="kmeans++",
+        ).fit(xtr)
+        s = ens.decision_function(np.array([[15.0, 15.0], [0.0, 0.5]],
+                                           np.float32))
+        assert s[0] > s[1], base  # the between-clusters point is stranger
+
+    with pytest.raises(ValueError, match="cluster_init"):
+        SubspaceEnsemble(masks, proba, base="cblof", cluster_init="bogus")

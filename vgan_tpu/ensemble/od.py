@@ -399,7 +399,7 @@ def mahalanobis_scores_masked(
 def cblof_scores_masked(
     x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 0,
     *, n_clusters: int = 8, alpha: float = 0.9, beta: float = 5.0,
-    kmeans_iter: int = 30, cluster_seed: int = 0,
+    kmeans_iter: int = 30, cluster_seed: int = 0, init: str = "rows",
 ) -> jax.Array:
     """Cluster-Based Local Outlier Factor in the masked subspace (He, Xu &
     Deng 2003; pyod.models.cblof with use_weights=False — the clustering
@@ -421,7 +421,8 @@ def cblof_scores_masked(
     across masks (hoisted) and masked per subspace. Divergences vs pyod
     (documented): k-means is our fixed-iteration Lloyd with seeded row
     init rather than sklearn's k-means++/n_init=10 (cluster assignments
-    can differ; the large/small rule and scoring on top are exact), and
+    can differ; the large/small rule and scoring on top are exact —
+    ``init='kmeans++'`` narrows this to single-restart D^2 seeding), and
     when NEITHER rule fires pyod raises mid-fit while this scorer
     degrades to all-clusters-large (own-centroid distance everywhere) —
     a raise inside jit/vmap is impossible.
@@ -444,10 +445,7 @@ def cblof_scores_masked(
     mask_f = mask.astype(x_train.dtype)
     xm_tr = x_train * mask_f[None, :]
     xm_te = x_test * mask_f[None, :]
-    init_rows = jax.random.choice(
-        jax.random.PRNGKey(cluster_seed), n_tr, (n_clusters,), replace=False
-    )
-    cen0 = xm_tr[init_rows]
+    cen0 = _init_centroids(xm_tr, n_clusters, cluster_seed, init)
     tr_sq = jnp.sum(xm_tr * xm_tr, axis=1)
 
     def centroid_d2(x_sq, xmat, cen):
@@ -507,10 +505,61 @@ def cblof_scores_masked(
     return jnp.where(large[lab_te], own, nearest_large)
 
 
+def _init_centroids(
+    xm: jax.Array, n_clusters: int, seed: int, method: str,
+) -> jax.Array:
+    """Seeded (C, d) centroid init shared by cblof and gmm.
+
+    'rows' picks ``n_clusters`` distinct train rows (the key is shared
+    across masks so ``vmap`` hoists the row choice; rows are masked per
+    subspace). 'kmeans++' runs the classic D^2-weighted sequential
+    seeding (Arthur & Vassilvitskii 2007 — sklearn/pyod's default
+    k-means init) as a C-step ``lax.scan``: each step computes distances
+    to the last-added centroid with one matvec, folds the running min-d2,
+    and draws the next centroid via ``jax.random.categorical`` on
+    ``log d2`` — deterministic per seed, no data-dependent control flow,
+    and under ``vmap`` each mask draws its OWN seeding because the masked
+    distances differ."""
+    n = xm.shape[0]
+    key = jax.random.PRNGKey(seed)
+    if method == "rows":
+        rows = jax.random.choice(key, n, (n_clusters,), replace=False)
+        return xm[rows]
+    if method != "kmeans++":
+        raise ValueError(
+            f"unknown cluster_init={method!r}: expected 'rows' or "
+            "'kmeans++'"
+        )
+    k0, key = jax.random.split(key)
+    first = jax.random.randint(k0, (), 0, n)
+    cen0 = jnp.zeros((n_clusters, xm.shape[1]), xm.dtype).at[0].set(
+        xm[first]
+    )
+    x_sq = jnp.sum(xm * xm, axis=1)
+
+    def step(carry, i):
+        cen, key, mind2 = carry
+        c = cen[i - 1]
+        d2 = jnp.maximum(
+            x_sq - 2.0 * jnp.dot(xm, c) + jnp.sum(c * c), 0.0
+        )
+        mind2 = jnp.minimum(mind2, d2)
+        key, kd = jax.random.split(key)
+        nxt = jax.random.categorical(kd, jnp.log(mind2 + 1e-12))
+        return (cen.at[i].set(xm[nxt]), key, mind2), None
+
+    big = jnp.asarray(jnp.finfo(xm.dtype).max / 4, xm.dtype)
+    (cen, _, _), _ = jax.lax.scan(
+        step, (cen0, key, jnp.full((n,), big, xm.dtype)),
+        jnp.arange(1, n_clusters),
+    )
+    return cen
+
+
 def gmm_scores_masked(
     x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 0,
     *, n_components: int = 4, em_iter: int = 30, component_seed: int = 0,
-    reg_covar: float = 1e-6,
+    reg_covar: float = 1e-6, init: str = "rows",
 ) -> jax.Array:
     """Negative Gaussian-mixture log-likelihood in the masked subspace —
     the probabilistic-mixture base family (pyod.models.gmm semantics:
@@ -530,7 +579,8 @@ def gmm_scores_masked(
     (sklearn's default is 'full' — a d x d Cholesky per component per
     iteration; on masked subspaces the mahalanobis base already covers
     the full-covariance unimodal case), fixed-iteration EM with seeded
-    row init rather than k-means init + convergence checks, and
+    row init rather than k-means init + convergence checks
+    (``init='kmeans++'`` gives D^2-weighted seeding instead), and
     ``reg_covar`` floors the variances (sklearn adds it). ``k`` is
     ignored (signature parity); self-inclusion is inherent.
     """
@@ -549,11 +599,7 @@ def gmm_scores_masked(
     xm_tr = x_train * mask_f[None, :]
     xm_te = x_test * mask_f[None, :]
     d_sub = jnp.sum(mask_f)
-    init_rows = jax.random.choice(
-        jax.random.PRNGKey(component_seed), n_tr, (n_components,),
-        replace=False,
-    )
-    mu0 = xm_tr[init_rows]  # (C, d)
+    mu0 = _init_centroids(xm_tr, n_components, component_seed, init)
     var_tr = jnp.var(xm_tr, axis=0)
     var0 = jnp.broadcast_to(
         jnp.maximum(var_tr, reg_covar)[None, :], mu0.shape
@@ -601,25 +647,27 @@ def gmm_scores_masked(
 
 
 @functools.lru_cache(maxsize=None)
-def _gmm_scorer(n_components: int, em_iter: int, seed: int):
+def _gmm_scorer(n_components: int, em_iter: int, seed: int, init: str):
     """Memoized partial (one hashable static per config; see
     :func:`_loda_scorer`)."""
     return functools.partial(
         gmm_scores_masked,
         n_components=n_components, em_iter=em_iter, component_seed=seed,
+        init=init,
     )
 
 
 @functools.lru_cache(maxsize=None)
 def _cblof_scorer(
     n_clusters: int, alpha: float, beta: float, kmeans_iter: int, seed: int,
+    init: str,
 ):
     """Memoized partial (one hashable static per config; see
     :func:`_loda_scorer`)."""
     return functools.partial(
         cblof_scores_masked,
         n_clusters=n_clusters, alpha=alpha, beta=beta,
-        kmeans_iter=kmeans_iter, cluster_seed=seed,
+        kmeans_iter=kmeans_iter, cluster_seed=seed, init=init,
     )
 
 
@@ -1094,7 +1142,7 @@ def _scorer_and_k(
     projection_seed: int, kde_bandwidth: float = 1.0,
     n_clusters: int = 8, cluster_alpha: float = 0.9,
     cluster_beta: float = 5.0, kmeans_iter: int = 30, cluster_seed: int = 0,
-    exclude_self: bool = False,
+    cluster_init: str = "rows", exclude_self: bool = False,
 ):
     """Resolve a base name to its (scorer, static-k) pair — the single
     dispatch point shared by the ensemble paths and the serving exporters.
@@ -1108,13 +1156,14 @@ def _scorer_and_k(
     if base == "cblof":
         return _cblof_scorer(
             int(n_clusters), float(cluster_alpha), float(cluster_beta),
-            int(kmeans_iter), int(cluster_seed),
+            int(kmeans_iter), int(cluster_seed), str(cluster_init),
         ), 0
     if base == "gmm":
         # gmm reads the cluster knobs: n_clusters = mixture components,
         # kmeans_iter = EM iterations, cluster_seed = means init
         return _gmm_scorer(
             int(n_clusters), int(kmeans_iter), int(cluster_seed),
+            str(cluster_init),
         ), 0
     scorers = _BASE_SCORERS_EXCL if exclude_self else _BASE_SCORERS
     return scorers[base], (n_trees if base == "iforest" else k)
@@ -1131,6 +1180,7 @@ def _scorer_params(ens) -> dict:
         kde_bandwidth=ens.kde_bandwidth, n_clusters=ens.n_clusters,
         cluster_alpha=ens.cluster_alpha, cluster_beta=ens.cluster_beta,
         kmeans_iter=ens.kmeans_iter, cluster_seed=ens.cluster_seed,
+        cluster_init=ens.cluster_init,
     )
 
 
@@ -1241,6 +1291,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         cluster_beta: float = 5.0,
         kmeans_iter: int = 30,
         cluster_seed: int = 0,
+        cluster_init: str = "rows",
         test_chunk: Optional[int] = None,
     ):
         if aggregation not in ("average", "max", "aom", "moa"):
@@ -1275,6 +1326,11 @@ class SubspaceEnsemble(PyodSurfaceMixin):
             raise ValueError(
                 f"gmm needs n_clusters >= 1 (mixture components); "
                 f"got {n_clusters}"
+            )
+        if cluster_init not in ("rows", "kmeans++"):
+            raise ValueError(
+                f"unknown cluster_init={cluster_init!r}: expected 'rows' "
+                "or 'kmeans++'"
             )
         if test_chunk is not None and (
             not isinstance(test_chunk, (int, np.integer))
@@ -1320,6 +1376,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         self.cluster_beta = cluster_beta
         self.kmeans_iter = kmeans_iter
         self.cluster_seed = cluster_seed
+        self.cluster_init = cluster_init
         self.test_chunk = test_chunk
         self._x_train = None
         self._threshold = None
