@@ -107,9 +107,14 @@ def _effective_chunk(
     has no concrete value at trace time)."""
     if base in ("knn", "knn_mean", "lof", "abod", "kde") and ntr > STREAM_NTR:
         # streaming engages: bound the per-chunk (chunk, nt, block) tiles
-        # (lof also streams the train x train neighbor pass)
+        # (lof also streams the train x train neighbor pass). The knn-merge
+        # bases stream _MERGE_BLOCK-capped blocks (see
+        # _masked_knn_streaming), so their tile is narrower than kde's.
         nt_eff = max(nt, ntr) if base == "lof" else nt
-        chunk = _stream_chunk(chunk, nt_eff, _stream_block(nt_eff))
+        blk = _stream_block(nt_eff)
+        if base != "kde":
+            blk = min(blk, _MERGE_BLOCK)
+        chunk = _stream_chunk(chunk, nt_eff, blk)
     if base == "abod":
         # the gathered (nt, k, d) neighbor-difference block per in-flight
         # mask is the dominant term; bound chunk x nt x k x d elements
@@ -129,17 +134,19 @@ def _effective_chunk(
     return chunk
 
 
-def _scan_masked_d2_blocks(x_test, x_train, mask, body, init):
-    """``lax.scan`` over ``_stream_block(nt)``-length train blocks: the ONE
-    place the streamed masked-distance machinery lives (padding/reshape,
-    the matmul-identity d2, and the global column indices for padding and
-    positional self-pair handling). ``body(carry, d2, cols) -> carry``
-    applies its own sentinel to padded columns (``cols >= n_train``) and,
-    if needed, positional self-pairs (``rows == cols``) — the knn merge
-    uses a big finite value, the kde logsumexp uses -inf."""
+def _scan_masked_d2_blocks(x_test, x_train, mask, body, init, blk=None):
+    """``lax.scan`` over ``blk``-length train blocks (default
+    ``_stream_block(nt)``): the ONE place the streamed masked-distance
+    machinery lives (padding/reshape, the matmul-identity d2, and the
+    global column indices for padding and positional self-pair handling).
+    ``body(carry, d2, cols) -> carry`` applies its own sentinel to padded
+    columns (``cols >= n_train``) and, if needed, positional self-pairs
+    (``rows == cols``) — the knn merge uses a big finite value, the kde
+    logsumexp uses -inf."""
     nt = x_test.shape[0]
     n_tr, d = x_train.shape
-    blk = _stream_block(nt)
+    if blk is None:
+        blk = _stream_block(nt)
     nb = -(-n_tr // blk)
     pad = nb * blk - n_tr
     blocks = jnp.pad(x_train, ((0, pad), (0, 0))).reshape(nb, blk, d)
@@ -163,24 +170,38 @@ def _scan_masked_d2_blocks(x_test, x_train, mask, body, init):
     return carry
 
 
+# Merge-bound streaming: sort-based top-k (approx_min_k, exact mode) costs
+# grow superlinearly in the candidate-row width, so the knn merge streams
+# narrower train blocks than the elementwise consumers (kde) do, and small
+# k uses k lexicographic min/mask passes instead of a sort (the same
+# extraction the fused Pallas kernel does in VMEM) — measured 5.6x on chip
+# at nt=4096, ntr=20000, k=10 (1.45 s -> 0.26 s per 25-mask chunk).
+_MERGE_BLOCK = 2048
+_KPASS_MAX_K = 32
+
+
 def _masked_knn_streaming(
     x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int,
     exclude_self: bool,
 ):
     """Exact (vals, idx) of the k smallest masked squared distances with
-    the train axis streamed in ``_stream_block(nt)``-length chunks.
+    the train axis streamed in blocks.
 
-    A ``lax.scan`` carries the running (nt, k) smallest values/indices and
-    merges each block via ``approx_min_k(recall_target=1.0)`` (exact) over
-    the concatenated candidates — the (nt, ntr) matrix never exists, so
-    n_train is unbounded at O(nt x block) memory per mask in flight.
-    Returns ascending ``(d2_vals (nt, k), train_idx (nt, k))``.
+    A ``lax.scan`` carries the running (nt, k) smallest values/indices —
+    the (nt, ntr) matrix never exists, so n_train is unbounded at
+    O(nt x block) memory per mask in flight. Each block merges into the
+    carry via k lexicographic (value, index) min/mask passes for
+    k <= ``_KPASS_MAX_K`` (exact incl. ties, deterministic smallest-index
+    order — VPU reductions, no sort) or ``approx_min_k`` in exact mode
+    above it (k passes would scan the row k times). Returns ascending
+    ``(d2_vals (nt, k), train_idx (nt, k))``.
     """
     nt = x_test.shape[0]
     ntr = x_train.shape[0]
     big = jnp.asarray(jnp.finfo(x_test.dtype).max / 4, x_test.dtype)
+    int_big = jnp.int32(2**31 - 1)
 
-    def body(carry, d2, cols):
+    def candidates(carry, d2, cols):
         vals, idxs = carry  # (nt, k) each
         d2 = jnp.where(cols < ntr, d2, big)  # block padding is no neighbor
         if exclude_self:
@@ -190,6 +211,29 @@ def _masked_knn_streaming(
         cand_idx = jnp.concatenate(
             [idxs, jnp.broadcast_to(cols, d2.shape)], axis=1
         )
+        return cand_vals, cand_idx
+
+    def body_kpass(carry, d2, cols):
+        cand_vals, cand_idx = candidates(carry, d2, cols)
+        lv = jnp.full((nt, 1), -jnp.inf, x_test.dtype)
+        li = jnp.full((nt, 1), jnp.int32(-(2**31)) + 1, jnp.int32)
+        out_v, out_i = [], []
+        for _ in range(k):
+            elig = (cand_vals > lv) | ((cand_vals == lv) & (cand_idx > li))
+            mvals = jnp.where(elig, cand_vals, big)
+            cur = jnp.min(mvals, axis=1, keepdims=True)
+            curi = jnp.min(
+                jnp.where(mvals == cur, cand_idx, int_big),
+                axis=1, keepdims=True,
+            )
+            out_v.append(cur)
+            out_i.append(curi)
+            lv, li = cur, curi
+        return (jnp.concatenate(out_v, axis=1),
+                jnp.concatenate(out_i, axis=1))
+
+    def body_sort(carry, d2, cols):
+        cand_vals, cand_idx = candidates(carry, d2, cols)
         new_vals, pos = jax.lax.approx_min_k(cand_vals, k, recall_target=1.0)
         new_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
         return (new_vals, new_idx)
@@ -198,7 +242,11 @@ def _masked_knn_streaming(
         jnp.full((nt, k), big, x_test.dtype),
         jnp.full((nt, k), -1, jnp.int32),
     )
-    return _scan_masked_d2_blocks(x_test, x_train, mask, body, init)
+    return _scan_masked_d2_blocks(
+        x_test, x_train, mask,
+        body_kpass if k <= _KPASS_MAX_K else body_sort, init,
+        blk=min(_stream_block(nt), _MERGE_BLOCK),
+    )
 
 
 def knn_scores_masked(
