@@ -143,7 +143,7 @@ def eval_seed(seed, epochs, cache, cache_path):
     results = {}
     for name, x_tr, x_te, labels in task_splits(seed):
         missing = [
-            b for b in BASES if f"{seed}|{name}|{b}" not in cache
+            b for b in BASES if f"{seed}|{name}|{b}|e{epochs}" not in cache
         ]
         if missing:
             model = VGAN_no_kl(
@@ -173,7 +173,7 @@ def eval_seed(seed, epochs, cache, cache_path):
                     fb_masks, fb_proba, base=base, k=10
                 ).fit(x_tr)
                 a_fb = auc(fb.decision_function(x_te), labels)
-                cache[f"{seed}|{name}|{base}"] = [
+                cache[f"{seed}|{name}|{base}|e{epochs}"] = [
                     float(a_sub), float(a_full), float(a_fb),
                 ]
             _save_cache(cache_path, cache)
@@ -182,7 +182,9 @@ def eval_seed(seed, epochs, cache, cache_path):
         else:
             print(f"  seed {seed}: {name} cached", flush=True)
         for base in BASES:
-            results[(name, base)] = tuple(cache[f"{seed}|{name}|{base}"])
+            results[(name, base)] = tuple(
+                cache[f"{seed}|{name}|{base}|e{epochs}"]
+            )
     return results
 
 
@@ -202,9 +204,11 @@ def main():
                                          / "docs" / "QUALITY.md"))
     ap.add_argument("--cache", default=str(Path(__file__).resolve().parent
                                            / ".quality_cache.json"),
-                    help="per-(seed, dataset, base) AUC cache — interrupted "
-                         "runs resume, and adding a base recomputes only "
-                         "the new rows (delete to force a full rerun)")
+                    help="per-(seed, dataset, base, epochs) AUC cache — "
+                         "interrupted runs resume, and adding a base "
+                         "recomputes only the new rows (delete to force a "
+                         "full rerun); the key includes the epoch budget "
+                         "so changed settings never reuse stale numbers")
     args = ap.parse_args()
 
     import json

@@ -2190,3 +2190,62 @@ def test_kmeans_plusplus_init(rng):
 
     with pytest.raises(ValueError, match="cluster_init"):
         SubspaceEnsemble(masks, proba, base="cblof", cluster_init="bogus")
+
+
+def test_cblof_large_mask_rule():
+    """_cblof_large_mask == pyod's split rule on handcrafted size vectors,
+    and empty clusters are never large — even in the no-rule-fires
+    fallback where every non-empty cluster becomes large."""
+    import vgan_tpu.ensemble.od as od
+
+    def oracle(sizes, n, alpha, beta):
+        sizes = np.asarray(sizes, float)
+        C = len(sizes)
+        order = np.argsort(-sizes, kind="stable")
+        ss = sizes[order]
+        a = [i for i in range(1, C) if ss[:i].sum() >= alpha * n]
+        b = [i for i in range(1, C) if ss[i - 1] >= beta * max(ss[i], 1e-9)]
+        both = sorted(set(a) & set(b))
+        thr = (both or a or b or [C])[0]
+        large = np.zeros(C, bool)
+        large[order[:thr]] = ss[:thr] > 0
+        return large
+
+    cases = [
+        ([90, 10], 100, 0.9, 5.0),          # alpha+beta agree at i=1
+        ([60, 30, 10], 100, 0.9, 5.0),      # alpha at 2, beta at 2
+        ([50, 45, 5], 100, 0.9, 5.0),       # alpha at 2, beta at 2
+        ([40, 40, 20], 100, 0.95, 5.0),     # beta never fires -> alpha
+        ([34, 33, 33], 100, 1.0, 1e9),      # NOTHING fires -> all large
+        ([60, 40, 0], 100, 1.0, 1e9),       # fallback + EMPTY cluster
+        ([100, 0, 0], 100, 0.9, 5.0),       # one real cluster + empties
+    ]
+    rng = np.random.default_rng(0)
+    for _ in range(40):                      # fuzz vs the literal rule
+        C = int(rng.integers(2, 9))
+        sizes = rng.integers(0, 50, C).astype(float)
+        n = max(sizes.sum(), 1)
+        cases.append((sizes.tolist(), n, float(rng.uniform(0.5, 1.0)),
+                      float(rng.uniform(1.0, 10.0))))
+    for sizes, n, alpha, beta in cases:
+        got = np.asarray(od._cblof_large_mask(
+            jnp.asarray(sizes, jnp.float32), n, alpha, beta
+        ))
+        want = oracle(sizes, n, alpha, beta)
+        np.testing.assert_array_equal(got, want, err_msg=str((sizes, n,
+                                                              alpha, beta)))
+        assert not got[np.asarray(sizes) == 0].any()
+
+
+def test_cblof_scorer_validates_alpha_beta():
+    """The public scorer validates alpha/beta itself (not only the
+    ensemble constructor) — swapped arguments fail loudly."""
+    from vgan_tpu.ensemble import cblof_scores_masked
+
+    x = jnp.zeros((10, 3))
+    with pytest.raises(ValueError, match="alpha"):
+        cblof_scores_masked(x, x, jnp.ones(3, bool), n_clusters=2,
+                            alpha=1.5)
+    with pytest.raises(ValueError, match="beta"):
+        cblof_scores_masked(x, x, jnp.ones(3, bool), n_clusters=2,
+                            beta=0.5)

@@ -444,6 +444,44 @@ def mahalanobis_scores_masked(
     return jnp.sum(z * w.T, axis=-1)
 
 
+def _cblof_large_mask(
+    counts: jax.Array, n_tr: int, alpha: float, beta: float,
+) -> jax.Array:
+    """pyod's CBLOF large/small cluster split as a (C,) boolean mask.
+
+    Over size-sorted clusters, boundary candidates are i = 1..C-1: the
+    alpha rule fires where the top-i sizes cover ``alpha * n``, the beta
+    rule where ``size[i-1] / size[i] >= beta`` (eps floor so 0/0
+    boundaries never fire). The threshold is the first boundary
+    satisfying BOTH rules, else the first alpha boundary, else the first
+    beta boundary; when nothing fires — where pyod raises mid-fit — every
+    cluster is large (a raise inside jit/vmap is impossible). EMPTY
+    clusters are never large regardless: a cluster that ended k-means
+    with zero members kept its stale init centroid, and letting it claim
+    test points (possible in the all-large fallback, whose threshold
+    spans the whole size-sorted tail) would under-score an outlier near a
+    position that represents no train data."""
+    n_clusters = counts.shape[0]
+    order = jnp.argsort(-counts)
+    sorted_sizes = counts[order]
+    alpha_ok = jnp.cumsum(sorted_sizes)[:-1] >= alpha * n_tr
+    beta_ok = sorted_sizes[:-1] >= beta * jnp.maximum(sorted_sizes[1:], 1e-9)
+
+    def first_boundary(ok):
+        return jnp.where(jnp.any(ok), jnp.argmax(ok) + 1, n_clusters)
+
+    both = alpha_ok & beta_ok
+    thr = jnp.where(
+        jnp.any(both), first_boundary(both),
+        jnp.where(
+            jnp.any(alpha_ok), first_boundary(alpha_ok),
+            first_boundary(beta_ok),
+        ),
+    )
+    large_sorted = (jnp.arange(n_clusters) < thr) & (sorted_sizes > 0)
+    return jnp.zeros(n_clusters, bool).at[order].set(large_sorted)
+
+
 def cblof_scores_masked(
     x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 0,
     *, n_clusters: int = 8, alpha: float = 0.9, beta: float = 5.0,
@@ -490,6 +528,16 @@ def cblof_scores_masked(
             f"cblof needs n_clusters <= n_train; got {n_clusters} clusters "
             f"for {n_tr} train rows"
         )
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(
+            f"cblof needs alpha in (0, 1] (fraction of train rows the "
+            f"large clusters must cover); got {alpha!r}"
+        )
+    if not beta >= 1.0:
+        raise ValueError(
+            f"cblof needs beta >= 1 (size ratio across the large/small "
+            f"boundary); got {beta!r}"
+        )
     mask_f = mask.astype(x_train.dtype)
     xm_tr = x_train * mask_f[None, :]
     xm_te = x_test * mask_f[None, :]
@@ -521,27 +569,7 @@ def cblof_scores_masked(
         jax.nn.one_hot(lab_tr, n_clusters, dtype=xm_tr.dtype), axis=0
     )
 
-    # pyod's large/small boundary over size-sorted clusters: candidates
-    # i = 1..C-1, alpha rule = top-i sizes cover alpha*n, beta rule =
-    # size[i-1]/size[i] >= beta (eps floor so 0/0 boundaries never fire)
-    order = jnp.argsort(-counts)
-    sorted_sizes = counts[order]
-    alpha_ok = jnp.cumsum(sorted_sizes)[:-1] >= alpha * n_tr
-    beta_ok = sorted_sizes[:-1] >= beta * jnp.maximum(sorted_sizes[1:], 1e-9)
-
-    def first_boundary(ok):
-        return jnp.where(jnp.any(ok), jnp.argmax(ok) + 1, n_clusters)
-
-    both = alpha_ok & beta_ok
-    thr = jnp.where(
-        jnp.any(both), first_boundary(both),
-        jnp.where(
-            jnp.any(alpha_ok), first_boundary(alpha_ok),
-            first_boundary(beta_ok),
-        ),
-    )
-    large_sorted = jnp.arange(n_clusters) < thr
-    large = jnp.zeros(n_clusters, bool).at[order].set(large_sorted)
+    large = _cblof_large_mask(counts, n_tr, alpha, beta)
 
     d2_te = centroid_d2(jnp.sum(xm_te * xm_te, axis=1), xm_te, cen)
     lab_te = jnp.argmin(d2_te, axis=1)
@@ -1459,18 +1487,16 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         hbos/ecod/pyod instances) inherently include the point, as in
         pyod."""
         assert self._x_train is not None, "call fit(X_train) first"
-        if exclude_self and isinstance(self.base, str) and self.base in (
-            _NEIGHBOR_BASES
-        ):
+        neighbor_excl = exclude_self and isinstance(self.base, str) and (
+            self.base in _NEIGHBOR_BASES
+        )
+        if neighbor_excl:
             # loud guard instead of sentinel-valued "distances": with
             # self-pairs dropped only n_train - 1 neighbors exist
             assert self.k < self._x_train.shape[0], (
                 "exclude_self=True needs k < n_train (self-pairs are "
                 "excluded, so only n_train - 1 neighbors remain)"
             )
-        neighbor_excl = exclude_self and isinstance(self.base, str) and (
-            self.base in _NEIGHBOR_BASES
-        )
         if (
             self.test_chunk is not None
             and not neighbor_excl
