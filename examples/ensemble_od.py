@@ -27,7 +27,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="knn", choices=sorted(_SCORE_BASES))
     ap.add_argument("--aggregation", default="average",
-                    choices=["average", "max", "aom", "moa"])
+                    choices=["average", "max", "aom", "moa", "median"])
     ap.add_argument("--epochs", type=int, default=20)
     args = ap.parse_args()
 

@@ -2249,3 +2249,33 @@ def test_cblof_scorer_validates_alpha_beta():
     with pytest.raises(ValueError, match="beta"):
         cblof_scores_masked(x, x, jnp.ones(3, bool), n_clusters=2,
                             beta=0.5)
+
+
+def test_median_aggregation(rng):
+    """aggregation='median' == np.median over the kept (proba > 0)
+    per-subspace zscore rows (combo's median combination), end-to-end
+    outliers rank, and the serving exporter rejects it loudly."""
+    xtr = rng.normal(size=(60, 6)).astype(np.float32)
+    xte_in = rng.normal(size=(20, 6)).astype(np.float32)
+    xte = np.concatenate([xte_in, xte_in[:4] + 9.0])
+    masks = rng.uniform(size=(9, 6)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.concatenate([np.full(8, 1 / 8, np.float32), [0.0]])
+
+    ens = SubspaceEnsemble(
+        masks, proba, base="knn", k=5, aggregation="median"
+    ).fit(xtr)
+    s = ens.decision_function(xte)
+    per = ens.per_subspace_scores(xte)          # zscore'd rows, all masks
+    np.testing.assert_allclose(
+        s, np.median(per[:8], axis=0), rtol=1e-6, atol=1e-7
+    )
+    assert s[20:].min() > np.median(s[:20])
+
+    from vgan_tpu.serving import export_ensemble_scorer
+
+    with pytest.raises(ValueError, match="median"):
+        export_ensemble_scorer(ens, "/tmp/never_written.bin")
+
+    with pytest.raises(ValueError, match="aggregation"):
+        SubspaceEnsemble(masks, proba, base="knn", aggregation="mean")

@@ -144,7 +144,7 @@ def build_parser() -> argparse.ArgumentParser:
                        help="shard the subspace axis over a device mesh")
     score.add_argument("--subspaces", type=int, default=500)
     score.add_argument("--aggregation",
-                       choices=["average", "max", "aom", "moa"],
+                       choices=["average", "max", "aom", "moa", "median"],
                        default="average")
     score.add_argument("--seed", type=int, default=777)
     score.add_argument("--out", default=None, help="write scores to .npy")

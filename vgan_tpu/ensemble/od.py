@@ -1160,11 +1160,14 @@ def _bucket_aggregate(
     V-GAN mask samples cluster similar masks adjacently, so striping in
     storage order could systematically bias per-bucket maxima/averages).
     'aom' averages the per-bucket maxima, 'moa' takes the max of the
-    per-bucket averages. Probability-ignoring, like 'max' — except
-    zero-probability masks, which are dropped (the invariant every
-    aggregation path honors: proba == 0 rows never influence scores)."""
+    per-bucket averages, 'median' is combo's median combination (no
+    buckets). Probability-ignoring, like 'max' — except zero-probability
+    masks, which are dropped (the invariant every aggregation path
+    honors: proba == 0 rows never influence scores)."""
     keep = np.asarray(proba) > 0
     s = s[keep]
+    if aggregation == "median":
+        return np.median(s, axis=0)
     n = s.shape[0]
     s = s[np.random.default_rng(seed).permutation(n)]
     n_buckets = max(1, min(n_buckets, n))
@@ -1291,7 +1294,8 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         'max' (probability-ignoring maximum) — the two pyod combination
         modes the reference experiments use — or the combo library's
         bucketed modes 'aom' (average of per-bucket maxima) / 'moa'
-        (max of per-bucket averages); see ``n_buckets``.
+        (max of per-bucket averages; see ``n_buckets``) and 'median'
+        (probability-ignoring per-point median over the kept subspaces).
     normalize:
         'zscore' standardizes each subspace's scores before aggregation
         (suod-style), None aggregates raw scores.
@@ -1370,10 +1374,10 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         cluster_init: str = "rows",
         test_chunk: Optional[int] = None,
     ):
-        if aggregation not in ("average", "max", "aom", "moa"):
+        if aggregation not in ("average", "max", "aom", "moa", "median"):
             raise ValueError(
                 f"unknown aggregation={aggregation!r}: expected 'average', "
-                "'max', 'aom', or 'moa'"
+                "'max', 'aom', 'moa', or 'median'"
             )
         if normalize not in (None, "zscore"):
             raise ValueError(
@@ -1509,7 +1513,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
             # call (e.g. the decision_scores_ mixin) is a no-op and must
             # still honor the memory bound
             return self._test_chunked_scores(x_test)
-        if self.aggregation in ("aom", "moa"):
+        if self.aggregation in ("aom", "moa", "median"):
             s = self.per_subspace_scores(x_test, exclude_self=exclude_self)
             return _bucket_aggregate(
                 s, self.proba, self.aggregation, self.n_buckets,
@@ -1751,7 +1755,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
                 s = (
                     (s.astype(np.float64) - mu[:, None]) / sd[:, None]
                 ).astype(np.float32)
-            if self.aggregation in ("aom", "moa"):
+            if self.aggregation in ("aom", "moa", "median"):
                 out.append(_bucket_aggregate(
                     s, self.proba, self.aggregation, self.n_buckets,
                     seed=self.bucket_seed,

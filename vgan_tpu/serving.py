@@ -89,9 +89,9 @@ def _ensemble_score_fn(ensemble, max_batch: int = 4096):
         raise ValueError(
             f"aggregation={ensemble.aggregation!r} does not export: the "
             "serialized program reduces inside mask chunks, which cannot "
-            "express the bucketed 'aom'/'moa' combination — export with "
-            "aggregation='average'/'max', or use export_per_subspace_scorer "
-            "and bucket on the serving side"
+            "express the 'aom'/'moa'/'median' whole-pool combinations — "
+            "export with aggregation='average'/'max', or use "
+            "export_per_subspace_scorer and combine on the serving side"
         )
     x_train = ensemble._x_train
 
