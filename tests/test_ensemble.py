@@ -2279,3 +2279,139 @@ def test_median_aggregation(rng):
 
     with pytest.raises(ValueError, match="aggregation"):
         SubspaceEnsemble(masks, proba, base="knn", aggregation="mean")
+
+
+def test_gmm_full_covariance_matches_numpy(rng):
+    """covariance='full' == a literal f64 full-covariance EM oracle
+    sharing only the seeded init, on CORRELATED data where the diagonal
+    family is misspecified — and the full family actually separates a
+    correlation-breaking outlier that diag cannot see."""
+    from vgan_tpu.ensemble import gmm_scores_masked
+
+    # tight 2-d correlation inside the masked dims
+    z = rng.normal(size=(120, 1))
+    xtr = np.concatenate([
+        z + 0.05 * rng.normal(size=(120, 1)),
+        z + 0.05 * rng.normal(size=(120, 1)),
+        rng.normal(size=(120, 2)),
+    ], axis=1).astype(np.float32)
+    # on-manifold test points + one correlation-breaking point
+    zq = rng.normal(size=(10, 1))
+    xte = np.concatenate([
+        np.concatenate([zq, zq, rng.normal(size=(10, 2))], axis=1),
+        np.array([[1.5, -1.5, 0.0, 0.0]]),
+    ]).astype(np.float32)
+    mask = np.array([1, 1, 0, 1], bool)
+
+    kw = dict(n_components=2, em_iter=15, component_seed=3)
+    ours = np.asarray(gmm_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask),
+        covariance="full", **kw,
+    ))
+
+    # literal f64 oracle
+    import jax as _jax
+    from scipy.special import logsumexp
+
+    m = mask.astype(np.float64)
+    xt = (xtr * m).astype(np.float64)
+    xq = (xte * m).astype(np.float64)
+    n, d = xt.shape
+    d_sub = m.sum()
+    reg = 1e-6
+    mm = np.outer(m, m)
+    fix = np.diag(m * reg + (1 - m))
+
+    def mask_cov(c):
+        return c * mm + fix
+
+    init = np.asarray(_jax.random.choice(
+        _jax.random.PRNGKey(3), n, (2,), replace=False
+    ))
+    mu = xt[init].copy()
+    xc = xt - xt.mean(0)
+    cov = np.stack([mask_cov(xc.T @ xc / (n - 1))] * 2)
+    logw = np.full(2, -np.log(2.0))
+
+    def log_prob(x, mu, cov, logw):
+        out = []
+        for c in range(2):
+            zr = (x - mu[c]) * m
+            sol = np.linalg.solve(cov[c], zr.T)
+            quad = (zr * sol.T).sum(1)
+            logdet = np.linalg.slogdet(cov[c])[1]
+            out.append(quad + logdet)
+        ql = np.stack(out, 1)
+        return logw[None, :] - 0.5 * (ql + d_sub * np.log(2 * np.pi))
+
+    for _ in range(15):
+        lp = log_prob(xt, mu, cov, logw)
+        resp = np.exp(lp - logsumexp(lp, axis=1, keepdims=True))
+        nc = resp.sum(0) + 1e-12
+        mu = resp.T @ xt / nc[:, None]
+        cov = np.stack([
+            mask_cov((xt - mu[c]).T @ (resp[:, c:c + 1] * (xt - mu[c]))
+                     / nc[c])
+            for c in range(2)
+        ])
+        logw = np.log(nc / nc.sum())
+    oracle = -logsumexp(log_prob(xq, mu, cov, logw), axis=1)
+    np.testing.assert_allclose(ours, oracle, rtol=2e-3, atol=2e-3)
+
+    # the correlation-breaker is the clear outlier under 'full' ...
+    assert ours[-1] > ours[:-1].max() + 5.0
+    # ... but diag (axis-aligned marginals both near-normal) cannot
+    # separate it anywhere near as sharply
+    diag = np.asarray(gmm_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask),
+        covariance="diag", **kw,
+    ))
+    assert (ours[-1] - ours[:-1].max()) > 3.0 * (diag[-1] - diag[:-1].max())
+
+    # unmasked dims are exactly inert
+    xte_noisy = xte.copy()
+    xte_noisy[:, ~mask] += 50.0
+    noisy = np.asarray(gmm_scores_masked(
+        jnp.asarray(xte_noisy), jnp.asarray(xtr), jnp.asarray(mask),
+        covariance="full", **kw,
+    ))
+    np.testing.assert_allclose(noisy, ours, rtol=1e-5)
+
+
+def test_gmm_covariance_validation():
+    from vgan_tpu.ensemble import gmm_scores_masked
+
+    x = jnp.zeros((4, 3))
+    with pytest.raises(ValueError, match="covariance"):
+        gmm_scores_masked(x, x, jnp.ones(3, bool), n_components=2,
+                          covariance="spherical")
+    with pytest.raises(ValueError, match="gmm_covariance"):
+        SubspaceEnsemble(np.ones((2, 3), bool), np.full(2, 0.5),
+                         base="gmm", gmm_covariance="spherical")
+
+
+def test_ensemble_gmm_full_base(rng):
+    """End-to-end SubspaceEnsemble(base='gmm', gmm_covariance='full'):
+    planted outliers rank, and the serving export roundtrips."""
+    xtr = np.concatenate([
+        rng.normal(size=(60, 6)) + 3, rng.normal(size=(60, 6)) - 3,
+    ]).astype(np.float32)
+    xte_in = (rng.normal(size=(20, 6)) + 3).astype(np.float32)
+    xte = np.concatenate([xte_in, xte_in[:5] + 12.0])
+    masks = rng.uniform(size=(5, 6)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.full(5, 0.2)
+
+    ens = SubspaceEnsemble(
+        masks, proba, base="gmm", n_clusters=3, gmm_covariance="full",
+    ).fit(xtr)
+    s = ens.decision_function(xte)
+    assert s[20:].min() > np.median(s[:20])
+
+    from vgan_tpu.serving import export_ensemble_scorer, load_ensemble_scorer
+
+    import tempfile, os
+    p = os.path.join(tempfile.mkdtemp(), "gmm_full.bin")
+    export_ensemble_scorer(ens, p)
+    s2 = np.asarray(load_ensemble_scorer(p)(jnp.asarray(xte)))
+    np.testing.assert_allclose(s2, s, rtol=1e-5, atol=1e-6)

@@ -139,7 +139,12 @@ def build_parser() -> argparse.ArgumentParser:
     score.add_argument("--n-projections", type=int, default=100,
                        help="random-direction count for --base loda")
     score.add_argument("--n-clusters", type=int, default=8,
-                       help="k-means cluster count for --base cblof")
+                       help="k-means cluster count for --base cblof "
+                            "(mixture components for --base gmm)")
+    score.add_argument("--gmm-covariance", choices=["diag", "full"],
+                       default="diag",
+                       help="gmm covariance family (full = sklearn's "
+                            "default, per-component (d, d) covariances)")
     score.add_argument("--mesh", default=None, metavar="data=N",
                        help="shard the subspace axis over a device mesh")
     score.add_argument("--subspaces", type=int, default=500)
@@ -255,6 +260,7 @@ def main(argv=None) -> int:
                 kde_bandwidth=args.kde_bandwidth,
                 n_projections=args.n_projections,
                 n_clusters=args.n_clusters,
+                gmm_covariance=args.gmm_covariance,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),
             ).fit(x_train)
         else:
@@ -264,6 +270,7 @@ def main(argv=None) -> int:
                 kde_bandwidth=args.kde_bandwidth,
                 n_projections=args.n_projections,
                 n_clusters=args.n_clusters,
+                gmm_covariance=args.gmm_covariance,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),
             ).fit(x_train)
         scores = ens.decision_function(x_test)

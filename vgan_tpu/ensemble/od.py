@@ -99,7 +99,7 @@ _TEST_CHUNK_CACHE_ELEMS = 2**28
 
 def _effective_chunk(
     base, chunk: int, nt: int, ntr: int, d: int, k: int = 0,
-    n_clusters: int = 8,
+    n_clusters: int = 8, gmm_covariance: str = "diag",
 ) -> int:
     """Per-base memory governor for the vmapped-mask chunk — the single
     clamp shared by the live scoring paths and the serving exporters (the
@@ -128,8 +128,12 @@ def _effective_chunk(
         # per in-flight mask: the masked (ntr, d) train copy + the (ntr,
         # n_clusters) assignment/responsibility planes (both k-means and
         # EM are linear in n — no streaming needed, just bound the vmap
-        # width)
-        per_mask = max(ntr * (d + max(n_clusters, 1)), 1)
+        # width). Full-covariance gmm additionally materializes the
+        # per-component (C, ntr, d) residuals and (C, d, d) covariances.
+        c = max(n_clusters, 1)
+        per_mask = max(ntr * (d + c), 1)
+        if base == "gmm" and gmm_covariance == "full":
+            per_mask = max(per_mask, c * ntr * d + c * d * d)
         return max(1, min(chunk, _MAHA_CHUNK_BUDGET // per_mask))
     return chunk
 
@@ -635,30 +639,33 @@ def _init_centroids(
 def gmm_scores_masked(
     x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 0,
     *, n_components: int = 4, em_iter: int = 30, component_seed: int = 0,
-    reg_covar: float = 1e-6, init: str = "rows",
+    reg_covar: float = 1e-6, init: str = "rows", covariance: str = "diag",
 ) -> jax.Array:
     """Negative Gaussian-mixture log-likelihood in the masked subspace —
     the probabilistic-mixture base family (pyod.models.gmm semantics:
     ``decision_scores_ = -score_samples``; reference capability via the
     pyod pin at requirements.txt:58).
 
-    Diagonal-covariance EM with ``em_iter`` fixed iterations and seeded
-    train-row means init (rows shared across masks so ``vmap`` hoists
-    them; per-dim variances init to the masked train variance). Every
-    E/M step is matmul-shaped: the quadratic form expands to three
-    ``(n, d) @ (d, C)`` contractions against per-component
-    ``mask/var`` vectors, and the M-step moments are
-    ``resp.T @ xm`` / ``resp.T @ xm^2`` — no data-dependent control
-    flow, so the whole EM batches over mask chunks under ``vmap``.
+    EM with ``em_iter`` fixed iterations and seeded train-row means init
+    (rows shared across masks so ``vmap`` hoists them).
+    ``covariance='diag'`` (default) keeps every E/M step matmul-shaped:
+    the quadratic form expands to three ``(n, d) @ (d, C)`` contractions
+    against per-component ``mask/var`` vectors, and the M-step moments
+    are ``resp.T @ xm`` / ``resp.T @ xm^2``. ``covariance='full'`` is
+    sklearn's default family: per-component (d, d) covariances via the
+    mahalanobis-base trick — centering commutes with masking, so each
+    masked covariance is the Hadamard-masked ``(m m^T) .* Sigma_c`` with
+    an identity diagonal on unmasked dims, one Cholesky + triangular
+    solve per component per iteration (M-step covariances are
+    ``z^T @ (resp_c .* z)`` batched matmuls). Neither path has
+    data-dependent control flow, so the whole EM batches over mask
+    chunks under ``vmap``.
 
-    Divergences vs pyod/sklearn (documented): DIAGONAL covariance
-    (sklearn's default is 'full' — a d x d Cholesky per component per
-    iteration; on masked subspaces the mahalanobis base already covers
-    the full-covariance unimodal case), fixed-iteration EM with seeded
-    row init rather than k-means init + convergence checks
+    Divergences vs pyod/sklearn (documented): fixed-iteration EM with
+    seeded row init rather than k-means init + convergence checks
     (``init='kmeans++'`` gives D^2-weighted seeding instead), and
-    ``reg_covar`` floors the variances (sklearn adds it). ``k`` is
-    ignored (signature parity); self-inclusion is inherent.
+    ``reg_covar`` floors the diagonal variances (sklearn adds it). ``k``
+    is ignored (signature parity); self-inclusion is inherent.
     """
     del k
     n_tr = x_train.shape[0]
@@ -671,11 +678,21 @@ def gmm_scores_masked(
             f"gmm needs n_components <= n_train; got {n_components} "
             f"components for {n_tr} train rows"
         )
+    if covariance not in ("diag", "full"):
+        raise ValueError(
+            f"unknown covariance={covariance!r}: expected 'diag' or 'full'"
+        )
     mask_f = mask.astype(x_train.dtype)
     xm_tr = x_train * mask_f[None, :]
     xm_te = x_test * mask_f[None, :]
     d_sub = jnp.sum(mask_f)
     mu0 = _init_centroids(xm_tr, n_components, component_seed, init)
+    log2pi_ = jnp.log(2.0 * jnp.pi).astype(x_train.dtype)
+    if covariance == "full":
+        return _gmm_full_nll(
+            xm_te, xm_tr, mask_f, mu0, n_components, em_iter, reg_covar,
+            d_sub, log2pi_,
+        )
     var_tr = jnp.var(xm_tr, axis=0)
     var0 = jnp.broadcast_to(
         jnp.maximum(var_tr, reg_covar)[None, :], mu0.shape
@@ -722,14 +739,79 @@ def gmm_scores_masked(
     return -jax.nn.logsumexp(log_prob(xm_te, mu, var, logw), axis=1)
 
 
+def _gmm_full_nll(
+    xm_te, xm_tr, mask_f, mu0, n_components, em_iter, reg_covar, d_sub,
+    log2pi,
+):
+    """Full-covariance EM tail of :func:`gmm_scores_masked`: per-component
+    (d, d) covariances, masked via the mahalanobis-base identity
+    (``cov_m = (m m^T) .* Sigma`` + identity diagonal on unmasked dims,
+    whose Cholesky diag is 1 so unmasked dims add 0 to the logdet and 0
+    to the quadratic form since residuals are masked)."""
+    n_tr, d = xm_tr.shape
+    mm = mask_f[:, None] * mask_f[None, :]
+    fix_diag = jnp.diag(mask_f * reg_covar + (1.0 - mask_f))
+
+    def mask_cov(cov):  # (C, d, d)
+        return cov * mm[None, :, :] + fix_diag[None, :, :]
+
+    xc0 = xm_tr - jnp.mean(xm_tr, axis=0)[None, :]
+    cov_tr = jnp.dot(
+        xc0.T, xc0, preferred_element_type=xm_tr.dtype
+    ) / max(n_tr - 1, 1)
+    cov0 = mask_cov(jnp.broadcast_to(cov_tr[None, :, :],
+                                     (n_components, d, d)))
+    logw0 = jnp.full(
+        (n_components,), -jnp.log(float(n_components)), xm_tr.dtype
+    )
+
+    def log_prob(xmat, mu, cov, logw):
+        chol = jnp.linalg.cholesky(cov)  # (C, d, d)
+
+        def comp(mu_c, chol_c):
+            z = (xmat - mu_c[None, :]) * mask_f[None, :]
+            w = jax.scipy.linalg.cho_solve((chol_c, True), z.T)
+            quad = jnp.sum(z * w.T, axis=1)
+            logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol_c)))
+            return quad + logdet
+
+        ql = jax.vmap(comp)(mu, chol)  # (C, n)
+        return logw[None, :] - 0.5 * (ql.T + d_sub * log2pi)
+
+    def em(carry, _):
+        mu, cov, logw = carry
+        resp = jax.nn.softmax(log_prob(xm_tr, mu, cov, logw), axis=1)
+        nc = jnp.sum(resp, axis=0) + 1e-12
+        new_mu = jnp.dot(
+            resp.T, xm_tr, preferred_element_type=xm_tr.dtype
+        ) / nc[:, None]
+
+        def comp_cov(mu_c, r_c, nc_c):
+            z = xm_tr - mu_c[None, :]
+            return jnp.dot(
+                z.T * r_c[None, :], z, preferred_element_type=xm_tr.dtype
+            ) / nc_c
+
+        new_cov = mask_cov(jax.vmap(comp_cov)(new_mu, resp.T, nc))
+        new_logw = jnp.log(nc / jnp.sum(nc))
+        return (new_mu, new_cov, new_logw), None
+
+    (mu, cov, logw), _ = jax.lax.scan(
+        em, (mu0, cov0, logw0), None, length=em_iter
+    )
+    return -jax.nn.logsumexp(log_prob(xm_te, mu, cov, logw), axis=1)
+
+
 @functools.lru_cache(maxsize=None)
-def _gmm_scorer(n_components: int, em_iter: int, seed: int, init: str):
+def _gmm_scorer(
+    n_components: int, em_iter: int, seed: int, init: str, covariance: str,
+):
     """Memoized partial (one hashable static per config; see
     :func:`_loda_scorer`)."""
     return functools.partial(
         gmm_scores_masked,
         n_components=n_components, em_iter=em_iter, component_seed=seed,
-        init=init,
+        init=init, covariance=covariance,
     )
 
 
@@ -1221,7 +1303,8 @@ def _scorer_and_k(
     projection_seed: int, kde_bandwidth: float = 1.0,
     n_clusters: int = 8, cluster_alpha: float = 0.9,
     cluster_beta: float = 5.0, kmeans_iter: int = 30, cluster_seed: int = 0,
-    cluster_init: str = "rows", exclude_self: bool = False,
+    cluster_init: str = "rows", gmm_covariance: str = "diag",
+    exclude_self: bool = False,
 ):
     """Resolve a base name to its (scorer, static-k) pair — the single
     dispatch point shared by the ensemble paths and the serving exporters.
@@ -1242,7 +1325,7 @@ def _scorer_and_k(
         # kmeans_iter = EM iterations, cluster_seed = means init
         return _gmm_scorer(
             int(n_clusters), int(kmeans_iter), int(cluster_seed),
-            str(cluster_init),
+            str(cluster_init), str(gmm_covariance),
         ), 0
     scorers = _BASE_SCORERS_EXCL if exclude_self else _BASE_SCORERS
     return scorers[base], (n_trees if base == "iforest" else k)
@@ -1259,7 +1342,7 @@ def _scorer_params(ens) -> dict:
         kde_bandwidth=ens.kde_bandwidth, n_clusters=ens.n_clusters,
         cluster_alpha=ens.cluster_alpha, cluster_beta=ens.cluster_beta,
         kmeans_iter=ens.kmeans_iter, cluster_seed=ens.cluster_seed,
-        cluster_init=ens.cluster_init,
+        cluster_init=ens.cluster_init, gmm_covariance=ens.gmm_covariance,
     )
 
 
@@ -1372,6 +1455,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         kmeans_iter: int = 30,
         cluster_seed: int = 0,
         cluster_init: str = "rows",
+        gmm_covariance: str = "diag",
         test_chunk: Optional[int] = None,
     ):
         if aggregation not in ("average", "max", "aom", "moa", "median"):
@@ -1411,6 +1495,11 @@ class SubspaceEnsemble(PyodSurfaceMixin):
             raise ValueError(
                 f"unknown cluster_init={cluster_init!r}: expected 'rows' "
                 "or 'kmeans++'"
+            )
+        if gmm_covariance not in ("diag", "full"):
+            raise ValueError(
+                f"unknown gmm_covariance={gmm_covariance!r}: expected "
+                "'diag' or 'full'"
             )
         if test_chunk is not None and (
             not isinstance(test_chunk, (int, np.integer))
@@ -1457,6 +1546,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         self.kmeans_iter = kmeans_iter
         self.cluster_seed = cluster_seed
         self.cluster_init = cluster_init
+        self.gmm_covariance = gmm_covariance
         self.test_chunk = test_chunk
         self._x_train = None
         self._threshold = None
@@ -1556,6 +1646,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
             self.base, self.chunk, x_test.shape[0],
             self._x_train.shape[0], self._x_train.shape[1], k=self.k,
             n_clusters=self.n_clusters,
+            gmm_covariance=self.gmm_covariance,
         )
         masks_np, proba_np = _chunked_masks(
             self.subspaces, self.proba, chunk, n_shards

@@ -114,6 +114,7 @@ def _ensemble_score_fn(ensemble, max_batch: int = 4096):
             ensemble.base, ensemble.chunk, max_batch,
             x_train.shape[0], x_train.shape[1], k=ensemble.k,
             n_clusters=ensemble.n_clusters,
+            gmm_covariance=ensemble.gmm_covariance,
         )
         masks_np, proba_np = _chunked_masks(
             ensemble.subspaces, ensemble.proba, chunk
@@ -253,6 +254,7 @@ def export_per_subspace_scorer(ensemble, path, max_batch: int = 4096) -> None:
             ensemble.base, ensemble.chunk, max_batch,
             x_train.shape[0], x_train.shape[1], k=ensemble.k,
             n_clusters=ensemble.n_clusters,
+            gmm_covariance=ensemble.gmm_covariance,
         )
         masks_np, _ = _chunked_masks(
             ensemble.subspaces, ensemble.proba, chunk
