@@ -2415,3 +2415,41 @@ def test_ensemble_gmm_full_base(rng):
     export_ensemble_scorer(ens, p)
     s2 = np.asarray(load_ensemble_scorer(p)(jnp.asarray(xte)))
     np.testing.assert_allclose(s2, s, rtol=1e-5, atol=1e-6)
+
+
+def test_hetero_median_combination(rng):
+    """combination='median' == np.median of the standardized member rows,
+    is robust to one broken (constant-noise) member, and exports in the
+    single hetero StableHLO program."""
+    from vgan_tpu.ensemble import HeterogeneousEnsemble
+    from vgan_tpu.ensemble.hetero import _standardize
+    from vgan_tpu.serving import export_hetero_scorer, load_ensemble_scorer
+
+    xtr = rng.normal(size=(60, 6)).astype(np.float32)
+    xte_in = rng.normal(size=(20, 6)).astype(np.float32)
+    xte = np.concatenate([xte_in, xte_in[:4] + 9.0])
+    masks = rng.uniform(size=(6, 6)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.full(6, 1 / 6)
+
+    het = HeterogeneousEnsemble(
+        masks, proba,
+        members=[{"base": "knn", "k": 5}, {"base": "ecod"},
+                 {"base": "hbos"}],
+        combination="median",
+    ).fit(xtr)
+    s = het.decision_function(xte)
+    member_rows = _standardize(het.member_scores(xte))
+    np.testing.assert_allclose(
+        s, np.median(member_rows, axis=0), rtol=1e-6, atol=1e-7
+    )
+    assert s[20:].min() > np.median(s[:20])
+
+    import tempfile, os
+    p = os.path.join(tempfile.mkdtemp(), "het_median.bin")
+    export_hetero_scorer(het, p)
+    s2 = np.asarray(load_ensemble_scorer(p)(jnp.asarray(xte)))
+    np.testing.assert_allclose(s2, s, rtol=1e-4, atol=1e-5)
+
+    with pytest.raises(ValueError, match="combination"):
+        HeterogeneousEnsemble(masks, proba, combination="mean")

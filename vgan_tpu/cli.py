@@ -127,7 +127,7 @@ def build_parser() -> argparse.ArgumentParser:
                        help="comma-separated base list for a heterogeneous "
                             "(suod-style) combination; overrides --base")
     score.add_argument("--combination",
-                       choices=["average", "max", "select"],
+                       choices=["average", "max", "median", "select"],
                        default="average",
                        help="member combination for --members ('select' = "
                             "consensus-correlation reliability weighting)")

@@ -48,6 +48,8 @@ def _combine(s, combination: str, xp=np):
     """
     if combination == "max":
         return xp.max(s, axis=0), None
+    if combination == "median":
+        return xp.median(s, axis=0), None
     if combination == "select":
         consensus = xp.mean(s, axis=0)
         consensus = (consensus - xp.mean(consensus)) / (
@@ -83,7 +85,8 @@ class HeterogeneousEnsemble(PyodSurfaceMixin):
         member).
     combination:
         'average' (mean of standardized member scores), 'max'
-        (suod/combo's maximization combinator), or 'select' —
+        (suod/combo's maximization combinator), 'median' (combo's median
+        combination, robust to one broken member), or 'select' —
         a sel_suod-inspired reliability weighting: members are weighted
         by their Pearson correlation to the consensus (the mean of the
         standardized member scores), clipped at zero and renormalized,
@@ -114,10 +117,10 @@ class HeterogeneousEnsemble(PyodSurfaceMixin):
         contamination: float = 0.1,
         **shared,
     ):
-        if combination not in ("average", "max", "select"):
+        if combination not in ("average", "max", "median", "select"):
             raise ValueError(
                 f"unknown combination={combination!r}: expected 'average', "
-                "'max', or 'select'"
+                "'max', 'median', or 'select'"
             )
         if not members:
             raise ValueError("members must be non-empty")

@@ -156,17 +156,22 @@ def export_hetero_scorer(het, path, max_batch: int = 4096) -> None:
     :class:`vgan_tpu.ensemble.HeterogeneousEnsemble`'s
     ``decision_function`` as ONE StableHLO program: every member's
     chunk-reduced subspace scores, the per-member batch standardization,
-    and the 'average'/'max'/'select' combination all run in a single
+    and the 'average'/'max'/'median'/'select' combination all run in a single
     serialized graph (the 'select' reliability weights are computed
     in-program from the batch, exactly as the live path derives them).
 
     All members must use native base scorers and 'average'/'max'
-    aggregation (as for :func:`export_ensemble_scorer`); member ``mesh``
+    per-member aggregation (as for :func:`export_ensemble_scorer`); member ``mesh``
     settings don't apply to the serialized single-program path. The live
     path standardizes in float64 on host while the exported program runs
     float32 throughout — scores agree to ~1e-5 relative, not bitwise
     (the algorithm itself is the SAME code: `hetero._standardize` /
-    `hetero._combine` with the jnp backend).
+    `hetero._combine` with the jnp backend). One larger documented gap on
+    TPU: a live knn/knn_mean member rides the fused Pallas kernel while
+    the exported program uses the generic chunked path, whose Mosaic-vs-
+    XLA numerics differ ~1e-3 relative (measured 4e-3 absolute on
+    standardized scores) — the same live-vs-generic gap every fused-path
+    consumer has.
     """
     from vgan_tpu.ensemble.hetero import _combine, _standardize
 
