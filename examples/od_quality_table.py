@@ -31,8 +31,8 @@ from vgan_tpu.ensemble import SubspaceEnsemble
 from od_quality_eval import auc, one_class_task  # noqa: E402 (sibling example)
 
 BASES = (
-    "knn", "lof", "abod", "iforest", "mahalanobis", "cblof", "gmm", "loda",
-    "kde", "hbos", "copod", "ecod",
+    "knn", "lof", "abod", "cof", "iforest", "mahalanobis", "cblof", "gmm",
+    "loda", "kde", "hbos", "copod", "ecod",
 )
 
 

@@ -911,7 +911,7 @@ def test_heterogeneous_ensemble_predict_and_outliers(rng):
 
     import pytest
     with pytest.raises(ValueError):
-        HeterogeneousEnsemble(subs, proba, combination="median")
+        HeterogeneousEnsemble(subs, proba, combination="trimmed_mean")
     with pytest.raises(ValueError):
         HeterogeneousEnsemble(subs, proba, members=[])
 
@@ -1846,6 +1846,154 @@ def test_ensemble_abod_base(rng):
     a = SubspaceEnsemble(masks, proba, base="abod", k=8, chunk=1,
                          normalize=None).fit(xtr)
     b = SubspaceEnsemble(masks, proba, base="abod", k=8, chunk=64,
+                         normalize=None).fit(xtr)
+    np.testing.assert_allclose(
+        a.per_subspace_scores(xte), b.per_subspace_scores(xte),
+        rtol=1e-5, atol=1e-9,
+    )
+
+
+def _cof_oracle(xte, xtr, mask, k, exclude_self=False):
+    """Literal pyod COF (cof.py _cof_memory, Tang et al. 2002) generalized
+    to novelty scoring in f64 on the masked dims: each query chains through
+    its k nearest train rows (itself as the chain root, ascending-distance
+    order; the cost of adding a point is its min distance to the prefix);
+    ac_dist of a train row always excludes its self pair (pyod's
+    sbn_path[1:]). With xte is xtr and exclude_self=True this IS pyod's
+    fit-time decision_scores_ algorithm."""
+    xt = xtr[:, mask].astype(np.float64)
+    xq = xte[:, mask].astype(np.float64)
+
+    def ac_and_nbr(q, d_row, self_i=None):
+        d = d_row.copy()
+        if self_i is not None:
+            d[self_i] = np.inf
+        nbr = np.argsort(d)[:k]
+        pts = np.vstack([q[None], xt[nbr]])  # chain: root, then neighbors
+        D = np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1))
+        cost = np.array([D[j, :j].min() for j in range(1, k + 1)])
+        w = 2.0 * (k + 1 - np.arange(1, k + 1)) / ((k + 1) * k)
+        return float((cost * w).sum()), nbr
+
+    ac_tr = np.zeros(len(xt))
+    for i in range(len(xt)):
+        d_row = np.sqrt(((xt - xt[i]) ** 2).sum(1))
+        ac_tr[i], _ = ac_and_nbr(xt[i], d_row, self_i=i)
+    out = []
+    for i, q in enumerate(xq):
+        d_row = np.sqrt(((xt - q) ** 2).sum(1))
+        ac, nbr = ac_and_nbr(q, d_row, self_i=i if exclude_self else None)
+        out.append(ac * k / ac_tr[nbr].sum())
+    return np.array(out)
+
+
+def test_cof_scores_match_numpy(rng):
+    """cof_scores_masked == the literal pyod chaining algorithm in the
+    masked subspace (f64 oracle; f32 device tolerance), and unmasked
+    features are exactly inert."""
+    from vgan_tpu.ensemble import cof_scores_masked
+
+    xtr = rng.normal(size=(60, 7)).astype(np.float32)
+    xte = rng.normal(size=(15, 7)).astype(np.float32)
+    mask = np.array([1, 0, 1, 1, 0, 1, 0], bool)
+    k = 6
+
+    ours = np.asarray(
+        cof_scores_masked(
+            jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask), k
+        )
+    )
+    np.testing.assert_allclose(
+        ours, _cof_oracle(xte, xtr, mask, k), rtol=1e-3
+    )
+
+    xte_noisy = xte.copy()
+    xte_noisy[:, ~mask] += 50.0
+    ours_noisy = np.asarray(
+        cof_scores_masked(
+            jnp.asarray(xte_noisy), jnp.asarray(xtr), jnp.asarray(mask), k
+        )
+    )
+    np.testing.assert_allclose(ours_noisy, ours, rtol=1e-5)
+
+
+def test_cof_exclude_self_matches_numpy(rng):
+    """Scoring the train rows with exclude_self=True equals pyod COF's
+    fit-time decision_scores_ (the transductive X-vs-X algorithm) on the
+    projected dims — and the typical score sits near 1 (the chaining
+    ratio's natural scale)."""
+    from vgan_tpu.ensemble import cof_scores_masked
+
+    xtr = rng.normal(size=(40, 6)).astype(np.float32)
+    mask = np.array([1, 1, 0, 1, 0, 1], bool)
+    ours = np.asarray(
+        cof_scores_masked(
+            jnp.asarray(xtr), jnp.asarray(xtr), jnp.asarray(mask), 5,
+            exclude_self=True,
+        )
+    )
+    np.testing.assert_allclose(
+        ours, _cof_oracle(xtr, xtr, mask, 5, exclude_self=True), rtol=1e-3
+    )
+    assert 0.5 < np.median(ours) < 2.0
+
+
+def test_cof_k_guard():
+    """k < 1 must fail loudly (an empty chaining set has no ac_dist)."""
+    from vgan_tpu.ensemble import cof_scores_masked
+
+    x = jnp.zeros((4, 3))
+    with pytest.raises(ValueError, match="k >= 1"):
+        cof_scores_masked(x, x, jnp.ones(3, bool), 0)
+
+
+def test_cof_streaming_matches_dense(rng, monkeypatch):
+    """Past STREAM_NTR both cof neighbor searches (train chains + query
+    chains) stream the train axis — identical scores."""
+    import vgan_tpu.ensemble.od as od
+
+    xtr = rng.normal(size=(90, 7)).astype(np.float32)
+    xte = rng.normal(size=(25, 7)).astype(np.float32)
+    mask = jnp.asarray(np.array([1, 0, 1, 1, 0, 1, 0], bool))
+
+    monkeypatch.setattr(od, "STREAM_NTR", 40)
+    monkeypatch.setattr(od, "_STREAM_BLOCK", 32)
+    stream = od.cof_scores_masked(jnp.asarray(xte), jnp.asarray(xtr), mask, 5)
+    monkeypatch.setattr(od, "STREAM_NTR", 10**9)
+    dense = od.cof_scores_masked(jnp.asarray(xte), jnp.asarray(xtr), mask, 5)
+    np.testing.assert_allclose(
+        np.asarray(stream), np.asarray(dense), rtol=1e-5, atol=1e-9
+    )
+
+
+def test_ensemble_cof_base(rng):
+    """End-to-end SubspaceEnsemble(base='cof'): planted far outliers rank
+    above inliers under every aggregation, predict() flags them (the
+    exclude_self path), and chunking keeps per-subspace scores exact."""
+    xtr = rng.normal(size=(80, 6)).astype(np.float32)
+    xte_in = rng.normal(size=(20, 6)).astype(np.float32)
+    xte_out = xte_in[:5] + np.array([8.0, 8, 0, 8, 0, 8], np.float32)
+    xte = np.concatenate([xte_in, xte_out])
+    masks = rng.uniform(size=(7, 6)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.full(7, 1 / 7)
+
+    for agg in ("average", "max", "aom", "moa"):
+        ens = SubspaceEnsemble(
+            masks, proba, base="cof", k=8, aggregation=agg, chunk=3
+        ).fit(xtr)
+        s = ens.decision_function(xte)
+        assert s[20:].min() > np.median(s[:20]), agg
+
+    ens = SubspaceEnsemble(
+        masks, proba, base="cof", k=8, contamination=0.2
+    ).fit(xtr)
+    labels = ens.predict(xte)
+    assert labels[20:].all()
+
+    a = SubspaceEnsemble(masks, proba, base="cof", k=8, chunk=1,
+                         normalize=None).fit(xtr)
+    b = SubspaceEnsemble(masks, proba, base="cof", k=8, chunk=64,
                          normalize=None).fit(xtr)
     np.testing.assert_allclose(
         a.per_subspace_scores(xte), b.per_subspace_scores(xte),

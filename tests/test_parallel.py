@@ -232,8 +232,8 @@ def test_sharded_ensemble_matches_single_device(rng):
     proba /= proba.sum()
 
     mesh = data_mesh()
-    for base in ("knn", "lof", "abod", "mahalanobis", "cblof", "gmm",
-                 "loda", "kde"):
+    for base in ("knn", "lof", "abod", "cof", "mahalanobis", "cblof",
+                 "gmm", "loda", "kde"):
         for agg in ("average", "max"):
             single = SubspaceEnsemble(
                 masks, proba, base=base, k=5, aggregation=agg, chunk=2

@@ -92,6 +92,7 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
     from vgan_tpu.ensemble import (
         abod_scores_masked,
         cblof_scores_masked,
+        cof_scores_masked,
         gmm_scores_masked,
         kde_scores_masked,
         knn_scores_masked,
@@ -107,6 +108,7 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
     for scorer in (
         lambda a: knn_scores_masked(jnp.asarray(a), xtr, jnp.asarray(mask), 3),
         lambda a: abod_scores_masked(jnp.asarray(a), xtr, jnp.asarray(mask), 3),
+        lambda a: cof_scores_masked(jnp.asarray(a), xtr, jnp.asarray(mask), 3),
         lambda a: cblof_scores_masked(
             jnp.asarray(a), xtr, jnp.asarray(mask), n_clusters=3,
             kmeans_iter=5,

@@ -91,8 +91,8 @@ def test_dim_base_scorer_export_roundtrip(rng, tmp_path):
     masks[:, 0] |= ~masks.any(axis=1)
     proba = np.full(6, 1 / 6, np.float32)
 
-    for base in ("copod", "hbos", "ecod", "abod", "mahalanobis", "cblof",
-                 "gmm", "loda", "kde"):
+    for base in ("copod", "hbos", "ecod", "abod", "cof", "mahalanobis",
+                 "cblof", "gmm", "loda", "kde"):
         ens = SubspaceEnsemble(masks, proba, base=base).fit(xtr)
         path = tmp_path / f"{base}.bin"
         export_ensemble_scorer(ens, path)

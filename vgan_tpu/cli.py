@@ -18,8 +18,9 @@ import sys
 # Native base scorers for `score` --base/--members (kept as a literal so the
 # parser builds without importing jax; validated against the ensemble's
 # registry in tests/test_cli.py).
-_SCORE_BASES = ("knn", "knn_mean", "lof", "abod", "iforest", "mahalanobis",
-                "cblof", "gmm", "loda", "kde", "copod", "hbos", "ecod")
+_SCORE_BASES = ("knn", "knn_mean", "lof", "abod", "cof", "iforest",
+                "mahalanobis", "cblof", "gmm", "loda", "kde", "copod",
+                "hbos", "ecod")
 
 
 def _add_common_hyperparams(p: argparse.ArgumentParser) -> None:

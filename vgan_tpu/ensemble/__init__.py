@@ -6,6 +6,7 @@ from vgan_tpu.ensemble.od import (
     SubspaceEnsemble,
     abod_scores_masked,
     cblof_scores_masked,
+    cof_scores_masked,
     copod_dim_scores,
     ecod_dim_scores,
     gmm_scores_masked,
@@ -24,6 +25,7 @@ __all__ = [
     "HeterogeneousEnsemble",
     "abod_scores_masked",
     "cblof_scores_masked",
+    "cof_scores_masked",
     "copod_dim_scores",
     "gmm_scores_masked",
     "ecod_dim_scores",

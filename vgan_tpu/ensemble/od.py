@@ -13,8 +13,8 @@ distances are computed with the matmul identity
 so each subspace's distance matrix is a batched MXU matmul, ``vmap`` batches
 over thousands of masks, and ``lax.map`` chunks the mask axis to bound
 memory. Base detectors implemented natively (KNN k-th-distance, KNN mean
-distance, LOF, ABOD, isolation forest, Mahalanobis/PCA-family, CBLOF, GMM,
-LODA, KDE, and the dim-decomposable COPOD/HBOS/ECOD); a pyod adapter covers arbitrary CPU
+distance, LOF, ABOD, COF, isolation forest, Mahalanobis/PCA-family, CBLOF,
+GMM, LODA, KDE, and the dim-decomposable COPOD/HBOS/ECOD); a pyod adapter covers arbitrary CPU
 detectors for parity checks when pyod is installed (it is NOT a
 dependency).
 """
@@ -105,22 +105,26 @@ def _effective_chunk(
     clamp shared by the live scoring paths and the serving exporters (the
     exporters pass their ``max_batch`` bound as ``nt``; the symbolic batch
     has no concrete value at trace time)."""
-    if base in ("knn", "knn_mean", "lof", "abod", "kde") and ntr > STREAM_NTR:
+    if base in (
+        "knn", "knn_mean", "lof", "abod", "cof", "kde"
+    ) and ntr > STREAM_NTR:
         # streaming engages: bound the per-chunk (chunk, nt, block) tiles
-        # (lof also streams the train x train neighbor pass). The knn-merge
-        # bases stream _MERGE_BLOCK-capped blocks (see
+        # (lof and cof also stream a train x train neighbor pass). The
+        # knn-merge bases stream _MERGE_BLOCK-capped blocks (see
         # _masked_knn_streaming), so their tile is narrower than kde's.
-        nt_eff = max(nt, ntr) if base == "lof" else nt
+        nt_eff = max(nt, ntr) if base in ("lof", "cof") else nt
         blk = _stream_block(nt_eff)
         if base != "kde":
             blk = min(blk, _MERGE_BLOCK)
         chunk = _stream_chunk(chunk, nt_eff, blk)
-    if base == "abod":
+    if base in ("abod", "cof"):
         # the gathered (nt, k, d) neighbor-difference block per in-flight
         # mask is the dominant term; bound chunk x nt x k x d elements
+        # (cof also gathers an (ntr, k, d) block for the train chains)
         if not isinstance(nt, int):  # symbolic batch dim under jax.export
             nt = _EXPORT_NT_HINT
-        per_mask = max(nt * max(k, 2) * d, 1)
+        nt_eff = max(nt, ntr) if base == "cof" else nt
+        per_mask = max(nt_eff * max(k, 2) * d, 1)
         return max(1, min(chunk, _ABOD_CHUNK_BUDGET // per_mask))
     if base == "mahalanobis":
         return max(1, min(chunk, _MAHA_CHUNK_BUDGET // max(d * d, 1)))
@@ -337,6 +341,117 @@ def lof_scores_masked(
     return jnp.mean(lrd_tr[nbr_te], axis=-1) / (lrd_te + eps)
 
 
+def _neighbor_diff_gram(
+    x: jax.Array, x_train: jax.Array, mask_f: jax.Array, idx: jax.Array
+):
+    """(dots, sq) of the masked neighbor differences: for each query row x_i
+    with gathered neighbors a_1..a_k, ``dots[i]`` is the (k, k) Gram of
+    (a_j - x_i) restricted to the masked dims — ONE batched (k x d) @ (d x k)
+    matmul per query row — and ``sq[i]`` its diagonal, the squared neighbor
+    distances recomputed STABLY (the matmul-identity d2 used for neighbor
+    selection suffers cancellation for close pairs). Shared by the abod and
+    cof bases."""
+    diffs = x_train[idx] * mask_f[None, None, :] - (
+        x * mask_f[None, :]
+    )[:, None, :]
+    dots = jnp.einsum(
+        "nkd,nld->nkl", diffs, diffs,
+        preferred_element_type=x_train.dtype,
+    )
+    return dots, jnp.diagonal(dots, axis1=1, axis2=2)
+
+
+def _masked_knn_vals_idx(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int,
+    exclude_self: bool,
+):
+    """(d2 (nt, k), train_idx (nt, k)) ascending — dense below STREAM_NTR,
+    streamed past it. The one neighbor-search entry the gather-based bases
+    (abod, cof) share."""
+    if x_train.shape[0] > STREAM_NTR:
+        return _masked_knn_streaming(x_test, x_train, mask, k, exclude_self)
+    d2_all = _masked_sq_dists(x_test, x_train, mask)
+    if exclude_self:
+        d2_all = _mask_diagonal(d2_all)
+    return jax.lax.approx_min_k(d2_all, k, recall_target=1.0)
+
+
+def _cof_ac_dist(
+    x: jax.Array, x_train: jax.Array, mask_f: jax.Array, idx: jax.Array,
+    k: int,
+) -> jax.Array:
+    """Average chaining distance of each query row through its k nearest
+    masked train neighbors (ascending ``idx`` order, the query itself as the
+    chain root): the cost of adding neighbor j is its minimum masked distance
+    to the prefix {root, n_1..n_{j-1}}, weighted 2(k+1-j)/((k+1)k) — pyod
+    cof's set-based-nearest-path approximation (chain ORDER fixed by distance
+    from the root, per-step cost against the whole prefix)."""
+    dots, sq = _neighbor_diff_gram(x, x_train, mask_f, idx)
+    root_d = jnp.sqrt(jnp.maximum(sq, 0.0))  # (n, k) distance to the root
+    # pairwise neighbor distances from the difference Gram:
+    # |a_i - a_j|^2 = |a_i - x|^2 + |a_j - x|^2 - 2 <a_i - x, a_j - x>
+    pair_d = jnp.sqrt(
+        jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2.0 * dots, 0.0)
+    )
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    big = jnp.asarray(jnp.finfo(x.dtype).max / 4, x.dtype)
+    # min over the strictly-earlier neighbors (j=0 has none -> big)
+    prefix_min = jnp.min(
+        jnp.where((cols < rows)[None, :, :], pair_d, big), axis=2
+    )
+    cost = jnp.minimum(root_d, prefix_min)
+    j = jnp.arange(1, k + 1, dtype=x.dtype)
+    weights = 2.0 * (k + 1 - j) / ((k + 1) * k)
+    return jnp.sum(cost * weights[None, :], axis=-1)
+
+
+def cof_scores_masked(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int,
+    exclude_self: bool = False,
+) -> jax.Array:
+    """Connectivity-based outlier factor in the masked subspace (Tang et
+    al. 2002; pyod.models.cof — the chaining-distance neighbor family of the
+    reference's pyod surface, /root/reference/requirements.txt:58).
+
+        COF(x) = k * ac_dist(x) / sum_{o in kNN(x)} ac_dist(o)
+
+    where ``ac_dist`` is the average chaining distance (:func:`_cof_ac_dist`)
+    — an isolated point chains expensively relative to its neighbors'
+    chains, so COF > 1 flags outliers (pyod's decision_scores_ orientation
+    already; no sign flip). Train rows' ac_dist always excludes the self
+    pair (pyod's sbn_path[1:]); ``exclude_self`` applies the same positional
+    drop to the query rows (scoring the train set itself — then this equals
+    pyod COF's fit-time decision_scores_ on the projected dims).
+
+    TPU-native shape: both neighbor searches ride the shared masked-distance
+    MXU matmuls (streamed past ``STREAM_NTR``); each chain's pairwise
+    prefix-min needs only the (k, k) difference Gram per query row
+    (:func:`_neighbor_diff_gram`) — no sequential path construction, because
+    pyod's chain order is simply ascending distance from the root.
+    Divergence vs pyod (documented): an all-duplicate neighborhood
+    (ac_dist 0/0) returns 0 via an eps-guarded denominator instead of
+    nan_to_num; neighbor TIES break by smallest index (np.argsort's
+    quicksort order is unspecified there).
+    """
+    if k < 1:
+        raise ValueError(f"cof needs k >= 1 (the chaining set); got k={k}")
+    eps = 1e-12
+    mask_f = mask.astype(x_train.dtype)
+    d2_tr, idx_tr = _masked_knn_vals_idx(
+        x_train, x_train, mask, k, exclude_self=True
+    )
+    del d2_tr
+    ac_tr = _cof_ac_dist(x_train, x_train, mask_f, idx_tr, k)
+    d2_te, idx_te = _masked_knn_vals_idx(
+        x_test, x_train, mask, k, exclude_self=exclude_self
+    )
+    del d2_te
+    ac_te = _cof_ac_dist(x_test, x_train, mask_f, idx_te, k)
+    denom = jnp.sum(ac_tr[idx_te], axis=-1)
+    return ac_te * k / (denom + eps)
+
+
 def abod_scores_masked(
     x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int,
     exclude_self: bool = False,
@@ -373,26 +488,11 @@ def abod_scores_masked(
         )
     eps = 1e-12
     mask_f = mask.astype(x_train.dtype)
-    if x_train.shape[0] > STREAM_NTR:
-        d2, idx = _masked_knn_streaming(
-            x_test, x_train, mask, k, exclude_self
-        )
-    else:
-        d2_all = _masked_sq_dists(x_test, x_train, mask)
-        if exclude_self:
-            d2_all = _mask_diagonal(d2_all)
-        d2, idx = jax.lax.approx_min_k(d2_all, k, recall_target=1.0)
-    diffs = x_train[idx] * mask_f[None, None, :] - (
-        x_test * mask_f[None, :]
-    )[:, None, :]
-    dots = jnp.einsum(
-        "nkd,nld->nkl", diffs, diffs,
-        preferred_element_type=x_train.dtype,
-    )
-    # squared neighbor distances from the STABLE diagonal of `dots` (the
+    _, idx = _masked_knn_vals_idx(x_test, x_train, mask, k, exclude_self)
+    # squared neighbor distances from the STABLE Gram diagonal (the
     # matmul-identity d2 used for selection suffers cancellation for close
     # neighbors — exactly the pairs whose 1/d2^2 weight dominates ABOF)
-    sq = jnp.diagonal(dots, axis1=1, axis2=2)
+    dots, sq = _neighbor_diff_gram(x_test, x_train, mask_f, idx)
     wcos = dots / (sq[:, :, None] * sq[:, None, :] + eps)
     rows = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
@@ -1268,13 +1368,14 @@ _BASE_SCORERS = {
     "knn_mean": mean_dist_scores_masked,
     "lof": lof_scores_masked,
     "abod": abod_scores_masked,
+    "cof": cof_scores_masked,
     "iforest": _iforest_adapter,
     "mahalanobis": mahalanobis_scores_masked,
 }
 
 # Neighbor-based bases: exclude_self (positional self-pair drop) reaches
 # exactly these — the single tuple the guard sites and hetero share.
-_NEIGHBOR_BASES = ("knn", "knn_mean", "lof", "abod")
+_NEIGHBOR_BASES = ("knn", "knn_mean", "lof", "abod", "cof")
 
 # Dim-decomposable bases: per-dim score planes shared across ALL masks, the
 # whole ensemble reduces to masked-sum matmuls (see _dim_subspace_raw).
@@ -1289,6 +1390,7 @@ _BASE_SCORERS_EXCL = {
     "knn_mean": functools.partial(mean_dist_scores_masked, exclude_self=True),
     "lof": functools.partial(lof_scores_masked, exclude_self=True),
     "abod": functools.partial(abod_scores_masked, exclude_self=True),
+    "cof": functools.partial(cof_scores_masked, exclude_self=True),
     "iforest": _iforest_adapter,
     "mahalanobis": mahalanobis_scores_masked,
 }
@@ -1357,7 +1459,8 @@ class SubspaceEnsemble(PyodSurfaceMixin):
     base:
         'knn' (k-th NN distance), 'knn_mean', 'lof', 'abod' (negated
         angle-based outlier factor over the k nearest neighbors —
-        FastABOD), 'iforest',
+        FastABOD), 'cof' (connectivity-based outlier factor: the query's
+        average chaining distance relative to its neighbors'), 'iforest',
         'mahalanobis' (per-subspace squared Mahalanobis distance — the
         PCA/MCD family), 'cblof' (cluster-based: distance to the nearest
         large k-means centroid), 'gmm' (negative diagonal-Gaussian-mixture
