@@ -442,6 +442,7 @@ class VGAN(_VGANCommon):
         *,
         mmd_impl: str = "auto",
         replicate_reference_quirks: bool = True,
+        replicate_generator_detach: Optional[bool] = None,
         elm: bool = False,
         verbose: bool = True,
         mesh=None,
@@ -476,6 +477,16 @@ class VGAN(_VGANCommon):
         self.weight_decay = weight_decay
         self.mmd_impl = mmd_impl
         self.replicate_reference_quirks = replicate_reference_quirks
+        # Fine-grained override for ONE quirk: the reference's kl generator
+        # never receives gradients (torch Variable() detach at vgan.py:308-310).
+        # None -> follow replicate_reference_quirks; False with quirks
+        # otherwise ON isolates exactly the paper-intended adversarial
+        # training (the ablation docs/QUALITY.md measures).
+        self.replicate_generator_detach = (
+            replicate_reference_quirks
+            if replicate_generator_detach is None
+            else replicate_generator_detach
+        )
         self.elm = elm  # reference's private __elm flag (vgan.py:45)
         self.gram_matmul_dtype = gram_matmul_dtype
         self.model_matmul_dtype = model_matmul_dtype
@@ -501,7 +512,7 @@ class VGAN(_VGANCommon):
             iternum_g=self.iternum_g,
             freeze_bandwidth=True,
             replicate_encoder_freeze=self.replicate_reference_quirks,
-            replicate_generator_detach=self.replicate_reference_quirks,
+            replicate_generator_detach=self.replicate_generator_detach,
             elm=self.elm,
             mmd_impl=self.mmd_impl,
             gram_matmul_dtype=self.gram_matmul_dtype,
