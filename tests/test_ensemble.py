@@ -1947,6 +1947,22 @@ def test_cof_k_guard():
         cof_scores_masked(x, x, jnp.ones(3, bool), 0)
 
 
+def test_cof_k_ge_n_train_guard(rng):
+    """k >= n_train must fail loudly: the always-on train-chain pass drops
+    the self pair, so only n_train-1 true neighbors exist — beyond that the
+    diagonal-masked self row (distance 0) would silently deflate ac_tr
+    (round-3 advisor finding; pyod clamps to n_samples-1 instead)."""
+    from vgan_tpu.ensemble import cof_scores_masked
+
+    x = jnp.asarray(rng.normal(size=(5, 3)), jnp.float32)
+    mask = jnp.ones(3, bool)
+    with pytest.raises(ValueError, match="k < n_train"):
+        cof_scores_masked(x, x, mask, 5)
+    # k == n_train - 1 is the largest legal chaining set
+    out = cof_scores_masked(x, x, mask, 4)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_cof_streaming_matches_dense(rng, monkeypatch):
     """Past STREAM_NTR both cof neighbor searches (train chains + query
     chains) stream the train axis — identical scores."""

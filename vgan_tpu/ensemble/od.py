@@ -390,6 +390,13 @@ def _cof_ac_dist(
     root_d = jnp.sqrt(jnp.maximum(sq, 0.0))  # (n, k) distance to the root
     # pairwise neighbor distances from the difference Gram:
     # |a_i - a_j|^2 = |a_i - x|^2 + |a_j - x|^2 - 2 <a_i - x, a_j - x>
+    # f32 precision bound: this identity cancels for neighbor pairs much
+    # closer to each other than to the root (|a_i-a_j|^2 ~ eps * sq), i.e.
+    # relative error up to ~sq/|a_i-a_j|^2 ULPs — and COF's prefix-min
+    # selects exactly those smallest pair distances. Absolute error stays
+    # ~sqrt(eps_f32)*root_d, which the rtol=1e-3 parity tests absorb; if
+    # tolerance ever tightens, switch to explicit diffs
+    # (diffs[:,:,None]-diffs[:,None,:]) at k x the memory.
     pair_d = jnp.sqrt(
         jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2.0 * dots, 0.0)
     )
@@ -436,6 +443,15 @@ def cof_scores_masked(
     """
     if k < 1:
         raise ValueError(f"cof needs k >= 1 (the chaining set); got k={k}")
+    if k >= x_train.shape[0]:
+        # The internal train-chain pass always drops the self pair, so only
+        # n_train-1 true neighbors exist; beyond that the diagonal-masked
+        # self row (distance 0) would silently enter the chain and deflate
+        # ac_tr. pyod clamps n_neighbors to n_samples-1; we raise loudly.
+        raise ValueError(
+            f"cof needs k < n_train (self excluded from the train chain); "
+            f"got k={k}, n_train={x_train.shape[0]}"
+        )
     eps = 1e-12
     mask_f = mask.astype(x_train.dtype)
     d2_tr, idx_tr = _masked_knn_vals_idx(
@@ -1654,6 +1670,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         self._x_train = None
         self._threshold = None
         self._decision_scores = None
+        self._pool_dev = None
 
     @classmethod
     def from_model(cls, model, subspace_count: int = 500, **kwargs):
@@ -1666,6 +1683,17 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         self._threshold = None
         self._decision_scores = None
         return self
+
+    def _device_pool(self):
+        """Device-resident (masks_f32, proba) pair, uploaded once per
+        instance — repeated ``decision_function`` calls must not pay a
+        host->device pool transfer per call (VERDICT round-3 item 3)."""
+        if self._pool_dev is None:
+            self._pool_dev = (
+                jnp.asarray(self.subspaces, jnp.float32),
+                jnp.asarray(self.proba, jnp.float32),
+            )
+        return self._pool_dev
 
     def _train_matrix(self) -> np.ndarray:
         assert self._x_train is not None, "call fit(X_train) first"
@@ -1798,10 +1826,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         ``force`` runs it in interpreter mode for equivalence tests."""
         import jax as _jax
 
-        from vgan_tpu.ops.pallas.knn_score import (
-            knn_kernel_supported,
-            knn_scores_all_masks,
-        )
+        from vgan_tpu.ops.pallas.knn_score import knn_kernel_supported
 
         on_tpu = _jax.default_backend() in ("tpu", "axon")
         if not (on_tpu or force):
@@ -1845,18 +1870,13 @@ class SubspaceEnsemble(PyodSurfaceMixin):
             )
             return np.asarray(out)
 
-        s = knn_scores_all_masks(
-            x_test, self._x_train, self.subspaces, self.k,
-            mode=mode, exclude_self=exclude_self,
-        )  # (n_masks, nt)
-        proba = jnp.asarray(self.proba)
-        if self.normalize == "zscore":
-            s = _zscore(s)
-        if self.aggregation == "max":
-            # match the generic path: zero-probability masks never win
-            s = jnp.where(proba[:, None] > 0, s, -jnp.inf)
-            return np.asarray(jnp.max(s, axis=0))
-        return np.asarray(jnp.sum(proba[:, None] * s, axis=0))
+        masks_dev, proba_dev = self._device_pool()
+        return np.asarray(_fused_knn_ensemble_scores(
+            x_test, self._x_train, masks_dev, proba_dev,
+            k=int(self.k), mode=mode, exclude_self=bool(exclude_self),
+            aggregation=self.aggregation, normalize=self.normalize,
+            interpret=not on_tpu,
+        ))
 
     def predict(self, x_test: np.ndarray) -> np.ndarray:
         """0/1 outlier labels (pyod convention): threshold at the
@@ -2173,6 +2193,37 @@ def _sharded_per_subspace_fn(mesh, scorer, k):
             check_vma=False,
         )
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "mode", "exclude_self", "aggregation", "normalize", "interpret",
+    ),
+)
+def _fused_knn_ensemble_scores(
+    x_test, x_train, masks, proba, *, k, mode, exclude_self,
+    aggregation, normalize, interpret,
+):
+    """ONE compiled program for the whole fused-KNN API call: pad + Pallas
+    kernel + zscore + aggregation. A user-facing ``decision_function`` is
+    then exactly one dispatch and one (nt,)-array fetch — on the axon
+    tunnel (~20 ms per program call) the round-3 eager chain of pad ops,
+    ``_zscore`` primitives, and the reduction cost ~6x the kernel itself
+    (BENCH_r03's 59 ms API vs 9.9 ms kernel at the bench shape)."""
+    from vgan_tpu.ops.pallas.knn_score import knn_scores_all_masks
+
+    s = knn_scores_all_masks(
+        x_test, x_train, masks, k, mode=mode, exclude_self=exclude_self,
+        interpret=interpret,
+    )
+    if normalize == "zscore":
+        s = _zscore(s)
+    if aggregation == "max":
+        # zero-probability masks never win (consistent with every path)
+        s = jnp.where(proba[:, None] > 0, s, -jnp.inf)
+        return jnp.max(s, axis=0)
+    return jnp.sum(proba[:, None] * s, axis=0)
 
 
 @functools.lru_cache(maxsize=32)
