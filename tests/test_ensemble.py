@@ -2617,3 +2617,161 @@ def test_hetero_median_combination(rng):
 
     with pytest.raises(ValueError, match="combination"):
         HeterogeneousEnsemble(masks, proba, combination="mean")
+
+
+def test_weighted_aggregation_matches_manual(rng):
+    """aggregation='weighted' (combo's weighted-average) == the explicit
+    weighted mean of the per-subspace zscore rows with zero-probability
+    masks dropped and the rest renormalized; exports in the StableHLO
+    program; loud errors for missing/invalid weights."""
+    from vgan_tpu.serving import export_ensemble_scorer, load_ensemble_scorer
+
+    xtr = rng.normal(size=(60, 6)).astype(np.float32)
+    xte_in = rng.normal(size=(20, 6)).astype(np.float32)
+    xte = np.concatenate([xte_in, xte_in[:4] + 9.0])
+    masks = rng.uniform(size=(9, 6)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.concatenate([np.full(8, 1 / 8, np.float32), [0.0]])
+    weights = np.arange(1.0, 10.0, dtype=np.float32)
+
+    ens = SubspaceEnsemble(
+        masks, proba, base="knn", k=5, aggregation="weighted",
+        weights=weights,
+    ).fit(xtr)
+    s = ens.decision_function(xte)
+    per = ens.per_subspace_scores(xte)  # zscore'd rows, all masks
+    w_eff = weights * (proba > 0)
+    w_eff = w_eff / w_eff.sum()
+    np.testing.assert_allclose(
+        s, w_eff @ per, rtol=1e-5, atol=1e-6
+    )
+
+    import os
+    import tempfile
+
+    p = os.path.join(tempfile.mkdtemp(), "weighted.bin")
+    export_ensemble_scorer(ens, p)
+    s2 = np.asarray(load_ensemble_scorer(p)(jnp.asarray(xte)))
+    np.testing.assert_allclose(s2, s, rtol=1e-4, atol=1e-5)
+
+    with pytest.raises(ValueError, match="weighted"):
+        SubspaceEnsemble(masks, proba, base="knn", aggregation="weighted")
+    with pytest.raises(ValueError, match="disagree"):
+        SubspaceEnsemble(masks, proba, base="knn", aggregation="weighted",
+                         weights=np.ones(3))
+    with pytest.raises(ValueError, match="non-negative"):
+        SubspaceEnsemble(masks, proba, base="knn", aggregation="weighted",
+                         weights=-weights)
+    with pytest.raises(ValueError, match="positive sum"):
+        # positive weight mass only on the zero-probability mask
+        SubspaceEnsemble(
+            masks, proba, base="knn", aggregation="weighted",
+            weights=np.concatenate([np.zeros(8, np.float32), [1.0]]),
+        )
+
+
+def test_vote_aggregation_matches_manual(rng):
+    """aggregation='vote' (combo's majority_vote): decision_function is
+    the proba-weighted fraction of subspace members flagging the point at
+    their own raw train-score contamination quantile; predict applies the
+    strict majority; planted outliers collect (near-)unanimous votes."""
+    xtr = rng.normal(size=(80, 6)).astype(np.float32)
+    xte_in = rng.normal(size=(20, 6)).astype(np.float32)
+    xte = np.concatenate([xte_in, xte_in[:4] + 9.0])
+    masks = rng.uniform(size=(8, 6)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.full(8, 1 / 8, np.float32)
+
+    ens = SubspaceEnsemble(
+        masks, proba, base="knn", k=5, aggregation="vote",
+        contamination=0.1,
+    ).fit(xtr)
+    frac = ens.decision_function(xte)
+    assert frac.min() >= 0.0 and frac.max() <= 1.0
+
+    s_tr = ens._raw_per_subspace(xtr, exclude_self=True)
+    thr = np.quantile(s_tr, 0.9, axis=1)
+    s_te = ens._raw_per_subspace(xte)
+    manual = proba.astype(np.float64) @ (s_te > thr[:, None])
+    np.testing.assert_allclose(frac, manual, rtol=1e-6, atol=1e-7)
+
+    labels = ens.predict(xte)
+    np.testing.assert_array_equal(labels, (frac > 0.5).astype(np.int64))
+    assert ens.threshold_ == 0.5
+    assert labels[20:].all(), "planted far outliers must win the vote"
+    assert frac[20:].min() >= frac[:20].max() - 1e-6
+
+    # test_chunk slicing is exact (thresholds are train-derived constants)
+    ens_c = SubspaceEnsemble(
+        masks, proba, base="knn", k=5, aggregation="vote",
+        contamination=0.1, test_chunk=7,
+    ).fit(xtr)
+    np.testing.assert_allclose(ens_c.decision_function(xte), frac,
+                               rtol=1e-6, atol=1e-7)
+
+    from vgan_tpu.serving import export_ensemble_scorer
+
+    with pytest.raises(ValueError, match="vote"):
+        export_ensemble_scorer(ens, "/tmp/never_written.bin")
+
+
+def test_hetero_weighted_and_vote(rng):
+    """HeterogeneousEnsemble: 'weighted' == explicit weights @ standardized
+    member rows (and exports); 'vote' == weighted fraction of the members'
+    own predict labels with strict-majority predict; validation errors."""
+    from vgan_tpu.ensemble import HeterogeneousEnsemble
+    from vgan_tpu.serving import export_hetero_scorer, load_ensemble_scorer
+
+    xtr = rng.normal(size=(60, 6)).astype(np.float32)
+    xte_in = rng.normal(size=(20, 6)).astype(np.float32)
+    xte = np.concatenate([xte_in, xte_in[:4] + 9.0])
+    masks = rng.uniform(size=(6, 6)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.full(6, 1 / 6)
+    members = [{"base": "knn", "k": 5}, {"base": "ecod"}, {"base": "hbos"}]
+
+    het = HeterogeneousEnsemble(
+        masks, proba, members=members, combination="weighted",
+        weights=[3.0, 1.0, 1.0],
+    ).fit(xtr)
+    s = het.decision_function(xte)
+    rows = het.member_scores(xte).astype(np.float64)
+    np.testing.assert_allclose(
+        s, np.array([0.6, 0.2, 0.2]) @ rows, rtol=1e-5, atol=1e-6
+    )
+
+    import os
+    import tempfile
+
+    p = os.path.join(tempfile.mkdtemp(), "het_weighted.bin")
+    export_hetero_scorer(het, p)
+    s2 = np.asarray(load_ensemble_scorer(p)(jnp.asarray(xte)))
+    np.testing.assert_allclose(s2, s, rtol=1e-4, atol=1e-5)
+
+    hv = HeterogeneousEnsemble(
+        masks, proba, members=members, combination="vote",
+    ).fit(xtr)
+    frac = hv.decision_function(xte)
+    manual = np.mean(
+        [m.predict(xte) for m in hv.members], axis=0
+    )
+    np.testing.assert_allclose(frac, manual, rtol=1e-6, atol=1e-7)
+    labels = hv.predict(xte)
+    np.testing.assert_array_equal(labels, (frac > 0.5).astype(np.int64))
+    assert labels[20:].all(), "planted far outliers must win the vote"
+    proba2 = hv.predict_proba(xte)
+    assert proba2.shape == (24, 2)
+    assert np.all(proba2 >= 0) and np.all(proba2 <= 1)
+
+    with pytest.raises(ValueError, match="vote"):
+        export_hetero_scorer(hv, "/tmp/never_written.bin")
+    with pytest.raises(ValueError, match="weighted"):
+        HeterogeneousEnsemble(masks, proba, members=members,
+                              combination="weighted")
+    with pytest.raises(ValueError, match="disagree"):
+        HeterogeneousEnsemble(masks, proba, members=members,
+                              combination="weighted", weights=[1.0])
+    with pytest.raises(ValueError, match="non-negative"):
+        HeterogeneousEnsemble(masks, proba, members=members,
+                              combination="weighted",
+                              weights=[-1.0, 1.0, 1.0])

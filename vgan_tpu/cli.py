@@ -128,10 +128,16 @@ def build_parser() -> argparse.ArgumentParser:
                        help="comma-separated base list for a heterogeneous "
                             "(suod-style) combination; overrides --base")
     score.add_argument("--combination",
-                       choices=["average", "max", "median", "select"],
+                       choices=["average", "max", "median", "select",
+                                "weighted", "vote"],
                        default="average",
                        help="member combination for --members ('select' = "
-                            "consensus-correlation reliability weighting)")
+                            "consensus-correlation reliability weighting; "
+                            "'weighted' needs --weights; 'vote' = combo's "
+                            "majority vote over member labels)")
+    score.add_argument("--weights", default=None, metavar="W1,W2,...",
+                       help="comma-separated per-member weights for "
+                            "--combination weighted/vote")
     score.add_argument("--k", type=int, default=10)
     score.add_argument("--n-trees", type=int, default=100,
                        help="forest size for --base iforest")
@@ -150,8 +156,15 @@ def build_parser() -> argparse.ArgumentParser:
                        help="shard the subspace axis over a device mesh")
     score.add_argument("--subspaces", type=int, default=500)
     score.add_argument("--aggregation",
-                       choices=["average", "max", "aom", "moa", "median"],
-                       default="average")
+                       choices=["average", "max", "aom", "moa", "median",
+                                "vote"],
+                       default="average",
+                       help="subspace-score combination ('vote' = combo's "
+                            "majority vote: weighted fraction of members "
+                            "over their train-quantile thresholds; "
+                            "'weighted' with explicit per-mask weights is "
+                            "API-only — a 500-float list has no sane CLI "
+                            "form)")
     score.add_argument("--seed", type=int, default=777)
     score.add_argument("--out", default=None, help="write scores to .npy")
 
@@ -257,6 +270,10 @@ def main(argv=None) -> int:
                 model, subspace_count=args.subspaces,
                 members=[{"base": b} for b in member_bases],
                 combination=args.combination,
+                weights=(
+                    [float(w) for w in args.weights.split(",")]
+                    if args.weights else None
+                ),
                 k=args.k, n_trees=args.n_trees,
                 kde_bandwidth=args.kde_bandwidth,
                 n_projections=args.n_projections,

@@ -36,20 +36,26 @@ def _standardize(s, xp=np):
     return (s - mu) / sd
 
 
-def _combine(s, combination: str, xp=np):
+def _combine(s, combination: str, xp=np, weights=None):
     """Combine STANDARDIZED member scores ``s (n_members, nt)``.
 
     Returns ``(combined (nt,), weights_or_None)``; 'select' derives the
-    consensus-correlation reliability weights (see the class docstring).
-    Single implementation shared by the live numpy path and the traced
-    jnp program in :func:`vgan_tpu.serving.export_hetero_scorer` — keep
-    backend-agnostic (no in-place ops, no data-dependent Python control
-    flow on array values).
+    consensus-correlation reliability weights (see the class docstring),
+    'weighted' applies the user-supplied ``weights`` (combo's
+    weighted-average combinator — normalized here so callers can pass raw
+    importances). Single implementation shared by the live numpy path and
+    the traced jnp program in :func:`vgan_tpu.serving.export_hetero_scorer`
+    — keep backend-agnostic (no in-place ops, no data-dependent Python
+    control flow on array values).
     """
     if combination == "max":
         return xp.max(s, axis=0), None
     if combination == "median":
         return xp.median(s, axis=0), None
+    if combination == "weighted":
+        w = xp.asarray(weights, s.dtype)
+        w = w / xp.sum(w)
+        return w @ s, w
     if combination == "select":
         consensus = xp.mean(s, axis=0)
         consensus = (consensus - xp.mean(consensus)) / (
@@ -97,7 +103,16 @@ class HeterogeneousEnsemble(PyodSurfaceMixin):
         sel_suod==0.1 at requirements.txt:73 for this capability.) The
         fitted weights of the LAST scoring call are exposed as
         ``member_weights_``; falls back to 'average' when every
-        correlation clips to zero.
+        correlation clips to zero. Two further combo combinators
+        (requirements.txt:6 capability surface): 'weighted' — combo's
+        weighted-average with explicit per-member ``weights`` — and
+        'vote' — combo's majority_vote over the members' own 0/1 labels
+        (``decision_function`` returns the weighted vote fraction,
+        ``predict`` the strict-majority label).
+    weights:
+        per-member combination weights (non-negative, normalized
+        internally). REQUIRED for 'weighted'; optional for 'vote'
+        (uniform default); ignored by the other modes.
     contamination:
         expected outlier fraction for ``predict`` (pyod semantics, as in
         ``SubspaceEnsemble``).
@@ -115,15 +130,36 @@ class HeterogeneousEnsemble(PyodSurfaceMixin):
         ),
         combination: str = "average",
         contamination: float = 0.1,
+        weights: Optional[Sequence[float]] = None,
         **shared,
     ):
-        if combination not in ("average", "max", "median", "select"):
+        if combination not in (
+            "average", "max", "median", "select", "weighted", "vote",
+        ):
             raise ValueError(
                 f"unknown combination={combination!r}: expected 'average', "
-                "'max', 'median', or 'select'"
+                "'max', 'median', 'select', 'weighted', or 'vote'"
             )
         if not members:
             raise ValueError("members must be non-empty")
+        if combination == "weighted" and weights is None:
+            raise ValueError(
+                "combination='weighted' needs explicit weights= (combo's "
+                "weighted-average combinator); use 'average' for uniform "
+                "or 'select' for data-derived weights"
+            )
+        if weights is not None:
+            weights = np.asarray(weights, np.float64)
+            if len(weights) != len(members):
+                raise ValueError(
+                    f"weights and members disagree: {len(weights)} weights "
+                    f"vs {len(members)} members"
+                )
+            if np.any(weights < 0) or not weights.sum() > 0:
+                raise ValueError(
+                    "weights must be non-negative with a positive sum"
+                )
+        self.weights = weights
         self.members = []
         for m in members:
             kwargs = {**shared, **m}
@@ -174,7 +210,17 @@ class HeterogeneousEnsemble(PyodSurfaceMixin):
         standardized to look like the train distribution. Scoring the
         combined batch (the same one-batch design ``predict`` documents)
         puts both on shared member statistics; neighbor members exclude
-        the train rows' self-pairs."""
+        the train rows' self-pairs.
+
+        'vote' members threshold internally per ``predict`` call, so the
+        vote fractions are computed per split directly (no shared-batch
+        standardization to preserve)."""
+        if self.combination == "vote":
+            x_train = self._train_matrix()
+            return (
+                self.decision_function(x_train),
+                self.decision_function(np.asarray(x_test, np.float32)),
+            )
         x_train = self._train_matrix()
         n_tr = len(x_train)
         both = np.concatenate([x_train, np.asarray(x_test, np.float32)])
@@ -199,10 +245,25 @@ class HeterogeneousEnsemble(PyodSurfaceMixin):
     def decision_function(
         self, x_test: np.ndarray, exclude_self: bool = False
     ) -> np.ndarray:
-        """Combined outlier scores (higher = more outlying)."""
+        """Combined outlier scores (higher = more outlying).
+
+        With ``combination='vote'`` the score is the weighted FRACTION of
+        members whose own ``predict`` flags the point (combo's
+        majority-vote combinator lifted to a [0, 1] score; each member
+        thresholds at its own contamination quantile with its documented
+        one-batch semantics, so ``exclude_self`` is internal there)."""
+        if self.combination == "vote":
+            labels = np.stack([
+                m.predict(x_test).astype(np.float64) for m in self.members
+            ])
+            w = (
+                np.full(len(self.members), 1.0 / len(self.members))
+                if self.weights is None else self.weights / self.weights.sum()
+            )
+            return (w @ labels).astype(np.float32)
         s = self.member_scores(x_test, exclude_self=exclude_self)
         combined, w = _combine(
-            s.astype(np.float64), self.combination
+            s.astype(np.float64), self.combination, weights=self.weights,
         )
         if self.combination == "select":
             self._member_weights = w.astype(np.float32)
@@ -221,7 +282,15 @@ class HeterogeneousEnsemble(PyodSurfaceMixin):
         train+test together so the member standardization is shared;
         ``threshold_`` is recomputed per call — see that class's
         documented divergence from pyod's fit-time threshold).
+
+        With ``combination='vote'``: strict weighted majority of the
+        members' own labels (combo's majority_vote; a tie is an inlier —
+        combo's argmax-on-counts picks label 0 there too).
         """
+        if self.combination == "vote":
+            frac = self.decision_function(x_test)
+            self._threshold = 0.5
+            return (frac > 0.5).astype(np.int64)
         x_train = self.members[0]._x_train
         assert x_train is not None, "call fit(X_train) first"
         x_train = np.asarray(x_train)

@@ -1497,7 +1497,19 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         modes the reference experiments use — or the combo library's
         bucketed modes 'aom' (average of per-bucket maxima) / 'moa'
         (max of per-bucket averages; see ``n_buckets``) and 'median'
-        (probability-ignoring per-point median over the kept subspaces).
+        (probability-ignoring per-point median over the kept subspaces);
+        'weighted' (combo's weighted-average: explicit per-mask
+        ``weights`` instead of the pool probabilities) and 'vote'
+        (combo's majority_vote: each subspace member labels points at its
+        own train-score contamination quantile over RAW scores —
+        ``normalize`` is irrelevant there — and ``decision_function``
+        returns the weighted vote fraction in [0, 1]; ``predict`` applies
+        the strict majority, ties inliers).
+    weights:
+        per-mask combination weights (non-negative; zero-probability
+        masks still drop, then the rest renormalize). REQUIRED for
+        'weighted'; optional for 'vote' (pool probabilities by default);
+        ignored by the other aggregations.
     normalize:
         'zscore' standardizes each subspace's scores before aggregation
         (suod-style), None aggregates raw scores.
@@ -1557,6 +1569,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         base="knn",
         k: int = 10,
         aggregation: str = "average",
+        weights: Optional[np.ndarray] = None,
         normalize: Optional[str] = "zscore",
         chunk: int = 128,
         mesh: Optional[Mesh] = None,
@@ -1577,10 +1590,18 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         gmm_covariance: str = "diag",
         test_chunk: Optional[int] = None,
     ):
-        if aggregation not in ("average", "max", "aom", "moa", "median"):
+        if aggregation not in (
+            "average", "max", "aom", "moa", "median", "weighted", "vote",
+        ):
             raise ValueError(
                 f"unknown aggregation={aggregation!r}: expected 'average', "
-                "'max', 'aom', 'moa', or 'median'"
+                "'max', 'aom', 'moa', 'median', 'weighted', or 'vote'"
+            )
+        if aggregation == "weighted" and weights is None:
+            raise ValueError(
+                "aggregation='weighted' needs explicit weights= (combo's "
+                "weighted-average combinator); 'average' already weights "
+                "by the pool probabilities"
             )
         if normalize not in (None, "zscore"):
             raise ValueError(
@@ -1645,6 +1666,22 @@ class SubspaceEnsemble(PyodSurfaceMixin):
                 "silently mis-weighted after chunk padding)"
             )
         self.proba = proba / proba.sum()
+        if weights is not None:
+            weights = np.asarray(weights, np.float32)
+            if len(weights) != len(self.subspaces):
+                raise ValueError(
+                    f"weights and subspaces disagree: {len(weights)} weights "
+                    f"vs {len(self.subspaces)} masks"
+                )
+            if np.any(weights < 0) or not (
+                float((weights * (self.proba > 0)).sum()) > 0
+            ):
+                raise ValueError(
+                    "weights must be non-negative with a positive sum over "
+                    "the proba > 0 masks (zero-probability masks are always "
+                    "dropped before combining)"
+                )
+        self.weights = weights
         self.base = base
         self.k = k
         self.aggregation = aggregation
@@ -1671,6 +1708,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         self._threshold = None
         self._decision_scores = None
         self._pool_dev = None
+        self._vote_thr = None
 
     @classmethod
     def from_model(cls, model, subspace_count: int = 500, **kwargs):
@@ -1682,18 +1720,86 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         self._x_train = jnp.asarray(np.asarray(x_train), dtype=jnp.float32)
         self._threshold = None
         self._decision_scores = None
+        self._vote_thr = None
         return self
 
+    def _combining_weights(self) -> np.ndarray:
+        """Per-mask combination weights for the weighted-sum aggregations:
+        ``proba`` for 'average'/'vote' (or the user ``weights`` when given
+        for 'vote'), the user ``weights`` for 'weighted' (combo's
+        weighted-average). Zero-probability masks always drop (the
+        invariant every aggregation path honors), then renormalize."""
+        if self.weights is None or self.aggregation not in (
+            "weighted", "vote",
+        ):
+            return self.proba
+        w = self.weights * (self.proba > 0)
+        return (w / w.sum()).astype(np.float32)
+
+    @property
+    def _reduce_aggregation(self) -> str:
+        """The aggregation name the compiled reduce programs see:
+        'weighted' is 'average' over :meth:`_combining_weights`."""
+        return (
+            "average" if self.aggregation == "weighted" else self.aggregation
+        )
+
     def _device_pool(self):
-        """Device-resident (masks_f32, proba) pair, uploaded once per
-        instance — repeated ``decision_function`` calls must not pay a
-        host->device pool transfer per call (VERDICT round-3 item 3)."""
+        """Device-resident (masks_f32, combining-weights) pair, uploaded
+        once per instance — repeated ``decision_function`` calls must not
+        pay a host->device pool transfer per call (VERDICT round-3
+        item 3)."""
         if self._pool_dev is None:
             self._pool_dev = (
                 jnp.asarray(self.subspaces, jnp.float32),
-                jnp.asarray(self.proba, jnp.float32),
+                jnp.asarray(self._combining_weights(), jnp.float32),
             )
         return self._pool_dev
+
+    def _vote_thresholds(self) -> np.ndarray:
+        """Per-subspace decision thresholds for aggregation='vote': the
+        (1 - contamination) quantile of each subspace member's RAW scores
+        on the TRAIN set (each member is its own pyod-style detector;
+        combo's majority_vote then combines their labels). Raw scores —
+        a member's quantile threshold is scale-free, and cross-batch
+        zscore statistics would make train-derived thresholds
+        incomparable to test scores. Computed once per fit, cached."""
+        if self._vote_thr is None:
+            x_tr = np.asarray(self._x_train)
+            excl = isinstance(self.base, str) and self.base in _NEIGHBOR_BASES
+            if excl:
+                assert self.k < len(x_tr), (
+                    "vote thresholds need k < n_train (self-pairs are "
+                    "excluded when scoring the train rows)"
+                )
+            s_tr = self._raw_per_subspace(x_tr, exclude_self=excl)
+            self._vote_thr = np.quantile(
+                s_tr, 1.0 - self.contamination, axis=1
+            )
+        return self._vote_thr
+
+    def _vote_scores(
+        self, x_test: np.ndarray, exclude_self: bool = False
+    ) -> np.ndarray:
+        """Weighted fraction of subspace members voting 'outlier' (combo's
+        majority-vote combinator lifted to a [0, 1] score; ``predict``
+        applies the strict majority). Honors ``test_chunk`` (thresholds
+        are train-derived constants, so slicing the test axis is exact);
+        ``exclude_self`` calls bypass chunking as elsewhere (positional
+        alignment)."""
+        thr = self._vote_thresholds()
+        w = self._combining_weights().astype(np.float64)
+        x_test = np.asarray(x_test, np.float32)
+        tc = self.test_chunk if (
+            self.test_chunk is not None and not exclude_self
+        ) else len(x_test)
+        out = []
+        for i in range(0, len(x_test), max(tc, 1)):
+            s = self._raw_per_subspace(
+                x_test[i:i + tc], exclude_self=exclude_self
+            )
+            out.append(w @ (s > thr[:, None]))
+        return np.concatenate(out).astype(np.float32)
 
     def _train_matrix(self) -> np.ndarray:
         assert self._x_train is not None, "call fit(X_train) first"
@@ -1722,6 +1828,8 @@ class SubspaceEnsemble(PyodSurfaceMixin):
                 "exclude_self=True needs k < n_train (self-pairs are "
                 "excluded, so only n_train - 1 neighbors remain)"
             )
+        if self.aggregation == "vote":
+            return self._vote_scores(x_test, exclude_self=exclude_self)
         if (
             self.test_chunk is not None
             and not neighbor_excl
@@ -1780,7 +1888,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
             gmm_covariance=self.gmm_covariance,
         )
         masks_np, proba_np = _chunked_masks(
-            self.subspaces, self.proba, chunk, n_shards
+            self.subspaces, self._combining_weights(), chunk, n_shards
         )
 
         if self.mesh is None:
@@ -1789,7 +1897,8 @@ class SubspaceEnsemble(PyodSurfaceMixin):
                     x_test, self._x_train,
                     jnp.asarray(masks_np), jnp.asarray(proba_np),
                     scorer=scorer, k=k,
-                    aggregation=self.aggregation, normalize=self.normalize,
+                    aggregation=self._reduce_aggregation,
+                    normalize=self.normalize,
                 )
             return _per_subspace_chunked(
                 x_test, self._x_train, jnp.asarray(masks_np),
@@ -1807,7 +1916,8 @@ class SubspaceEnsemble(PyodSurfaceMixin):
                 proba_np, NamedSharding(self.mesh, PartitionSpec("data", None))
             )
             fn = _sharded_ensemble_fn(
-                self.mesh, scorer, k, self.aggregation, self.normalize
+                self.mesh, scorer, k, self._reduce_aggregation,
+                self.normalize,
             )
             return fn(x_r, tr_r, masks_sh, proba_sh)
         return _sharded_per_subspace_fn(self.mesh, scorer, k)(
@@ -1842,7 +1952,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         if self.mesh is not None:
             n_dev = self.mesh.shape["data"]
             masks_np = np.asarray(self.subspaces, np.float32)
-            proba_np = np.asarray(self.proba, np.float32)
+            proba_np = np.asarray(self._combining_weights(), np.float32)
             pad = (-masks_np.shape[0]) % n_dev
             if pad:
                 masks_np = np.concatenate(
@@ -1853,7 +1963,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
                 )
             fn = _sharded_fused_knn_fn(
                 self.mesh, int(self.k), mode, bool(exclude_self),
-                self.aggregation, self.normalize,
+                self._reduce_aggregation, self.normalize,
             )
             repl = NamedSharding(self.mesh, PartitionSpec())
             out = fn(
@@ -1874,7 +1984,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         return np.asarray(_fused_knn_ensemble_scores(
             x_test, self._x_train, masks_dev, proba_dev,
             k=int(self.k), mode=mode, exclude_self=bool(exclude_self),
-            aggregation=self.aggregation, normalize=self.normalize,
+            aggregation=self._reduce_aggregation, normalize=self.normalize,
             interpret=not on_tpu,
         ))
 
@@ -1891,6 +2001,14 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         neighbor down to the (k-1)-th). ``threshold_`` is refreshed on
         every call (with ``zscore`` it is batch-dependent by construction).
         """
+        if self.aggregation == "vote":
+            # strict weighted majority of the per-subspace labels (combo's
+            # majority_vote; ties are inliers — combo's argmax-on-counts
+            # picks label 0 there too). Thresholds are train-derived per
+            # member, so no combined batch is needed.
+            frac = self._vote_scores(x_test)
+            self._threshold = 0.5
+            return (frac > 0.5).astype(np.int64)
         x_train = np.asarray(self._x_train)
         x_test = np.asarray(x_test)
         if isinstance(self.base, str) and self.base in _NEIGHBOR_BASES:
@@ -1977,7 +2095,9 @@ class SubspaceEnsemble(PyodSurfaceMixin):
             elif self.aggregation == "max":
                 out.append(s[keep].max(axis=0))
             else:
-                out.append((self.proba[:, None] * s).sum(axis=0))
+                out.append(
+                    (self._combining_weights()[:, None] * s).sum(axis=0)
+                )
         return np.concatenate(out)
 
     def _raw_per_subspace(
@@ -2057,7 +2177,8 @@ class SubspaceEnsemble(PyodSurfaceMixin):
             _dim_ensemble_scores(
                 x_test, self._x_train, masks, proba,
                 base=self.base, n_bins=self.n_bins,
-                aggregation=self.aggregation, normalize=self.normalize,
+                aggregation=self._reduce_aggregation,
+                normalize=self.normalize,
             )
         )
 
@@ -2073,7 +2194,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
             return np.where(
                 self.proba[:, None] > 0, scores, -np.inf
             ).max(axis=0)
-        return (self.proba[:, None] * scores).sum(axis=0)
+        return (self._combining_weights()[:, None] * scores).sum(axis=0)
 
 
 def _dim_scores_impl(x_test, x_train, *, base, n_bins):

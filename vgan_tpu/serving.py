@@ -85,25 +85,32 @@ def _ensemble_score_fn(ensemble, max_batch: int = 4096):
     assert isinstance(ensemble.base, str) and ensemble.base in (
         *_BASE_SCORERS, *_DIM_BASES, *_PARAM_BASES,
     ), "only native base scorers export"
-    if ensemble.aggregation not in ("average", "max"):
+    if ensemble.aggregation not in ("average", "max", "weighted"):
         raise ValueError(
             f"aggregation={ensemble.aggregation!r} does not export: the "
             "serialized program reduces inside mask chunks, which cannot "
-            "express the 'aom'/'moa'/'median' whole-pool combinations — "
-            "export with aggregation='average'/'max', or use "
-            "export_per_subspace_scorer and combine on the serving side"
+            "express the 'aom'/'moa'/'median' whole-pool combinations "
+            "(nor 'vote', whose thresholds come from predict-time train "
+            "batches) — export with aggregation='average'/'max'/"
+            "'weighted', or use export_per_subspace_scorer and combine "
+            "on the serving side"
         )
     x_train = ensemble._x_train
 
+    # 'weighted' is 'average' over the ensemble's combining weights —
+    # exactly how the live paths compile it (_reduce_aggregation)
+    aggregation = ensemble._reduce_aggregation
+    comb_proba = ensemble._combining_weights()
+
     if ensemble.base in _DIM_BASES:
         flat_masks = jnp.asarray(ensemble.subspaces, dtype=jnp.float32)
-        flat_proba = jnp.asarray(ensemble.proba)
+        flat_proba = jnp.asarray(comb_proba)
 
         def score(x_test):
             return _dim_ensemble_scores(
                 x_test.astype(jnp.float32), x_train, flat_masks, flat_proba,
                 base=ensemble.base, n_bins=ensemble.n_bins,
-                aggregation=ensemble.aggregation,
+                aggregation=aggregation,
                 normalize=ensemble.normalize,
             )
     else:
@@ -117,7 +124,7 @@ def _ensemble_score_fn(ensemble, max_batch: int = 4096):
             gmm_covariance=ensemble.gmm_covariance,
         )
         masks_np, proba_np = _chunked_masks(
-            ensemble.subspaces, ensemble.proba, chunk
+            ensemble.subspaces, comb_proba, chunk
         )
         masks = jnp.asarray(masks_np)
         proba = jnp.asarray(proba_np)
@@ -126,7 +133,7 @@ def _ensemble_score_fn(ensemble, max_batch: int = 4096):
             return _local_chunked_scores(
                 x_test.astype(jnp.float32), x_train, masks, proba,
                 scorer=scorer, k=k,
-                aggregation=ensemble.aggregation,
+                aggregation=aggregation,
                 normalize=ensemble.normalize,
             )
 
@@ -183,12 +190,22 @@ def export_hetero_scorer(het, path, max_batch: int = 4096) -> None:
         assert d is None or d == d_m
         d = d_m
     combination = het.combination
+    if combination == "vote":
+        raise ValueError(
+            "combination='vote' cannot be exported as one program: each "
+            "member's labels come from its own predict-time train-batch "
+            "thresholding. Export the members individually (or use "
+            "export_per_subspace_scorer) and vote on the serving side."
+        )
+    weights = None if het.weights is None else jnp.asarray(
+        het.weights, jnp.float32
+    )
 
     def score(x_test):
         s = _standardize(
             jnp.stack([fn(x_test) for fn in member_fns]), xp=jnp
         )
-        combined, _ = _combine(s, combination, xp=jnp)
+        combined, _ = _combine(s, combination, xp=jnp, weights=weights)
         return combined
 
     batch = jax.export.symbolic_shape("b")[0]
