@@ -2775,3 +2775,176 @@ def test_hetero_weighted_and_vote(rng):
         HeterogeneousEnsemble(masks, proba, members=members,
                               combination="weighted",
                               weights=[-1.0, 1.0, 1.0])
+
+
+def test_jl_member_matches_manual_projection(rng):
+    """SubspaceEnsemble(jl_dim=m): fit draws the seeded Gaussian (d, m) JL
+    matrix and the member works in projected space — scores equal a plain
+    member fit on the explicitly projected data; predict/per_subspace/
+    decision_scores_ all accept original-d inputs; validation is loud."""
+    xtr = rng.normal(size=(60, 40)).astype(np.float32)
+    xte_in = rng.normal(size=(20, 40)).astype(np.float32)
+    xte = np.concatenate([xte_in, xte_in[:4] + 6.0])
+    m_dim = 8
+    masks = rng.uniform(size=(5, m_dim)) < 0.6
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.full(5, 0.2, np.float32)
+
+    ens = SubspaceEnsemble(
+        masks, proba, base="knn", k=5, jl_dim=m_dim, jl_seed=3,
+    ).fit(xtr)
+    s = ens.decision_function(xte)
+
+    # manual: same seeded draw, plain member on pre-projected data
+    r = np.random.default_rng(3).normal(
+        0.0, 1.0 / np.sqrt(m_dim), size=(40, m_dim)
+    ).astype(np.float32)
+    xtr_p = np.asarray(jnp.asarray(xtr) @ jnp.asarray(r))
+    xte_p = np.asarray(jnp.asarray(xte) @ jnp.asarray(r))
+    plain = SubspaceEnsemble(masks, proba, base="knn", k=5).fit(xtr_p)
+    np.testing.assert_allclose(
+        s, plain.decision_function(xte_p), rtol=1e-5, atol=1e-6
+    )
+
+    # the projection preserves the planted far outliers
+    assert s[20:].min() > np.median(s[:20])
+    # original-d entry points all work
+    assert ens.per_subspace_scores(xte).shape == (5, 24)
+    assert ens.predict(xte).shape == (24,)
+    assert ens.decision_scores_.shape == (60,)
+    # pre-projected input passes through (shape dispatch)
+    np.testing.assert_allclose(
+        ens.decision_function(xte_p), s, rtol=1e-5, atol=1e-6
+    )
+
+    with pytest.raises(ValueError, match="PROJECTED space"):
+        SubspaceEnsemble(np.ones((1, 40), bool), np.ones(1), base="knn",
+                         jl_dim=8)
+    with pytest.raises(ValueError, match="must be <"):
+        SubspaceEnsemble(np.ones((1, 40), bool), np.ones(1), base="knn",
+                         jl_dim=40).fit(xtr)
+    with pytest.raises(ValueError, match="features"):
+        ens.decision_function(xte[:, :17])
+
+
+def test_jl_member_serving_export(rng):
+    """A JL member's exported program takes ORIGINAL-d input and embeds
+    the projection matmul in-graph."""
+    import os
+    import tempfile
+
+    from vgan_tpu.serving import export_ensemble_scorer, load_ensemble_scorer
+
+    xtr = rng.normal(size=(50, 30)).astype(np.float32)
+    xte = rng.normal(size=(12, 30)).astype(np.float32)
+    ens = SubspaceEnsemble(
+        np.ones((1, 6), bool), np.ones(1, np.float32), base="knn", k=4,
+        jl_dim=6, normalize=None,
+    ).fit(xtr)
+    p = os.path.join(tempfile.mkdtemp(), "jl.bin")
+    export_ensemble_scorer(ens, p)
+    s2 = np.asarray(load_ensemble_scorer(p)(jnp.asarray(xte)))
+    np.testing.assert_allclose(
+        s2, ens.decision_function(xte), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_score_distiller_oracle(rng):
+    """The RFF-ridge distiller approximates a smooth score surface: fit on
+    train scores, rank-correlate > 0.95 with the true detector scores on
+    HELD-OUT points near the train support (suod's approximation contract:
+    the regressor replaces the detector for inference)."""
+    from vgan_tpu.ensemble import ScoreDistiller
+
+    xtr = rng.normal(size=(300, 6)).astype(np.float32)
+    xte = np.concatenate([
+        rng.normal(size=(60, 6)).astype(np.float32),
+        rng.normal(size=(12, 6)).astype(np.float32) * 2.0,
+    ])
+    masks = np.ones((1, 6), bool)
+    det = SubspaceEnsemble(
+        masks, np.ones(1, np.float32), base="knn", k=8, normalize=None,
+    ).fit(xtr)
+    s_tr = det.decision_function(xtr, exclude_self=True)
+    s_te = det.decision_function(xte)
+
+    dist = ScoreDistiller(n_features=512, seed=0).fit(xtr, s_tr)
+    approx = dist.predict(xte)
+    from scipy.stats import spearmanr
+
+    rho = spearmanr(approx, s_te).statistic
+    assert rho > 0.95, f"distilled ranking degraded: spearman {rho:.3f}"
+
+    with pytest.raises(ValueError, match="disagree"):
+        ScoreDistiller().fit(xtr, s_tr[:10])
+    with pytest.raises(ValueError, match="n_features"):
+        ScoreDistiller(n_features=0)
+    with pytest.raises(ValueError, match="ridge"):
+        ScoreDistiller(ridge=0.0)
+
+
+def test_hetero_distill_and_export(rng):
+    """HeterogeneousEnsemble.distill: distilled members score through the
+    regressor (ranking preserved vs the exact ensemble), votes work, the
+    exported program embeds the distiller, and refit clears distillers."""
+    import os
+    import tempfile
+
+    from scipy.stats import spearmanr
+
+    from vgan_tpu.ensemble import HeterogeneousEnsemble
+    from vgan_tpu.serving import export_hetero_scorer, load_ensemble_scorer
+
+    xtr = rng.normal(size=(200, 6)).astype(np.float32)
+    xte_in = rng.normal(size=(40, 6)).astype(np.float32)
+    xte = np.concatenate([xte_in, xte_in[:8] * 2.5])
+    masks = rng.uniform(size=(6, 6)) < 0.5
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.full(6, 1 / 6)
+    members = [{"base": "knn", "k": 5}, {"base": "hbos"}]
+
+    het = HeterogeneousEnsemble(masks, proba, members=members).fit(xtr)
+    exact = het.decision_function(xte)
+    het.distill(members=[0], n_features=512)
+    assert het.distilled_members_ == [0]
+    approx = het.decision_function(xte)
+    rho = spearmanr(exact, approx).statistic
+    assert rho > 0.9, f"distilled ensemble ranking degraded: {rho:.3f}"
+
+    labels = HeterogeneousEnsemble(
+        masks, proba, members=members, combination="vote",
+    ).fit(xtr).distill(members=[0], n_features=256).predict(xte)
+    assert labels.shape == (48,)
+
+    p = os.path.join(tempfile.mkdtemp(), "het_distilled.bin")
+    export_hetero_scorer(het, p)
+    s2 = np.asarray(load_ensemble_scorer(p)(jnp.asarray(xte)))
+    np.testing.assert_allclose(s2, approx, rtol=1e-3, atol=1e-4)
+
+    het.fit(xtr)  # refit clears the approximation stage
+    assert het.distilled_members_ == []
+
+
+def test_hetero_jl_member_mixed_pool(rng):
+    """A JL member (default full-projected pool) mixes with ordinary
+    members: suod's projection stage composes with the heterogeneous
+    combination, and _train_matrix stays in ORIGINAL space."""
+    from vgan_tpu.ensemble import HeterogeneousEnsemble
+
+    xtr = rng.normal(size=(60, 30)).astype(np.float32)
+    xte_in = rng.normal(size=(20, 30)).astype(np.float32)
+    xte = np.concatenate([xte_in, xte_in[:4] + 6.0])
+    masks = rng.uniform(size=(5, 30)) < 0.4
+    masks[~masks.any(axis=1), 0] = True
+    proba = np.full(5, 0.2)
+
+    het = HeterogeneousEnsemble(
+        masks, proba,
+        members=[{"base": "knn", "k": 5},
+                 {"base": "knn", "k": 5, "jl_dim": 6, "jl_seed": 1}],
+    ).fit(xtr)
+    assert het._train_matrix().shape == (60, 30)
+    s = het.decision_function(xte)
+    assert s.shape == (24,)
+    assert s[20:].min() > np.median(s[:20])
+    assert het.predict(xte).shape == (24,)

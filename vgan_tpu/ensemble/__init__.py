@@ -1,5 +1,6 @@
 """Subspace-ensemble outlier detection over V-GAN-sampled projections."""
 
+from vgan_tpu.ensemble.distill import ScoreDistiller
 from vgan_tpu.ensemble.hetero import HeterogeneousEnsemble
 from vgan_tpu.ensemble.iforest import iforest_scores, iforest_scores_masked
 from vgan_tpu.ensemble.od import (
@@ -23,6 +24,7 @@ from vgan_tpu.ensemble.od import (
 __all__ = [
     "SubspaceEnsemble",
     "HeterogeneousEnsemble",
+    "ScoreDistiller",
     "abod_scores_masked",
     "cblof_scores_masked",
     "cof_scores_masked",

@@ -10,6 +10,12 @@ score-alignment step — knn distances and -log ECDF tails live on
 incomparable scales), and the standardized member scores combine by
 'average' or 'max' (pyod/combo's two canonical combinators).
 
+suod's three acceleration stages are all covered: per-detector JL random
+projection (a member dict with ``jl_dim=`` — see
+``SubspaceEnsemble(jl_dim=...)``), balanced scheduling (the ``mesh=``
+sharding paths), and pseudo-supervised approximation (:meth:`distill` —
+an RFF-ridge regressor per member replaces the detector at inference).
+
 Every member rides its own fast path (fused Pallas KNN kernel, dim-base
 matmuls, shard_map over ``mesh=``) — heterogeneity costs one extra
 standardize+reduce, not a Python loop over detectors.
@@ -88,7 +94,9 @@ class HeterogeneousEnsemble(PyodSurfaceMixin):
         ``subspaces``/``proba`` to score a different pool (suod-style —
         e.g. a learned-pool member combined with a
         :func:`~vgan_tpu.ensemble.od.random_subspaces` feature-bagging
-        member).
+        member). A member with ``jl_dim=m`` works in its own JL-projected
+        space (suod's projection stage); without an explicit pool it
+        scores the full projected space.
     combination:
         'average' (mean of standardized member scores), 'max'
         (suod/combo's maximization combinator), 'median' (combo's median
@@ -173,6 +181,15 @@ class HeterogeneousEnsemble(PyodSurfaceMixin):
                     "a member overriding the pool must carry BOTH "
                     f"'subspaces' and 'proba'; got only one in {m!r}"
                 )
+            if kwargs.get("jl_dim") is not None and "subspaces" not in kwargs:
+                # suod's JL stage scores the full PROJECTED space; a JL
+                # member without an explicit pool gets the single all-ones
+                # mask over the projected dims (a custom pool must live in
+                # projected coordinates — SubspaceEnsemble validates)
+                kwargs["subspaces"] = np.ones(
+                    (1, int(kwargs["jl_dim"])), bool
+                )
+                kwargs["proba"] = np.ones(1, np.float32)
             m_subs = kwargs.pop("subspaces", subspaces)
             m_proba = kwargs.pop("proba", proba)
             self.members.append(
@@ -183,6 +200,8 @@ class HeterogeneousEnsemble(PyodSurfaceMixin):
         self._threshold = None
         self._member_weights = None
         self._decision_scores = None
+        self._x_train_orig = None
+        self._distillers = {}
 
     @classmethod
     def from_model(cls, model, subspace_count: int = 500, **kwargs):
@@ -191,15 +210,18 @@ class HeterogeneousEnsemble(PyodSurfaceMixin):
         return cls(model.subspaces, model.proba, **kwargs)
 
     def fit(self, x_train: np.ndarray):
+        self._x_train_orig = np.asarray(x_train, np.float32)
         for m in self.members:
             m.fit(x_train)
         self._decision_scores = None
+        self._distillers = {}
         return self
 
     def _train_matrix(self) -> np.ndarray:
-        x_train = self.members[0]._x_train
-        assert x_train is not None, "call fit(X_train) first"
-        return np.asarray(x_train)
+        # the ORIGINAL-space train matrix: a member may work in its own
+        # JL-projected space, so members[0]._x_train is not a safe proxy
+        assert self._x_train_orig is not None, "call fit(X_train) first"
+        return self._x_train_orig
 
     def _calibration_scores(self, x_test: np.ndarray):
         """``predict_proba`` calibration via ONE combined train+test pass.
@@ -227,18 +249,64 @@ class HeterogeneousEnsemble(PyodSurfaceMixin):
         scores = self.decision_function(both, exclude_self=True)
         return scores[:n_tr], scores[n_tr:]
 
+    def distill(self, members=None, n_features: int = 256,
+                ridge: float = 1e-4, seed: int = 0):
+        """suod's pseudo-supervised approximation stage: fit a fast
+        supervised regressor per member on ``(X_train -> member's train
+        scores)`` and serve the regressor instead of the detector — a
+        distilled member's inference is two matmuls regardless of its
+        base family's cost (and, unlike suod's RandomForestRegressor, it
+        serializes into the exported StableHLO program — see
+        :class:`vgan_tpu.ensemble.distill.ScoreDistiller`).
+
+        ``members`` selects which member indices to distill (default:
+        all). Train scores are the member's own ``decision_function`` on
+        the ORIGINAL-space train matrix with neighbor self-pairs excluded
+        (pyod's fit-score semantics; the approximator itself has no
+        self-pair concept — suod's has the same property). Call after
+        ``fit``; refit clears distillers. Returns self."""
+        from vgan_tpu.ensemble.distill import ScoreDistiller
+
+        x_tr = self._train_matrix()
+        idxs = range(len(self.members)) if members is None else members
+        for i in idxs:
+            m = self.members[i]
+            neighbor = isinstance(m.base, str) and m.base in _NEIGHBOR_BASES
+            s_tr = np.asarray(
+                m.decision_function(x_tr, exclude_self=neighbor),
+                np.float64,
+            )
+            self._distillers[int(i)] = ScoreDistiller(
+                n_features=n_features, ridge=ridge, seed=seed + int(i),
+            ).fit(x_tr, s_tr)
+        return self
+
+    @property
+    def distilled_members_(self):
+        """Sorted indices of the currently distilled members."""
+        return sorted(self._distillers)
+
     def member_scores(
         self, x_test: np.ndarray, exclude_self: bool = False
     ) -> np.ndarray:
         """(n_members, nt) standardized member scores. ``exclude_self``
         reaches the neighbor-based members only (distribution-based bases
-        ignore it, as in ``SubspaceEnsemble.decision_function``)."""
+        ignore it, as in ``SubspaceEnsemble.decision_function``).
+        Distilled members (see :meth:`distill`) score through their
+        regressor — original-space input, no exclude_self concept."""
         rows = []
-        for m in self.members:
-            neighbor = isinstance(m.base, str) and m.base in _NEIGHBOR_BASES
-            s = m.decision_function(
-                x_test, exclude_self=exclude_self and neighbor
-            )
+        for i, m in enumerate(self.members):
+            if i in self._distillers:
+                s = self._distillers[i].predict(
+                    np.asarray(x_test, np.float32)
+                )
+            else:
+                neighbor = (
+                    isinstance(m.base, str) and m.base in _NEIGHBOR_BASES
+                )
+                s = m.decision_function(
+                    x_test, exclude_self=exclude_self and neighbor
+                )
             rows.append(np.asarray(s, np.float64))
         return _standardize(np.stack(rows)).astype(np.float32)
 
@@ -254,7 +322,9 @@ class HeterogeneousEnsemble(PyodSurfaceMixin):
         one-batch semantics, so ``exclude_self`` is internal there)."""
         if self.combination == "vote":
             labels = np.stack([
-                m.predict(x_test).astype(np.float64) for m in self.members
+                self._member_labels(i, x_test) for i in range(
+                    len(self.members)
+                )
             ])
             w = (
                 np.full(len(self.members), 1.0 / len(self.members))
@@ -268,6 +338,20 @@ class HeterogeneousEnsemble(PyodSurfaceMixin):
         if self.combination == "select":
             self._member_weights = w.astype(np.float32)
         return combined.astype(np.float32)
+
+    def _member_labels(self, i: int, x_test: np.ndarray) -> np.ndarray:
+        """One member's 0/1 vote: its own ``predict``, or — when distilled
+        — the regressor's scores thresholded at the (1 - contamination)
+        quantile of the regressor's TRAIN scores (the distilled analogue
+        of pyod's fit-time threshold)."""
+        m = self.members[i]
+        if i not in self._distillers:
+            return m.predict(x_test).astype(np.float64)
+        dist = self._distillers[i]
+        s_tr = dist.predict(self._train_matrix())
+        thr = np.quantile(s_tr, 1.0 - self.contamination)
+        s_te = dist.predict(np.asarray(x_test, np.float32))
+        return (s_te > thr).astype(np.float64)
 
     @property
     def member_weights_(self) -> Optional[np.ndarray]:

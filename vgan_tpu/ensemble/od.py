@@ -1537,6 +1537,15 @@ class SubspaceEnsemble(PyodSurfaceMixin):
     contamination:
         expected outlier fraction; sets the ``predict`` threshold at the
         (1 - contamination) quantile of the train scores (pyod semantics).
+    jl_dim, jl_seed:
+        optional Johnson-Lindenstrauss random projection (suod's
+        per-detector dimensionality-reduction stage,
+        /root/reference/requirements.txt:68): ``fit`` draws a seeded
+        Gaussian (d, jl_dim) matrix and the member works entirely in the
+        projected space — ``subspaces`` must then have ``jl_dim`` columns
+        (a full-projected-space member passes ``np.ones((1, jl_dim))``),
+        and every scoring entry point projects original-d inputs
+        in-graph (one MXU matmul; the serving export embeds it).
     chunk:
         subspace-axis chunk size bounding the (chunk, nt, ntr) distance
         block in memory.
@@ -1589,6 +1598,8 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         cluster_init: str = "rows",
         gmm_covariance: str = "diag",
         test_chunk: Optional[int] = None,
+        jl_dim: Optional[int] = None,
+        jl_seed: int = 0,
     ):
         if aggregation not in (
             "average", "max", "aom", "moa", "median", "weighted", "vote",
@@ -1657,6 +1668,22 @@ class SubspaceEnsemble(PyodSurfaceMixin):
                 f"{sorted(_BASE_SCORERS)} + {sorted(_DIM_BASES)} + "
                 f"{sorted(_PARAM_BASES)} or a pyod-style detector instance"
             )
+        if jl_dim is not None:
+            if not (isinstance(jl_dim, (int, np.integer)) and jl_dim >= 1):
+                raise ValueError(
+                    f"jl_dim must be a positive int or None; got {jl_dim!r}"
+                )
+            if np.asarray(subspaces).shape[1] != jl_dim:
+                raise ValueError(
+                    f"with jl_dim={jl_dim} the subspace masks live in the "
+                    f"PROJECTED space and must have {jl_dim} columns; got "
+                    f"{np.asarray(subspaces).shape[1]} (suod's JL stage "
+                    "projects the data each detector sees — a full-"
+                    "projected-space member passes np.ones((1, jl_dim)))"
+                )
+        self.jl_dim = jl_dim
+        self.jl_seed = int(jl_seed)
+        self._jl_R = None
         self.subspaces = np.asarray(subspaces, dtype=bool)
         proba = np.asarray(proba, dtype=np.float32)
         if len(proba) != len(self.subspaces):
@@ -1717,11 +1744,55 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         return cls(model.subspaces, model.proba, **kwargs)
 
     def fit(self, x_train: np.ndarray):
-        self._x_train = jnp.asarray(np.asarray(x_train), dtype=jnp.float32)
+        x_train = np.asarray(x_train)
+        if self.jl_dim is not None:
+            d = x_train.shape[1]
+            if not self.jl_dim < d:
+                raise ValueError(
+                    f"jl_dim={self.jl_dim} must be < the input dimension "
+                    f"{d} (JL projection reduces; equal or larger is a "
+                    "no-op that breaks the projected/original shape "
+                    "dispatch)"
+                )
+            # Gaussian JL matrix, seeded — suod's per-detector random
+            # projection stage (requirements.txt:68). One (d, m) constant;
+            # train/test projections are single MXU matmuls.
+            rng = np.random.default_rng(self.jl_seed)
+            self._jl_R = jnp.asarray(
+                rng.normal(0.0, 1.0 / np.sqrt(self.jl_dim),
+                           size=(d, self.jl_dim)),
+                jnp.float32,
+            )
+        self._x_train = jnp.asarray(
+            self._project(x_train), dtype=jnp.float32
+        )
         self._threshold = None
         self._decision_scores = None
         self._vote_thr = None
         return self
+
+    def _project(self, x):
+        """JL-project ``x`` into the member's working space (suod's
+        per-detector random-projection stage). Shape-dispatched so every
+        internal path is projection-idempotent: original-d inputs project,
+        already-projected (jl_dim-column) inputs pass through — the two
+        widths cannot collide because fit enforces jl_dim < d. numpy in ->
+        numpy out (the host aggregation paths), jnp in -> jnp out."""
+        if self._jl_R is None:
+            return x
+        d, m = self._jl_R.shape
+        if x.shape[1] == m:
+            return x
+        if x.shape[1] != d:
+            raise ValueError(
+                f"input has {x.shape[1]} features; this JL member was fit "
+                f"on {d} (projects to {m})"
+            )
+        if isinstance(x, np.ndarray):
+            return np.asarray(
+                jnp.asarray(x, jnp.float32) @ self._jl_R
+            )
+        return jnp.asarray(x, jnp.float32) @ self._jl_R
 
     def _combining_weights(self) -> np.ndarray:
         """Per-mask combination weights for the weighted-sum aggregations:
@@ -1818,6 +1889,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         hbos/ecod/pyod instances) inherently include the point, as in
         pyod."""
         assert self._x_train is not None, "call fit(X_train) first"
+        x_test = self._project(np.asarray(x_test))
         neighbor_excl = exclude_self and isinstance(self.base, str) and (
             self.base in _NEIGHBOR_BASES
         )
@@ -2010,7 +2082,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
             self._threshold = 0.5
             return (frac > 0.5).astype(np.int64)
         x_train = np.asarray(self._x_train)
-        x_test = np.asarray(x_test)
+        x_test = np.asarray(self._project(np.asarray(x_test)))
         if isinstance(self.base, str) and self.base in _NEIGHBOR_BASES:
             assert self.k < len(x_train), (
                 "predict needs k < n_train (self-pairs are excluded when "
@@ -2107,6 +2179,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         ``per_subspace_scores``; the test-chunked paths normalize with
         GLOBAL moments instead of per-call batch moments)."""
         assert self._x_train is not None, "call fit(X_train) first"
+        x_test = self._project(np.asarray(x_test))
         if not isinstance(self.base, str):
             return self._pyod_per_subspace_raw(np.asarray(x_test))
         if self.base in _DIM_BASES:

@@ -137,6 +137,17 @@ def _ensemble_score_fn(ensemble, max_batch: int = 4096):
                 normalize=ensemble.normalize,
             )
 
+    if ensemble._jl_R is not None:
+        # suod's JL stage: the member's working space is projected, so the
+        # exported program takes ORIGINAL-d inputs and embeds the (d, m)
+        # projection matmul in-graph
+        inner = score
+        jl_r = ensemble._jl_R
+
+        def score(x_test):
+            return inner(x_test.astype(jnp.float32) @ jl_r)
+
+        return score, int(jl_r.shape[0])
     return score, x_train.shape[1]
 
 
@@ -184,10 +195,21 @@ def export_hetero_scorer(het, path, max_batch: int = 4096) -> None:
 
     member_fns = []
     d = None
-    for m in het.members:
-        fn, d_m = _ensemble_score_fn(m, max_batch=max_batch)
+    for i, m in enumerate(het.members):
+        if i in het._distillers:
+            # distilled member: the RFF-ridge regressor IS the member's
+            # score function (two matmuls, original-space input) — suod's
+            # approximation stage, serialized in-graph
+            fn = het._distillers[i]._predict_jnp
+            d_m = int(het._train_matrix().shape[1])
+        else:
+            fn, d_m = _ensemble_score_fn(m, max_batch=max_batch)
         member_fns.append(fn)
-        assert d is None or d == d_m
+        assert d is None or d == d_m, (
+            "members disagree on the ORIGINAL input dimension — JL "
+            "members embed their projection, so every member fn takes "
+            f"original-d input (got {d} vs {d_m})"
+        )
         d = d_m
     combination = het.combination
     if combination == "vote":
