@@ -384,28 +384,59 @@ def main():
         lines.append(f"- **{base}** — " + "; ".join(parts))
     lines += [
         "",
-        "**Adversarial kernel learning (kl) verdict**: see the pairwise "
-        "table above — this paragraph is interpretive prose maintained in "
-        "examples/od_quality_table.py alongside the run that produced the "
-        "numbers.",
+        "**Adversarial kernel learning (kl) verdict** (prose maintained in "
+        "examples/od_quality_table.py next to the run that produced the "
+        "numbers; the pairwise counts above are generated). Two findings, "
+        "one positive and one deflationary:",
         "",
-        "**Learned vs random bagging**: the learned pool's edge "
-        "concentrates where subspace choice matters most per member — "
-        "iforest and loda — while for the stable distance/histogram bases "
-        "a 100-member random pool already averages out the noise "
-        "dimensions, matching the ~10-unique-subspace learned pool. Where "
-        "the subspace ensemble loses to the FULL space (hbos/copod/knn on "
-        "these tasks), random bagging loses the same way — i.e. those are "
-        "cases where projection itself doesn't pay, not where the LEARNED "
-        "distribution is worse than random.",
+        "1. *The kl ensemble is the best learned pool on this benchmark.* "
+        "kl(trained) beats no-kl on 45/65 real pairs (+0.019 mean AUC), "
+        "random feature bagging on 46/65 (+0.019), and the full-space "
+        "detector on 45/65 (+0.035). It also repairs no-kl's round-3 "
+        "losses: on the knn/lof/kde/cblof rows where no-kl trailed fb, "
+        "kl(trained) draws level or wins (per-base view above). The only "
+        "bases where it still loses to fb/full are the dim-decomposable "
+        "marginal detectors (hbos/copod), where projection itself does "
+        "not pay — consistent with the round-3 diagnosis.",
         "",
-        "**Honest negative result on the * stress rows**: the learned "
-        "operator does NOT isolate the 8-dim rank-3 factor block at d=128 "
-        "under this training budget — the sampled masks' informative-dim "
+        "2. *The edge is mask GEOMETRY, not adversarial optimization.* "
+        "kl(trained) vs kl(ref) — identical in everything except that "
+        "kl(ref)'s generator is detached exactly as the reference's "
+        "torch `Variable()` bug detaches it — is a coin flip: 31/65, "
+        "+0.001 mean AUC. The kl architecture's INIT-time mask "
+        "distribution (a few large, near-complementary ~d/2 subspaces "
+        "from the N(0, 0.1) init through upper_softmax binarization) "
+        "already delivers nearly all of the kl ensemble's advantage; "
+        "500 epochs of the paper-intended adversarial training move the "
+        "pool little on these tasks. Where training does matter it can "
+        "matter a lot in BOTH directions per-dataset (mahalanobis on "
+        "digits1v7/3v8: detached 0.952/0.888 -> trained 0.971/0.989, "
+        "recovering toward no-kl's 1.000). So the reference's "
+        "never-trained kl generator — the Variable() detach this repo "
+        "documented in round 1 — turns out to be nearly harmless on the "
+        "paper's own task family: the geometry it freezes is the asset.",
+        "",
+        "**Learned vs random bagging**: kl(trained)'s edge over fb is "
+        "broad (abod/iforest/loda/gmm strongest, +0.03-0.05); no-kl's "
+        "is narrow (iforest/loda only). For the stable distance bases a "
+        "100-member random pool averages out the noise dimensions, which "
+        "is why no-kl's ~10-unique-subspace pool only matches it — the "
+        "kl pool's larger masks retain more signal per member. Where "
+        "learned pools lose to the FULL space (hbos/copod), random "
+        "bagging loses the same way — projection itself doesn't pay "
+        "there, the LEARNED distribution is not the problem.",
+        "",
+        "**Honest negative result on the * stress rows**: no learned "
+        "operator isolates the 8-dim rank-3 factor block at d=128 "
+        "under this training budget — the no-kl masks' informative-dim "
         "fraction stays at the 8/128 base rate from 50 through 2000 "
-        "epochs (measured), so the subspace ensemble neither exploits nor "
-        "destroys the signal there and the full-space detector's small "
-        "edge persists. The paper's mechanism requires the operator to "
+        "epochs (measured), and kl(trained) == kl(ref) on every stress "
+        "row (the adversarial training moves nothing there either), so "
+        "the subspace ensembles neither exploit nor destroy the signal "
+        "and the full-space detector's small edge persists on the "
+        "distance bases. The kl pools still clear no-kl by +0.03-0.05 on "
+        "these rows — pure geometry again: ~d/2 masks keep ~4 of the 8 "
+        "informative dims per member, no-kl's smaller masks keep fewer. The paper's mechanism requires the operator to "
         "find the subspace; when the subspace signal is distributional "
         "but weak per-dimension (a spread factor block rather than "
         "distinct marginal structure), V-GAN training at reference "
