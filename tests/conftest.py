@@ -47,3 +47,36 @@ if os.environ.get("VGAN_TPU_DEBUG_NANS") == "1":
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# Fast smoke tier (round-3 VERDICT item 8): `pytest -m fast` runs one quick,
+# representative test per subsystem in well under 2 minutes on the degraded
+# 1-vCPU CI host — the pre-commit check; the full suite stays the CI gate.
+# Kept HERE (not as decorators) so the tier is one auditable list.
+# ---------------------------------------------------------------------------
+_FAST_TESTS = {
+    "tests/test_activations.py::test_binarize_mask",
+    "tests/test_adadelta.py::test_adadelta_traced_mask",
+    "tests/test_api.py::test_defaults_match_reference",
+    "tests/test_api.py::test_no_kl_fit_history_and_state",
+    "tests/test_checkpoint.py::test_checkpoint_class_mismatch_rejected",
+    "tests/test_cli.py::test_unknown_subcommand_fails",
+    "tests/test_data.py::test_load_tabular_npy_npz",
+    "tests/test_ensemble.py::test_median_aggregation",
+    "tests/test_io_native.py::test_csv_parity",
+    "tests/test_lockstep.py::test_no_kl_lockstep_five_steps",
+    "tests/test_mmd.py::test_pairwise_sq_dists_matches_naive",
+    "tests/test_mmd_test.py::test_statistic_matches_naive",
+    "tests/test_models.py::test_generator_big_shapes_and_widths",
+    "tests/test_pallas_gram.py::test_forward_matches_jnp",
+    "tests/test_parallel.py::test_feature_sharded_mmd_matches",
+    "tests/test_serving.py::test_export_load_roundtrip",
+    "tests/test_train.py::test_no_kl_epoch_runs_and_freezes_bandwidth",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.nodeid.split("[")[0] in _FAST_TESTS:
+            item.add_marker(pytest.mark.fast)
