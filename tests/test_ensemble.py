@@ -2948,3 +2948,69 @@ def test_hetero_jl_member_mixed_pool(rng):
     assert s.shape == (24,)
     assert s[20:].min() > np.median(s[:20])
     assert het.predict(xte).shape == (24,)
+
+
+def test_streaming_knn_merge_large_k_scan_path(rng, monkeypatch):
+    """k in (_KPASS_UNROLL_MAX, _KPASS_MAX_K]: the lax.scan k-pass merge
+    (round-4 extension past the old k<=32 unroll cap) is exact vs the
+    dense sort, ties broken by smallest index, exclude_self honored."""
+    import vgan_tpu.ensemble.od as od
+
+    xtr = rng.normal(size=(300, 6)).astype(np.float32)
+    # duplicate rows force value ties across blocks
+    xtr[150:180] = xtr[:30]
+    xte = np.concatenate([xtr[:20], rng.normal(size=(15, 6)).astype(np.float32)])
+    mask = jnp.asarray(np.array([1, 1, 0, 1, 1, 0], bool))
+    k = 64
+    assert od._KPASS_UNROLL_MAX < k <= od._KPASS_MAX_K
+
+    monkeypatch.setattr(od, "STREAM_NTR", 50)
+    monkeypatch.setattr(od, "_MERGE_BLOCK", 64)
+    for excl in (False, True):
+        vals, idx = od._masked_knn_streaming(
+            jnp.asarray(xte), jnp.asarray(xtr), mask, k, excl
+        )
+        d2 = od._masked_sq_dists(jnp.asarray(xte), jnp.asarray(xtr), mask)
+        if excl:
+            d2 = od._mask_diagonal(d2)
+        dense = np.sort(np.asarray(d2), axis=1)[:, :k]
+        np.testing.assert_allclose(
+            np.asarray(vals), dense, rtol=1e-6, atol=1e-6,
+            err_msg=f"exclude_self={excl}",
+        )
+        # indices must be a valid realization (value at idx == val) and
+        # strictly lexicographically increasing per row
+        gathered = np.take_along_axis(
+            np.asarray(d2), np.asarray(idx), axis=1
+        )
+        np.testing.assert_allclose(gathered, np.asarray(vals),
+                                   rtol=1e-6, atol=1e-6)
+        pairs = np.stack([np.asarray(vals), np.asarray(idx)], axis=-1)
+        assert np.all(
+            (pairs[:, 1:, 0] > pairs[:, :-1, 0])
+            | ((pairs[:, 1:, 0] == pairs[:, :-1, 0])
+               & (pairs[:, 1:, 1] > pairs[:, :-1, 1]))
+        ), "merge order must be lexicographic (value, index)"
+
+
+def test_streaming_knn_merge_above_cap_warns(rng, monkeypatch):
+    """k > _KPASS_MAX_K falls back to the per-block sort — still exact,
+    but loudly flagged as the slow regime."""
+    import vgan_tpu.ensemble.od as od
+
+    xtr = rng.normal(size=(400, 5)).astype(np.float32)
+    xte = rng.normal(size=(10, 5)).astype(np.float32)
+    mask = jnp.ones(5, bool)
+    k = od._KPASS_MAX_K + 8
+
+    monkeypatch.setattr(od, "STREAM_NTR", 50)
+    monkeypatch.setattr(od, "_MERGE_BLOCK", 256)
+    with pytest.warns(RuntimeWarning, match="slower than the k-pass"):
+        vals, _ = od._masked_knn_streaming(
+            jnp.asarray(xte), jnp.asarray(xtr), mask, k, False
+        )
+    d2 = np.sort(
+        np.asarray(od._masked_sq_dists(jnp.asarray(xte), jnp.asarray(xtr),
+                                       mask)), axis=1
+    )[:, :k]
+    np.testing.assert_allclose(np.asarray(vals), d2, rtol=1e-6, atol=1e-6)

@@ -185,7 +185,8 @@ def _scan_masked_d2_blocks(x_test, x_train, mask, body, init, blk=None):
 # extraction the fused Pallas kernel does in VMEM) — measured 5.6x on chip
 # at nt=4096, ntr=20000, k=10 (1.45 s -> 0.26 s per 25-mask chunk).
 _MERGE_BLOCK = 2048
-_KPASS_MAX_K = 32
+_KPASS_MAX_K = 128      # above: approx_min_k per block, with a loud warning
+_KPASS_UNROLL_MAX = 16  # larger k runs the SAME passes under lax.scan
 
 
 def _masked_knn_streaming(
@@ -198,10 +199,12 @@ def _masked_knn_streaming(
     A ``lax.scan`` carries the running (nt, k) smallest values/indices —
     the (nt, ntr) matrix never exists, so n_train is unbounded at
     O(nt x block) memory per mask in flight. Each block merges into the
-    carry via k lexicographic (value, index) min/mask passes for
-    k <= ``_KPASS_MAX_K`` (exact incl. ties, deterministic smallest-index
-    order — VPU reductions, no sort) or ``approx_min_k`` in exact mode
-    above it (k passes would scan the row k times). Returns ascending
+    carry via k lexicographic (value, index) min/mask passes (exact incl.
+    ties, deterministic smallest-index order — VPU reductions, no sort):
+    unrolled for k <= ``_KPASS_UNROLL_MAX``, the same passes under a
+    ``lax.scan`` up to ``_KPASS_MAX_K`` (linear cost in k, O(1) program
+    size), and ``approx_min_k`` in exact mode above that — a several-times
+    slower regime that warns loudly (docs/SCALING.md). Returns ascending
     ``(d2_vals (nt, k), train_idx (nt, k))``.
     """
     nt = x_test.shape[0]
@@ -221,24 +224,41 @@ def _masked_knn_streaming(
         )
         return cand_vals, cand_idx
 
+    def _one_pass(cand_vals, cand_idx, lv, li):
+        """Extract the lexicographically-next (value, index) pair after
+        (lv, li) from each candidate row — one VPU min-reduction pair."""
+        elig = (cand_vals > lv) | ((cand_vals == lv) & (cand_idx > li))
+        mvals = jnp.where(elig, cand_vals, big)
+        cur = jnp.min(mvals, axis=1, keepdims=True)
+        curi = jnp.min(
+            jnp.where(mvals == cur, cand_idx, int_big),
+            axis=1, keepdims=True,
+        )
+        return cur, curi
+
     def body_kpass(carry, d2, cols):
         cand_vals, cand_idx = candidates(carry, d2, cols)
         lv = jnp.full((nt, 1), -jnp.inf, x_test.dtype)
         li = jnp.full((nt, 1), jnp.int32(-(2**31)) + 1, jnp.int32)
-        out_v, out_i = [], []
-        for _ in range(k):
-            elig = (cand_vals > lv) | ((cand_vals == lv) & (cand_idx > li))
-            mvals = jnp.where(elig, cand_vals, big)
-            cur = jnp.min(mvals, axis=1, keepdims=True)
-            curi = jnp.min(
-                jnp.where(mvals == cur, cand_idx, int_big),
-                axis=1, keepdims=True,
-            )
-            out_v.append(cur)
-            out_i.append(curi)
-            lv, li = cur, curi
-        return (jnp.concatenate(out_v, axis=1),
-                jnp.concatenate(out_i, axis=1))
+        if k <= _KPASS_UNROLL_MAX:
+            out_v, out_i = [], []
+            for _ in range(k):
+                lv, li = _one_pass(cand_vals, cand_idx, lv, li)
+                out_v.append(lv)
+                out_i.append(li)
+            return (jnp.concatenate(out_v, axis=1),
+                    jnp.concatenate(out_i, axis=1))
+
+        # identical passes under lax.scan: cost stays linear in k while
+        # the PROGRAM stays O(1) in k — the round-3 k<=32 unroll cap was
+        # a compile-size guard, not an algorithmic one (round-4 item 7)
+        def pass_step(state, _):
+            lv, li = state
+            lv, li = _one_pass(cand_vals, cand_idx, lv, li)
+            return (lv, li), (lv[:, 0], li[:, 0])
+
+        _, (vs, is_) = jax.lax.scan(pass_step, (lv, li), None, length=k)
+        return vs.T, is_.T
 
     def body_sort(carry, d2, cols):
         cand_vals, cand_idx = candidates(carry, d2, cols)
@@ -246,6 +266,20 @@ def _masked_knn_streaming(
         new_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
         return (new_vals, new_idx)
 
+    if k > _KPASS_MAX_K:
+        # approx_min_k in exact mode costs ~19 ms per (4096, 2048+k) merge
+        # block on v5e — superlinear vs the k-pass path. Loud, once.
+        import warnings
+
+        warnings.warn(
+            f"streaming kNN merge with k={k} > {_KPASS_MAX_K} falls back "
+            "to a per-block sort (approx_min_k), which is several times "
+            "slower than the k-pass merge — large-k neighbor bases on "
+            "streamed train sets (n_train > STREAM_NTR) are a slow "
+            "regime; see docs/SCALING.md",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     init = (
         jnp.full((nt, k), big, x_test.dtype),
         jnp.full((nt, k), -1, jnp.int32),
