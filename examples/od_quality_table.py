@@ -106,8 +106,12 @@ def synth_split(kind, rng):
 # ---------------------------------------------------------------------------
 
 
-def task_splits(seed):
-    """All (name, x_tr, x_te, labels) splits for one seed."""
+def task_splits(seed, adbench_dir=None):
+    """All (name, x_tr, x_te, labels) splits for one seed. With
+    ``adbench_dir``, every ``*.npz`` there (ADBench format: X, y with y=1
+    anomalies — the real datasets the reference's experiment branches
+    drive; this box has no network, so users supply the files) becomes an
+    additional row under the same one-class protocol."""
     from sklearn import datasets as skd
 
     if os.environ.get("VGAN_QT_SMOKE") == "1":
@@ -145,6 +149,20 @@ def task_splits(seed):
         )
     for kind in ("global", "local", "dependency"):
         out.append((f"synth-{kind}(d=128)*",) + synth_split(kind, rng))
+    if adbench_dir is not None:
+        from vgan_tpu.data import load_adbench
+
+        files = sorted(Path(adbench_dir).glob("*.npz"))
+        if not files:
+            raise FileNotFoundError(
+                f"no .npz files in --adbench-dir {adbench_dir}"
+            )
+        for f in files:
+            x, y = load_adbench(f)
+            out.append(
+                (f"adb:{f.stem}",)
+                + one_class_task(np.asarray(x, np.float64), y, 1, rng)
+            )
     return out
 
 
@@ -154,7 +172,8 @@ def _fit_pool(model, x_tr, nsubs=500):
     return model.subspaces, model.proba
 
 
-def eval_seed(seed, epochs, kl_epochs, cache, cache_path):
+def eval_seed(seed, epochs, kl_epochs, cache, cache_path,
+              adbench_dir=None):
     """{(dataset, base): (auc_no_kl, auc_kl_ref, auc_kl_trained, auc_full,
     auc_fb)} for one seed.
 
@@ -174,7 +193,7 @@ def eval_seed(seed, epochs, kl_epochs, cache, cache_path):
     from vgan_tpu.ensemble import random_subspaces
 
     results = {}
-    for name, x_tr, x_te, labels in task_splits(seed):
+    for name, x_tr, x_te, labels in task_splits(seed, adbench_dir):
         key0 = lambda b: f"{seed}|{name}|{b}|e{epochs}"  # noqa: E731
         keyk = lambda b, v: f"{seed}|{name}|{b}|e{epochs}|{v}"  # noqa: E731
         missing = [
@@ -252,6 +271,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=5)
     ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--adbench-dir", default=None,
+                    help="directory of ADBench .npz datasets (X, y; y=1 "
+                         "= anomaly) to add as real-data rows — no "
+                         "network here, so supply the files (ADBench "
+                         "repo: adbench/datasets/Classical)")
     ap.add_argument("--kl-epochs", type=int, default=500,
                     help="epoch budget for the two VGAN (kernel-learning) "
                          "pools — the reference default is 2000 but its "
@@ -275,7 +299,8 @@ def main():
         json.loads(cache_path.read_text()) if cache_path.exists() else {}
     )
     per_seed = [
-        eval_seed(s, args.epochs, args.kl_epochs, cache, cache_path)
+        eval_seed(s, args.epochs, args.kl_epochs, cache, cache_path,
+                  adbench_dir=args.adbench_dir)
         for s in range(args.seeds)
     ]
     keys = list(per_seed[0].keys())

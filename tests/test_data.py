@@ -44,3 +44,30 @@ def test_sklearn_datasets():
     assert x.shape[1] == 64 and len(y) == len(x)
     with pytest.raises(ValueError, match="unknown dataset"):
         sklearn_dataset("mnist")
+
+
+def test_load_adbench_contract(tmp_path, rng):
+    """ADBench .npz loader: X/y keys, 0/1 labels (1 = anomaly), loud
+    errors on malformed files (the real-data rows of the quality table —
+    no network here, so users supply ADBench's files)."""
+    import pytest
+
+    from vgan_tpu.data import load_adbench
+
+    x = rng.normal(size=(50, 7)).astype(np.float64)
+    y = (rng.uniform(size=50) < 0.1).astype(np.int64)
+    p = tmp_path / "toy_adb.npz"
+    np.savez(p, X=x, y=y)
+    x2, y2 = load_adbench(p)
+    assert x2.dtype == np.float32 and x2.shape == (50, 7)
+    np.testing.assert_array_equal(y2, y)
+
+    np.savez(tmp_path / "bad1.npz", X=x)
+    with pytest.raises(ValueError, match="missing key"):
+        load_adbench(tmp_path / "bad1.npz")
+    np.savez(tmp_path / "bad2.npz", X=x, y=np.arange(50))
+    with pytest.raises(ValueError, match="0/1"):
+        load_adbench(tmp_path / "bad2.npz")
+    np.savez(tmp_path / "bad3.npz", X=x, y=y[:10])
+    with pytest.raises(ValueError, match="disagree"):
+        load_adbench(tmp_path / "bad3.npz")

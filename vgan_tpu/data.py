@@ -68,6 +68,44 @@ def load_tabular(path) -> np.ndarray:
     raise ValueError(f"unsupported data format: {path.suffix}")
 
 
+def load_adbench(path) -> Tuple[np.ndarray, np.ndarray]:
+    """Load one ADBench dataset file (the benchmark the reference's
+    experiment branches drive — /root/reference/README.md:56-63 points at
+    ADBench's ``get_data.sh``; reference [4] there is Han et al. 2022).
+
+    ADBench ships every dataset as an ``.npz`` with keys ``'X'``
+    (n, d float) and ``'y'`` (n, 0/1 int; 1 = anomaly). This box has no
+    network access, so the files cannot be vendored here — download them
+    from the ADBench repository (``adbench/datasets/Classical/*.npz``)
+    and point this loader (or ``examples/od_quality_table.py
+    --adbench-dir``) at the directory.
+
+    Returns ``(X float32 (n, d), y int64 (n,))``; validates the ADBench
+    contract loudly.
+    """
+    path = Path(path)
+    z = np.load(path)
+    missing = {"X", "y"} - set(z.keys())
+    if missing:
+        raise ValueError(
+            f"{path.name} is not an ADBench file: missing key(s) "
+            f"{sorted(missing)} (ADBench .npz files carry 'X' (n, d) and "
+            "'y' (n,) with y=1 marking anomalies)"
+        )
+    x = np.asarray(z["X"], np.float32)
+    y = np.asarray(z["y"]).reshape(-1).astype(np.int64)
+    if x.ndim != 2 or len(x) != len(y):
+        raise ValueError(
+            f"{path.name}: X {x.shape} and y {y.shape} disagree"
+        )
+    labels = set(np.unique(y).tolist())
+    if not labels <= {0, 1}:
+        raise ValueError(
+            f"{path.name}: y must be 0/1 (1 = anomaly); got {sorted(labels)}"
+        )
+    return x, y
+
+
 def sklearn_dataset(name: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Bundled sklearn datasets (no network): digits, wine, breast_cancer,
     iris. ``digits`` is the image-as-features config (8x8 pixel features).
