@@ -207,6 +207,87 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         log(f"stress fit bench skipped: {e}")
 
+    # --- flagship: rank-1 panel Gram at m=40960 x d=10240 --------------------
+    # (round-3 VERDICT item 2: the best-MFU shape must be driver-captured,
+    # not builder-claimed. Same measurement as examples/tpu_kernel_parity.py:
+    # value_and_grad through the fused kernel, bf16 operands / f32
+    # accumulate, in-program loop; ~0.7 s/step so 2 iters amortize the
+    # ~20 ms tunnel dispatch to <2%.)
+    try:
+        from vgan_tpu.ops import mmd as M
+        from vgan_tpu.ops.pallas.mmd_gram import mmd2_pallas_core
+
+        n1 = n2 = 20480
+        d_f = 10240
+        xf1 = jnp.asarray(rng.normal(size=(n1, d_f)).astype(np.float32))
+        yf1 = jnp.asarray(
+            rng.normal(size=(n2, d_f)).astype(np.float32) + 0.2
+        )
+        bw_f = M.candidate_bandwidth(jnp.concatenate([xf1, yf1]))
+        mults_f = M.bandwidth_multipliers()
+        f_iters = 2
+
+        @jax.jit
+        def flagship_many(x_, y_):
+            def body(i, acc):
+                v, (gx, gy) = jax.value_and_grad(
+                    lambda a, b: mmd2_pallas_core(
+                        a, b, bw_f, mults_f, "bfloat16"
+                    ),
+                    argnums=(0, 1),
+                )(x_ + acc * 0.0, y_)
+                return acc + v + jnp.sum(gx[0]) + jnp.sum(gy[0])
+
+            return jax.lax.fori_loop(0, f_iters, body, 0.0)
+
+        float(flagship_many(xf1, yf1))  # compile + warm
+        best = min(
+            (lambda t0: (float(flagship_many(xf1, yf1)),
+                         time.perf_counter() - t0)[1])(time.perf_counter())
+            for _ in range(3)
+        )
+        m_f = n1 + n2
+        tfs = 6.0 * m_f * m_f * d_f * f_iters / best / 1e12
+        log(f"flagship panel Gram fwd+bwd (m={m_f}, d={d_f}, bf16 dots): "
+            f"{best/f_iters*1e3:.0f} ms/step -> {tfs:.1f} TFLOP/s "
+            f"({100*tfs*1e12/197e12:.0f}% of the 197 TFLOP/s v5e bf16 peak)")
+        del xf1, yf1
+    except Exception as e:  # pragma: no cover
+        log(f"flagship gram bench skipped: {e}")
+
+    # --- secondary: kl stress fit (d=10240) ----------------------------------
+    # (round-3 VERDICT item 2b: BASELINE.md lists the kl stress line as
+    # builder-claimed; capture it in the driver bench.)
+    try:
+        from vgan_tpu.train.steps import AlternationSchedule, kl_fit_program
+
+        xs_fit = jnp.asarray(
+            rng.normal(size=(2000, 10240)).astype(np.float32)
+        )
+        kl_stress_cfg = TrainConfig(
+            ndims=10240, batch_size=500, mmd_impl="auto",
+        )
+        ks_epochs = 100  # 400 steps
+        ks_phases = jnp.asarray(
+            AlternationSchedule(1, 5).phase_array(ks_epochs)
+        )
+        _, det_h, _ = kl_fit_program(
+            xs_fit, jax.random.PRNGKey(5), ks_phases, kl_stress_cfg
+        )
+        float(det_h[-1])
+        t0 = time.time()
+        _, det_h, _ = kl_fit_program(
+            xs_fit, jax.random.PRNGKey(6), ks_phases, kl_stress_cfg
+        )
+        float(det_h[-1])
+        dt_ks = time.time() - t0
+        ks_steps = ks_epochs * (xs_fit.shape[0] // kl_stress_cfg.batch_size)
+        log(f"kl stress fit (d=10240): {ks_steps} steps in {dt_ks:.2f}s -> "
+            f"{ks_steps/dt_ks:.0f} steps/s (ref CPU: est. <0.05)")
+        del xs_fit
+    except Exception as e:  # pragma: no cover
+        log(f"kl stress bench skipped: {e}")
+
     # --- secondary: subspaces sampled/sec -----------------------------------
     try:
         from vgan_tpu.models.generator import GeneratorBig
@@ -268,9 +349,27 @@ def main() -> None:
         float(knn_many(xte_j, xtr_j))
         t0 = time.time()
         float(knn_many(xte_j, xtr_j))
-        dt = (time.time() - t0) / 20
-        log(f"  fused KNN kernel (dispatch-amortized): {dt*1e3:.1f} ms -> "
-            f"{1024/dt:.0f} subspace-scorings/s")
+        dt_kernel = (time.time() - t0) / 20
+        log(f"  fused KNN kernel (dispatch-amortized): {dt_kernel*1e3:.1f} "
+            f"ms -> {1024/dt_kernel:.0f} subspace-scorings/s")
+
+        # tunnel constant: a trivial program's dispatch + scalar fetch —
+        # the irreducible per-call cost any API call pays here. Round-3
+        # VERDICT item 3 asked for the API-vs-kernel gap to be killed or
+        # quantified: decision_function is now ONE compiled program, so
+        # API ~= kernel + this constant.
+        noop = jax.jit(lambda a: a[0, 0] * 1.0)
+        float(noop(xte_j))
+        t_n = []
+        for _ in range(5):
+            t0 = time.time()
+            float(noop(xte_j))
+            t_n.append(time.time() - t0)
+        dt_noop = float(np.median(t_n))
+        resid = dt - dt_kernel - dt_noop
+        log(f"  tunnel constant (no-op jit dispatch+fetch): "
+            f"{dt_noop*1e3:.1f} ms; API-call residual beyond "
+            f"kernel+tunnel: {resid*1e3:.1f} ms")
     except Exception as e:  # pragma: no cover
         log(f"ensemble bench skipped: {e}")
 
