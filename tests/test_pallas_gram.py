@@ -189,3 +189,42 @@ def test_flash_backward_wide_row_tile_parity(rng):
     np.testing.assert_allclose(
         np.asarray(g_pal), np.asarray(g_ref), rtol=2e-3, atol=1e-7
     )
+
+
+def test_stash_backward_matches_panel_recompute(rng, monkeypatch):
+    """The K'-stashing backward (forward emits kp; backward is one fused
+    (M, 1+D) matmul) is numerically identical to the rank-1 panel
+    recompute it replaces, and both match the jnp oracle's gradients."""
+    import vgan_tpu.ops.mmd as M
+    from vgan_tpu.ops.pallas import mmd_gram as G
+
+    n1, n2, d = 150, 110, 2100  # panel regime (d > FLASH_D_MAX)
+    x = jnp.asarray(rng.normal(size=(n1, d)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(n2, d)).astype(np.float32) + 0.1)
+    bw = M.candidate_bandwidth(jnp.concatenate([x, y]))
+    mults = M.bandwidth_multipliers()
+
+    def grads():
+        return jax.grad(
+            lambda a, b: G.mmd2_pallas_core(a, b, bw, mults), argnums=(0, 1)
+        )(x, y)
+
+    assert G._stash_kprime(256, 2176), "shape must hit the stash path"
+    gx_s, gy_s = grads()
+    monkeypatch.setattr(G, "_KP_STASH_BYTES", 0)  # force panel recompute
+    gx_p, gy_p = grads()
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_p),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gy_s), np.asarray(gy_p),
+                               rtol=1e-5, atol=1e-7)
+
+    # oracle: jnp autodiff of the generic implementation
+    def jnp_mmd(a, b):
+        v, _ = M.mmd2_biased(a, b, bandwidth=bw)
+        return v
+
+    gx_o, gy_o = jax.grad(jnp_mmd, argnums=(0, 1))(x, y)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_o),
+                               rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gy_s), np.asarray(gy_o),
+                               rtol=2e-3, atol=1e-6)

@@ -258,6 +258,145 @@ def _fwd_kernel(
         sums_ref[0, 2] += yy
 
 
+def _fwd_stash_kernel(
+    zi_ref,
+    zj_ref,
+    ni_ref,
+    nj_ref,
+    bw_ref,
+    sums_ref,
+    kp_ref,
+    d2_scratch,
+    *,
+    n1: int,
+    m: int,
+    mults: Tuple[float, ...],
+    n_kd: int,
+    tile_m: int,
+):
+    """Forward quadrant sums AND the K'(d2) panel in ONE launch.
+
+    The backward's dominant cost in the panel regime is recomputing the
+    very d2 the forward just built (round-3 rank-1 design: 2 m^2 d extra
+    matmul flops). When the (M, M) K' fits an HBM stash
+    (``_KP_STASH_BYTES``), the forward emits it as a second output — the
+    exp ladder on an already-resident d2 tile is VPU-free next to the
+    matmuls — and the backward collapses to two XLA matmuls
+    (q-contraction + K' @ (q .* z)). Measured at m=1000 x d=10240: the
+    per-launch overhead of a second small-M Pallas kernel (~0.2 ms, the
+    dominant cost at this size) disappears along with the 2 m^2 d flops.
+    Padded rows/columns are NOT masked in kp (K'(0) != 0 there); the
+    rank-1 q weighting in the backward zeroes them, exactly as for the
+    streamed panels."""
+    i, j, kd = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(jnp.logical_and(jnp.logical_and(i == 0, j == 0), kd == 0))
+    def _():
+        sums_ref[0, 0] = 0.0
+        sums_ref[0, 1] = 0.0
+        sums_ref[0, 2] = 0.0
+        sums_ref[0, 3] = 0.0
+
+    @pl.when(kd == 0)
+    def _():
+        d2_scratch[:] = jnp.zeros_like(d2_scratch)
+
+    d2_scratch[:] += -2.0 * jnp.dot(
+        zi_ref[:], zj_ref[:].T, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kd == n_kd - 1)
+    def _():
+        d2 = jnp.maximum(d2_scratch[:] + ni_ref[:] + nj_ref[:].T, 0.0)
+        k = _kernel_sum(d2, bw_ref[0, 0], mults)
+        kp_ref[:] = _kernel_deriv(d2, bw_ref[0, 0], mults)
+
+        rows = i * tile_m + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+        cols = j * tile_m + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        row_x = rows < n1
+        col_x = cols < n1
+        valid = jnp.logical_and(rows < m, cols < m)
+
+        kf = jnp.where(valid, k, 0.0)
+        xx = jnp.sum(jnp.where(jnp.logical_and(row_x, col_x), kf, 0.0))
+        xy = jnp.sum(
+            jnp.where(jnp.logical_and(row_x, jnp.logical_not(col_x)), kf, 0.0)
+        )
+        yy = jnp.sum(
+            jnp.where(
+                jnp.logical_and(jnp.logical_not(row_x), jnp.logical_not(col_x)),
+                kf,
+                0.0,
+            )
+        )
+        sums_ref[0, 0] += xx
+        sums_ref[0, 1] += xy
+        sums_ref[0, 2] += yy
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n1", "m", "mults", "tile_d", "tile_m", "interpret"),
+)
+def _gram_quadrant_sums_stash(
+    z_pad: jax.Array,
+    norms_pad: jax.Array,
+    bw: jax.Array,
+    n1: int,
+    m: int,
+    mults: Tuple[float, ...],
+    tile_d: int,
+    tile_m: int = TILE_M,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """(sums (1, 4), kp (M, M) f32) in one kernel launch."""
+    M, D = z_pad.shape
+    grid = (M // tile_m, M // tile_m, D // tile_d)
+    n_kd = D // tile_d
+    kernel = functools.partial(
+        _fwd_stash_kernel, n1=n1, m=m, mults=mults, n_kd=n_kd, tile_m=tile_m
+    )
+    zbytes = z_pad.dtype.itemsize
+    flops = 2 * M * M * D + 18 * M * M * len(mults)
+    sums, kp = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, tile_d), lambda i, j, kd: (i, kd),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, tile_d), lambda i, j, kd: (j, kd),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda i, j, kd: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda i, j, kd: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j, kd: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 4), lambda i, j, kd: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_m, tile_m), lambda i, j, kd: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 4), jnp.float32),
+            jax.ShapeDtypeStruct((M, M), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_m), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * (M // tile_m) * M * D * zbytes + M * M * 4,
+            transcendentals=2 * M * M,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(z_pad, z_pad, norms_pad, norms_pad, bw.reshape(1, 1).astype(jnp.float32))
+    return sums, kp
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n1", "m", "mults", "tile_d", "tile_m", "interpret"),
@@ -532,6 +671,9 @@ def _kprime_panel(
             + (M // tile_m) * R * D * zbytes + R * M * 4,
             transcendentals=R * M,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_KERNEL_VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(z_rows, z_cols, n_rows, n_cols, bw.reshape(1, 1).astype(jnp.float32))
 
@@ -674,31 +816,76 @@ def _mmd2_core(mults: Tuple[float, ...], n1: int, n2: int,
     return _mmd2_from_sums(sums, n1, n2)
 
 
+def _stash_kprime(M: int, D: int) -> bool:
+    """Stash the (M, M) K' from the forward instead of recomputing it in
+    the backward? Only the panel regime recomputes (flash saves nothing);
+    the stash costs M^2 f32 of HBM and saves 2 m^2 d matmul flops PLUS a
+    whole second kernel launch — at small m the launch overhead is the
+    dominant cost (measured: the m=1000 x d=10240 step drops ~35%)."""
+    return D > FLASH_D_MAX and M * M * 4 <= _KP_STASH_BYTES
+
+
+_KP_STASH_BYTES = 4 << 30  # 4 GiB -> stash up to M = 32768; the m=40960
+# flagship stays on the streamed rank-1 panels (its kp would be 6.7 GB,
+# which with z, grads and the u output does not reliably fit 16 GB HBM)
+
+
 def _mmd2_fwd(mults, n1, n2, matmul_dtype, x, y, bw):
     z_pad, norms, _, _, m, tile_d = _pad_z(x, y)
     zb = 2 if matmul_dtype else 4
-    sums = _gram_quadrant_sums(
-        _dot_operand(z_pad, matmul_dtype), norms, bw, n1, m, mults, tile_d,
-        tile_m=_fwd_tile(z_pad.shape[0], tile_d, zb),
-        interpret=_interpret_mode(),
-    )
+    M, D = z_pad.shape
+    tile_m = _fwd_tile(M, tile_d, zb)
+    interpret = _interpret_mode()
+    if _stash_kprime(M, D):
+        sums, kp = _gram_quadrant_sums_stash(
+            _dot_operand(z_pad, matmul_dtype), norms, bw, n1, m, mults,
+            tile_d, tile_m=tile_m, interpret=interpret,
+        )
+    else:
+        sums = _gram_quadrant_sums(
+            _dot_operand(z_pad, matmul_dtype), norms, bw, n1, m, mults,
+            tile_d, tile_m=tile_m, interpret=interpret,
+        )
+        kp = None
     mmd2 = _mmd2_from_sums(sums, n1, n2)
     # zero-size carriers keep the primal dtypes for the cotangents; the
-    # backward recomputes everything from z (no m x m residual)
+    # backward recomputes everything from z (no m x m residual) unless
+    # the K' stash is in play
     x_proto = jnp.zeros((0, x.shape[1]), x.dtype)
     y_proto = jnp.zeros((0, y.shape[1]), y.dtype)
-    return mmd2, (z_pad, norms, bw, x_proto, y_proto)
+    return mmd2, (z_pad, norms, bw, x_proto, y_proto, kp)
 
 
 def _mmd2_bwd(mults, n1, n2, matmul_dtype, res, g):
-    z_pad, norms, bw, x_proto, y_proto = res
+    z_pad, norms, bw, x_proto, y_proto, kp = res
     m = n1 + n2
     M, D = z_pad.shape
     z_dot = _dot_operand(z_pad, matmul_dtype)
     interpret = _interpret_mode()
     # dz_p = 2 g sum_j (C + C^T)_pj K'_pj (z_p - z_j) = 4 g sum_j S_pj (z_p - z_j)
     # with S = C_sym .* K' = (q q^T) .* K' (rank-1, see module docstring).
-    if D <= FLASH_D_MAX:
+    if kp is not None:
+        # K' stashed by the forward. With S = (q q^T) .* K':
+        #   rowsum(S) = q .* (K' @ q),  S @ z = q .* (K' @ (q .* z)).
+        # Two HBM-traffic-optimal forms (XLA:TPU materializes elementwise
+        # products rather than fusing them into dot operands):
+        q = _q_vector(M, n1, m)
+        if M <= D:
+            # scale kp's COLUMNS (an (M, M) product, small next to the
+            # (M, D) z) — then a is a rowsum and u reads z_pad directly,
+            # with no (M, D) q.*z materialization
+            kp_q = kp * q[None, :]
+            a = jnp.sum(kp_q, axis=1, keepdims=True)
+            u = jnp.dot(kp_q, z_pad, preferred_element_type=jnp.float32)
+        else:
+            # (M, M) dominates: read kp exactly ONCE by concatenating
+            # [q | q .* z] into a single rhs — the (M, D+1) staging is
+            # small next to a second kp pass
+            rhs = jnp.concatenate([q[:, None], q[:, None] * z_pad], axis=1)
+            au = jnp.dot(kp, rhs, preferred_element_type=jnp.float32)
+            a, u = au[:, :1], au[:, 1:]
+        dz = 4.0 * g * (q[:, None] * (a * z_pad - u))
+    elif D <= FLASH_D_MAX:
         sz, rs = _gram_backward_flash(
             z_dot, norms, bw, n1, n2, m, mults, interpret=interpret
         )
