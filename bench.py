@@ -247,10 +247,19 @@ def main() -> None:
             for _ in range(3)
         )
         m_f = n1 + n2
-        tfs = 6.0 * m_f * m_f * d_f * f_iters / best / 1e12
-        log(f"flagship panel Gram fwd+bwd (m={m_f}, d={d_f}, bf16 dots): "
-            f"{best/f_iters*1e3:.0f} ms/step -> {tfs:.1f} TFLOP/s "
-            f"({100*tfs*1e12/197e12:.0f}% of the 197 TFLOP/s v5e bf16 peak)")
+        # honest flops: the K'-stash backward (round 4) removes the
+        # recompute matmul, so the executed work is 4 m^2 d, not the
+        # recompute-convention 6 m^2 d older rounds reported
+        from vgan_tpu.ops.pallas.mmd_gram import _pad_layout, _stash_kprime
+        M_p, D_p, _ = _pad_layout(m_f, d_f)
+        units = 4.0 if _stash_kprime(M_p, D_p) else 6.0
+        tfs = units * m_f * m_f * d_f * f_iters / best / 1e12
+        log(f"flagship Gram fwd+bwd (m={m_f}, d={d_f}, bf16 dots, "
+            f"{'K-stash' if units == 4.0 else 'panel'} bwd): "
+            f"{best/f_iters*1e3:.0f} ms/step -> {tfs:.1f} TFLOP/s honest "
+            f"({100*tfs*1e12/197e12:.0f}% of the 197 TFLOP/s v5e bf16 peak; "
+            f"round-3 recompute convention: "
+            f"{6.0*m_f*m_f*d_f*f_iters/best/1e12:.1f})")
         del xf1, yf1
     except Exception as e:  # pragma: no cover
         log(f"flagship gram bench skipped: {e}")

@@ -87,7 +87,12 @@ def time_fused(rng, n1, n2, d, label, matmul_dtype=None, iters=200):
         for _ in range(3)
     )
     m = n1 + n2
-    flops = 6.0 * m * m * d * iters  # 2 fwd + 4 bwd matmul flops
+    from vgan_tpu.ops.pallas.mmd_gram import _pad_layout, _stash_kprime
+
+    M_p, D_p, _ = _pad_layout(m, d)
+    # honest flops: the K'-stash backward skips the recompute matmul
+    units = 4.0 if _stash_kprime(M_p, D_p) else 6.0
+    flops = units * m * m * d * iters
     tfs = flops / best / 1e12
     print(
         f"[perf] {label:42s} {best / iters * 1e3:7.2f} ms/step  "

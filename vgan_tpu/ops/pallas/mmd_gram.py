@@ -17,7 +17,8 @@ on padding — so with S = C_sym .* K'(D2) the input cotangent
 ``dz = 4 g (rowsum(S) * z - S @ z)`` collapses to pure K' products:
 ``dz = 4 g q .* ((K' @ q) * z - K' @ (q .* z))``. q zeroing the padded
 rows/cols means the kernels need no coefficient or validity masking at all.
-Two recompute backward paths — NOTHING is saved from the forward except z:
+Three backward paths — two recompute (nothing saved from the forward
+except z) and one stash:
 
 - **flash path** (padded d <= FLASH_D_MAX): one streaming kernel over
   (i, j) tiles with full-d blocks; S tiles are recomputed from z and
@@ -32,6 +33,13 @@ Two recompute backward paths — NOTHING is saved from the forward except z:
   against the O(m^2 d) compute in this regime — and the sample count is
   UNCAPPED here too. (Round 2's S-materializing path, which was capped at
   m <= 16384 by its resident (m, m) buffer, is deleted.)
+- **K'-stash path** (round 4, d beyond flash AND (M, M) f32 within
+  ``_KP_STASH_BYTES``): the forward kernel emits K' as a second output
+  (the exp ladder on the already-resident d2 tile is nearly free) and the
+  backward is two pure-XLA contractions — no d2 recompute (saves 2 m^2 d
+  flops) and no second kernel launch (the dominant cost at small m).
+  Preferred whenever it fits; chip-measured 0.62 -> 0.46 ms/step at
+  m=1000 x d=10240 and 711 -> 456 ms/step at the m=40960 flagship.
 
 No gradient flows through the bandwidth (the reference detaches it,
 Mmd_loss_constrained.py:19-20) nor through the selection masks.
@@ -825,9 +833,12 @@ def _stash_kprime(M: int, D: int) -> bool:
     return D > FLASH_D_MAX and M * M * 4 <= _KP_STASH_BYTES
 
 
-_KP_STASH_BYTES = 4 << 30  # 4 GiB -> stash up to M = 32768; the m=40960
-# flagship stays on the streamed rank-1 panels (its kp would be 6.7 GB,
-# which with z, grads and the u output does not reliably fit 16 GB HBM)
+# 7 GiB covers the m=40960 flagship (kp = 6.25 GiB; measured on a 16 GB
+# v5e: 711 -> 456 ms/step vs the streamed panels, XLA schedules the
+# backward's buffers within HBM). If an application holds other large
+# live buffers at giant m, set `mmd_gram._KP_STASH_BYTES = 0` to force
+# the bounded-memory streamed panels.
+_KP_STASH_BYTES = 7 << 30
 
 
 def _mmd2_fwd(mults, n1, n2, matmul_dtype, x, y, bw):
