@@ -1128,6 +1128,121 @@ def test_loda_deterministic_per_seed(rng):
     assert not np.allclose(a, c)
 
 
+def test_inne_scores_match_numpy(rng):
+    """inne_scores_masked vs a direct f64 numpy transcription of the
+    pyod INNE recipe (squared-distance convention: sklearn
+    euclidean_distances(..., squared=True) end to end) on the SAME
+    host-drawn center subsample."""
+    from vgan_tpu.ensemble import inne_scores_masked
+
+    d, n_tr, nt, T, P = 7, 60, 25, 12, 5
+    xtr = rng.normal(size=(n_tr, d)).astype(np.float32)
+    xte = np.vstack([
+        rng.normal(size=(nt - 5, d)),
+        rng.normal(size=(5, d)) + 6.0,  # includes uncovered points
+    ]).astype(np.float32)
+    mask = np.array([1, 0, 1, 1, 0, 1, 0], bool)
+
+    ours = np.asarray(inne_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask),
+        n_estimators=T, psi=P, seed=3,
+    ))
+
+    host = np.random.default_rng(3)
+    idx = np.stack(
+        [host.choice(n_tr, size=P, replace=False) for _ in range(T)]
+    )
+    xm_tr = xtr.astype(np.float64) * mask
+    xm_te = xte.astype(np.float64) * mask
+    want = np.ones((nt, T))
+    for t in range(T):
+        c = xm_tr[idx[t]]  # (P, d)
+        d2 = ((c[:, None] - c[None]) ** 2).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        r2 = d2.min(axis=1)
+        ratio = 1.0 - r2[d2.argmin(axis=1)] / r2
+        dq = ((xm_te[:, None] - c[None]) ** 2).sum(-1)  # (nt, P)
+        for i in range(nt):
+            cov = dq[i] <= r2
+            if cov.any():
+                j = np.where(cov, r2, np.inf).argmin()
+                want[i, t] = ratio[j]
+    np.testing.assert_allclose(ours, want.mean(axis=1), rtol=1e-4, atol=1e-5)
+
+
+def test_inne_deterministic_per_seed(rng):
+    from vgan_tpu.ensemble import inne_scores_masked
+
+    xtr = jnp.asarray(rng.normal(size=(50, 6)).astype(np.float32))
+    xte = jnp.asarray(rng.normal(size=(20, 6)).astype(np.float32))
+    mask = jnp.asarray(np.ones(6, bool))
+    a = np.asarray(inne_scores_masked(xte, xtr, mask, seed=0))
+    b = np.asarray(inne_scores_masked(xte, xtr, mask, seed=0))
+    c = np.asarray(inne_scores_masked(xte, xtr, mask, seed=1))
+    np.testing.assert_array_equal(a, b)
+    assert not np.allclose(a, c)
+
+
+def test_inne_psi_clamps_and_guards(rng):
+    from vgan_tpu.ensemble import inne_scores_masked
+
+    xte = jnp.asarray(rng.normal(size=(5, 4)).astype(np.float32))
+    mask = jnp.asarray(np.ones(4, bool))
+    # psi > n_train clamps to n_train (pyod's 'auto' = min(psi, n))
+    small = jnp.asarray(rng.normal(size=(3, 4)).astype(np.float32))
+    s = np.asarray(inne_scores_masked(
+        xte, small, mask, n_estimators=4, psi=8, seed=0
+    ))
+    assert s.shape == (5,) and np.all(np.isfinite(s))
+    # < 2 train rows cannot define a ball radius
+    with pytest.raises(ValueError, match="at least 2 train rows"):
+        inne_scores_masked(xte, small[:1], mask, n_estimators=4, psi=8)
+    with pytest.raises(ValueError, match="inne_psi"):
+        SubspaceEnsemble(
+            np.ones((1, 4), bool), np.ones(1, np.float32),
+            base="inne", inne_psi=1,
+        )
+
+
+def test_ensemble_inne_base(rng):
+    """End-to-end SubspaceEnsemble(base='inne'): planted mean-shift
+    outliers (uncovered by every ball -> score 1) rank above inliers
+    through the aggregations; predict() works; scores live in [<=1]."""
+    d = 12
+    xtr = rng.normal(size=(200, d)).astype(np.float32)
+    inliers = rng.normal(size=(30, d)).astype(np.float32)
+    outliers = rng.normal(size=(10, d)).astype(np.float32) + 6.0
+    xte = np.vstack([inliers, outliers])
+
+    subs = rng.uniform(size=(10, d)) < 0.5
+    subs[~subs.any(axis=1), 0] = True
+    proba = np.full(10, 1 / 10, np.float32)
+
+    for agg in ("average", "max", "moa"):
+        ens = SubspaceEnsemble(
+            subs, proba, base="inne", aggregation=agg, chunk=4,
+            n_trees=32,
+        ).fit(xtr)
+        scores = ens.decision_function(xte)
+        assert scores[30:].mean() > scores[:30].mean(), agg
+
+    ens = SubspaceEnsemble(subs, proba, base="inne", n_trees=32).fit(xtr)
+    labels = ens.predict(xte)
+    assert labels.shape == (40,)
+    assert labels[30:].mean() > labels[:30].mean()
+
+    ens_raw = SubspaceEnsemble(
+        subs, proba, base="inne", normalize=None, n_trees=32
+    ).fit(xtr)
+    s = ens_raw.per_subspace_scores(xte)
+    assert np.all(s <= 1.0 + 1e-6)
+    np.testing.assert_allclose(
+        (proba[:, None] * s).sum(axis=0),
+        ens_raw.decision_function(xte),
+        rtol=1e-4,
+    )
+
+
 def test_ensemble_loda_base(rng):
     """End-to-end SubspaceEnsemble(base='loda'): planted mean-shift
     outliers score above inliers through every aggregation, predict()
@@ -1255,6 +1370,10 @@ def test_effective_chunk_governors():
     assert _effective_chunk("knn", 128, 100, 1000, 10240) == 128
     # loda/dim bases: untouched
     assert _effective_chunk("loda", 128, 100, 10 ** 6, 10240) == 128
+    # inne: (T*psi) x d center copy + nt x T x psi coverage planes
+    tp = 100 * 8
+    expect = max(1, min(128, _MAHA_CHUNK_BUDGET // (tp * 10240 + 4096 * tp)))
+    assert _effective_chunk("inne", 128, 4096, 10 ** 6, 10240) == expect
 
 
 def test_hetero_combine_backend_parity(rng):

@@ -94,6 +94,7 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
         cblof_scores_masked,
         cof_scores_masked,
         gmm_scores_masked,
+        inne_scores_masked,
         kde_scores_masked,
         knn_scores_masked,
         loda_scores_masked,
@@ -119,6 +120,10 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
         ),
         lambda a: loda_scores_masked(
             jnp.asarray(a), xtr, jnp.asarray(mask), n_projections=8, seed=1
+        ),
+        lambda a: inne_scores_masked(
+            jnp.asarray(a), xtr, jnp.asarray(mask), n_estimators=6, psi=4,
+            seed=1,
         ),
         lambda a: kde_scores_masked(
             jnp.asarray(a), xtr, jnp.asarray(mask), bandwidth=1.1

@@ -19,8 +19,8 @@ import sys
 # parser builds without importing jax; validated against the ensemble's
 # registry in tests/test_cli.py).
 _SCORE_BASES = ("knn", "knn_mean", "lof", "abod", "cof", "iforest",
-                "mahalanobis", "cblof", "gmm", "loda", "kde", "copod",
-                "hbos", "ecod")
+                "mahalanobis", "cblof", "gmm", "loda", "kde", "inne",
+                "copod", "hbos", "ecod")
 
 
 def _add_common_hyperparams(p: argparse.ArgumentParser) -> None:
@@ -145,6 +145,10 @@ def build_parser() -> argparse.ArgumentParser:
                        help="Gaussian kernel width for --base kde")
     score.add_argument("--n-projections", type=int, default=100,
                        help="random-direction count for --base loda")
+    score.add_argument("--inne-psi", type=int, default=8,
+                       help="hypersphere-center subsample size for "
+                            "base='inne' (reads --n-trees as its "
+                            "ensemble size)")
     score.add_argument("--n-clusters", type=int, default=8,
                        help="k-means cluster count for --base cblof "
                             "(mixture components for --base gmm)")
@@ -277,6 +281,7 @@ def main(argv=None) -> int:
                 k=args.k, n_trees=args.n_trees,
                 kde_bandwidth=args.kde_bandwidth,
                 n_projections=args.n_projections,
+                inne_psi=args.inne_psi,
                 n_clusters=args.n_clusters,
                 gmm_covariance=args.gmm_covariance,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),
@@ -287,6 +292,7 @@ def main(argv=None) -> int:
                 base=args.base, k=args.k, n_trees=args.n_trees,
                 kde_bandwidth=args.kde_bandwidth,
                 n_projections=args.n_projections,
+                inne_psi=args.inne_psi,
                 n_clusters=args.n_clusters,
                 gmm_covariance=args.gmm_covariance,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),

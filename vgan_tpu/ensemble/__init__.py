@@ -14,6 +14,7 @@ from vgan_tpu.ensemble.od import (
     hbos_dim_scores,
     kde_scores_masked,
     knn_scores_masked,
+    inne_scores_masked,
     loda_scores_masked,
     lof_scores_masked,
     mahalanobis_scores_masked,
@@ -36,6 +37,7 @@ __all__ = [
     "iforest_scores_masked",
     "kde_scores_masked",
     "knn_scores_masked",
+    "inne_scores_masked",
     "loda_scores_masked",
     "lof_scores_masked",
     "mahalanobis_scores_masked",

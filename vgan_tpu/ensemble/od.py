@@ -100,6 +100,7 @@ _TEST_CHUNK_CACHE_ELEMS = 2**28
 def _effective_chunk(
     base, chunk: int, nt: int, ntr: int, d: int, k: int = 0,
     n_clusters: int = 8, gmm_covariance: str = "diag",
+    n_trees: int = 100, inne_psi: int = 8,
 ) -> int:
     """Per-base memory governor for the vmapped-mask chunk — the single
     clamp shared by the live scoring paths and the serving exporters (the
@@ -128,6 +129,14 @@ def _effective_chunk(
         return max(1, min(chunk, _ABOD_CHUNK_BUDGET // per_mask))
     if base == "mahalanobis":
         return max(1, min(chunk, _MAHA_CHUNK_BUDGET // max(d * d, 1)))
+    if base == "inne":
+        # per in-flight mask: the masked (T*psi, d) center copy + the
+        # (nt, T, psi) query-coverage planes
+        if not isinstance(nt, int):  # symbolic batch dim under jax.export
+            nt = _EXPORT_NT_HINT
+        tp = max(n_trees * inne_psi, 1)
+        per_mask = max(tp * d + nt * tp, 1)
+        return max(1, min(chunk, _MAHA_CHUNK_BUDGET // per_mask))
     if base in ("cblof", "gmm"):
         # per in-flight mask: the masked (ntr, d) train copy + the (ntr,
         # n_clusters) assignment/responsibility planes (both k-means and
@@ -1127,6 +1136,101 @@ def _loda_scorer(n_projections: int, n_bins: int, seed: int):
     )
 
 
+def inne_scores_masked(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 0,
+    *, n_estimators: int = 100, psi: int = 8, seed: int = 0,
+) -> jax.Array:
+    """INNE — isolation using nearest-neighbor ensembles (Bandaragoda et
+    al. 2018; pyod.models.inne) in the masked subspace. Part of the
+    reference's downstream detector surface via the pyod/suod pins
+    (requirements.txt:58,68 — INNE is a canonical isolation-family
+    member alongside iforest).
+
+    Each of ``n_estimators`` members subsamples ``psi`` train rows as
+    hypersphere centers; a center's squared radius is its squared distance
+    to its nearest fellow center, and its isolation ratio is
+    ``1 - r2[nn(c)] / r2[c]``. A query covered by at least one ball takes
+    the ratio of the smallest covering ball (ties: lowest index, as
+    pyod's nanargmin); an uncovered query scores 1 (maximal). The final
+    score is the mean over members. All distances stay SQUARED end to
+    end — pyod's implementation runs sklearn ``euclidean_distances(...,
+    squared=True)`` throughout, so coverage tests and radius ratios match
+    that convention.
+
+    TPU-native shape: the (n_estimators, psi) center subsample is drawn
+    host-side from ``seed`` at trace time and shared across ALL masks
+    (vmap hoists the gather); the center-center distances are ONE batched
+    (T, psi, d)@(T, d, psi) MXU matmul and the query-center distances one
+    (nt, d)@(d, T*psi) matmul per mask chunk. The covering-ball argmin is
+    a psi-wide one-hot reduce — no per-row gathers. Memory is
+    O((nt + d) x T x psi) per in-flight mask.
+
+    Divergence vs pyod (documented): duplicate sampled centers give a
+    zero radius, where pyod emits NaN/inf ratios (0/0); here the ratio is
+    guarded to 1 (maximally isolated — a zero-radius ball covers only
+    exact duplicates of an isolated pair). ``k`` is ignored (signature
+    parity with the neighbor scorers).
+    """
+    del k
+    ntr, d = x_train.shape
+    psi_eff = min(int(psi), int(ntr))
+    if psi_eff < 2:
+        raise ValueError(
+            f"inne needs at least 2 train rows to define ball radii; got "
+            f"n_train={ntr} (psi={psi})"
+        )
+    t = int(n_estimators)
+    # trace-time host draw: (T, psi) indices without replacement per
+    # member, embedded as constants — deterministic per seed, shared
+    # across every mask in the vmap (the loda projection-matrix pattern)
+    host_rng = np.random.default_rng(seed)
+    idx = np.stack(
+        [host_rng.choice(ntr, size=psi_eff, replace=False) for _ in range(t)]
+    ).astype(np.int32)
+    centers = x_train[jnp.asarray(idx.reshape(-1))]  # (T*psi, d)
+    mask_f = mask.astype(x_test.dtype)
+    cm = centers * mask_f[None, :]
+    sq_c = jnp.sum(cm * cm, axis=1)  # (T*psi,)
+    cm_t = cm.reshape(t, psi_eff, d)
+    sq_t = sq_c.reshape(t, psi_eff)
+    gram = jnp.einsum(
+        "tpd,tqd->tpq", cm_t, cm_t, preferred_element_type=x_test.dtype
+    )
+    d2_cc = jnp.maximum(
+        sq_t[:, :, None] + sq_t[:, None, :] - 2.0 * gram, 0.0
+    )
+    big = jnp.asarray(jnp.finfo(x_test.dtype).max / 4, x_test.dtype)
+    d2_cc = jnp.where(jnp.eye(psi_eff, dtype=bool)[None], big, d2_cc)
+    r2 = jnp.min(d2_cc, axis=2)  # (T, psi) squared ball radii
+    nn = jnp.argmin(d2_cc, axis=2)
+    r2_nn = jnp.take_along_axis(r2, nn, axis=1)
+    ratio = 1.0 - r2_nn / jnp.maximum(r2, jnp.asarray(1e-30, x_test.dtype))
+    # masked query-center distances: mask is 0/1 so x . (m .* c) ==
+    # (m .* x) . (m .* c) — one unmasked matmul against the masked centers
+    nt = x_test.shape[0]
+    sq_x = jnp.dot(x_test * x_test, mask_f)  # (nt,)
+    d2_q = jnp.maximum(
+        sq_x[:, None] + sq_c[None, :]
+        - 2.0 * jnp.dot(x_test, cm.T, preferred_element_type=x_test.dtype),
+        0.0,
+    ).reshape(nt, t, psi_eff)
+    covered = d2_q <= r2[None]
+    sel = jnp.argmin(jnp.where(covered, r2[None], big), axis=2)  # (nt, T)
+    onehot = sel[..., None] == jnp.arange(psi_eff)[None, None]
+    ratio_sel = jnp.sum(jnp.where(onehot, ratio[None], 0.0), axis=2)
+    score_t = jnp.where(jnp.any(covered, axis=2), ratio_sel, 1.0)
+    return jnp.mean(score_t, axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _inne_scorer(n_estimators: int, psi: int, seed: int):
+    """Memoized partial (one hashable static per config; see
+    :func:`_loda_scorer`)."""
+    return functools.partial(
+        inne_scores_masked, n_estimators=n_estimators, psi=psi, seed=seed,
+    )
+
+
 def copod_dim_scores(x_test: jax.Array, x_train: jax.Array) -> jax.Array:
     """Per-dimension two-sided ECDF tail scores, COPOD-style.
 
@@ -1447,7 +1551,7 @@ _BASE_SCORERS_EXCL = {
 
 # Bases whose scorer carries extra hyperparameters (resolved through a
 # memoized partial so the jitted paths still see one hashable static).
-_PARAM_BASES = ("loda", "kde", "cblof", "gmm")
+_PARAM_BASES = ("loda", "kde", "cblof", "gmm", "inne")
 
 
 def _scorer_and_k(
@@ -1456,7 +1560,7 @@ def _scorer_and_k(
     n_clusters: int = 8, cluster_alpha: float = 0.9,
     cluster_beta: float = 5.0, kmeans_iter: int = 30, cluster_seed: int = 0,
     cluster_init: str = "rows", gmm_covariance: str = "diag",
-    exclude_self: bool = False,
+    inne_psi: int = 8, exclude_self: bool = False,
 ):
     """Resolve a base name to its (scorer, static-k) pair — the single
     dispatch point shared by the ensemble paths and the serving exporters.
@@ -1465,6 +1569,11 @@ def _scorer_and_k(
     point, as pyod's do."""
     if base == "loda":
         return _loda_scorer(n_projections, n_bins, projection_seed), 0
+    if base == "inne":
+        # inne reads n_trees as its ensemble size (pyod's n_estimators)
+        # and projection_seed as its center-subsample seed
+        return _inne_scorer(int(n_trees), int(inne_psi),
+                            int(projection_seed)), 0
     if base == "kde":
         return _kde_scorer(float(kde_bandwidth), False), 0
     if base == "cblof":
@@ -1495,6 +1604,7 @@ def _scorer_params(ens) -> dict:
         cluster_alpha=ens.cluster_alpha, cluster_beta=ens.cluster_beta,
         kmeans_iter=ens.kmeans_iter, cluster_seed=ens.cluster_seed,
         cluster_init=ens.cluster_init, gmm_covariance=ens.gmm_covariance,
+        inne_psi=ens.inne_psi,
     )
 
 
@@ -1516,7 +1626,8 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         large k-means centroid), 'gmm' (negative diagonal-Gaussian-mixture
         log-likelihood; reads n_clusters/kmeans_iter/cluster_seed as its
         components/EM-iterations/init seed), 'loda' (random-projection
-        histograms), 'kde'
+        histograms), 'inne' (isolation via nearest-neighbor hypersphere
+        ensembles — reads n_trees/inne_psi/projection_seed), 'kde'
         (negative Gaussian kernel-density log-likelihood), 'copod',
         'hbos', 'ecod', or a pyod-style detector instance (CPU fallback
         loop; pyod optional — any object with sklearn-style
@@ -1561,6 +1672,11 @@ class SubspaceEnsemble(PyodSurfaceMixin):
     kde_bandwidth:
         Gaussian kernel width for base='kde' (sklearn KernelDensity's
         default 1.0).
+    inne_psi:
+        hypersphere-center subsample size for base='inne' (pyod INNE's
+        max_samples; its 'auto' = min(8, n_train) — psi clamps to
+        n_train the same way). 'inne' reads ``n_trees`` as its ensemble
+        size and ``projection_seed`` as its subsample seed.
     test_chunk:
         score ``decision_function`` test sets larger than this in
         ``test_chunk``-row slices — n_test becomes unbounded at
@@ -1631,6 +1747,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         cluster_seed: int = 0,
         cluster_init: str = "rows",
         gmm_covariance: str = "diag",
+        inne_psi: int = 8,
         test_chunk: Optional[int] = None,
         jl_dim: Optional[int] = None,
         jl_seed: int = 0,
@@ -1685,6 +1802,12 @@ class SubspaceEnsemble(PyodSurfaceMixin):
             raise ValueError(
                 f"unknown gmm_covariance={gmm_covariance!r}: expected "
                 "'diag' or 'full'"
+            )
+        if not (isinstance(inne_psi, (int, np.integer))
+                and not isinstance(inne_psi, bool) and inne_psi >= 2):
+            raise ValueError(
+                f"inne_psi must be an int >= 2 (hypersphere-center "
+                f"subsample size); got {inne_psi!r}"
             )
         if test_chunk is not None and (
             not isinstance(test_chunk, (int, np.integer))
@@ -1764,6 +1887,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         self.cluster_seed = cluster_seed
         self.cluster_init = cluster_init
         self.gmm_covariance = gmm_covariance
+        self.inne_psi = inne_psi
         self.test_chunk = test_chunk
         self._x_train = None
         self._threshold = None
@@ -1992,6 +2116,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
             self._x_train.shape[0], self._x_train.shape[1], k=self.k,
             n_clusters=self.n_clusters,
             gmm_covariance=self.gmm_covariance,
+            n_trees=self.n_trees, inne_psi=self.inne_psi,
         )
         masks_np, proba_np = _chunked_masks(
             self.subspaces, self._combining_weights(), chunk, n_shards

@@ -122,6 +122,7 @@ def _ensemble_score_fn(ensemble, max_batch: int = 4096):
             x_train.shape[0], x_train.shape[1], k=ensemble.k,
             n_clusters=ensemble.n_clusters,
             gmm_covariance=ensemble.gmm_covariance,
+            n_trees=ensemble.n_trees, inne_psi=ensemble.inne_psi,
         )
         masks_np, proba_np = _chunked_masks(
             ensemble.subspaces, comb_proba, chunk
@@ -299,6 +300,7 @@ def export_per_subspace_scorer(ensemble, path, max_batch: int = 4096) -> None:
             x_train.shape[0], x_train.shape[1], k=ensemble.k,
             n_clusters=ensemble.n_clusters,
             gmm_covariance=ensemble.gmm_covariance,
+            n_trees=ensemble.n_trees, inne_psi=ensemble.inne_psi,
         )
         masks_np, _ = _chunked_masks(
             ensemble.subspaces, ensemble.proba, chunk
