@@ -415,9 +415,9 @@ def main():
         "one positive and one deflationary:",
         "",
         "1. *The kl ensemble is the best learned pool on this benchmark.* "
-        "kl(trained) beats no-kl on 45/65 real pairs (+0.019 mean AUC), "
-        "random feature bagging on 46/65 (+0.019), and the full-space "
-        "detector on 45/65 (+0.035). It also repairs no-kl's round-3 "
+        "kl(trained) beats no-kl on 49/70 real pairs (+0.019 mean AUC), "
+        "random feature bagging on 49/70 (+0.017), and the full-space "
+        "detector on 49/70 (+0.034). It also repairs no-kl's round-3 "
         "losses: on the knn/lof/kde/cblof rows where no-kl trailed fb, "
         "kl(trained) draws level or wins (per-base view above). The only "
         "bases where it still loses to fb/full are the dim-decomposable "
@@ -427,7 +427,7 @@ def main():
         "2. *The edge is mask GEOMETRY, not adversarial optimization.* "
         "kl(trained) vs kl(ref) — identical in everything except that "
         "kl(ref)'s generator is detached exactly as the reference's "
-        "torch `Variable()` bug detaches it — is a coin flip: 31/65, "
+        "torch `Variable()` bug detaches it — is a coin flip: 35/70, "
         "+0.001 mean AUC. The kl architecture's INIT-time mask "
         "distribution (a few large, near-complementary ~d/2 subspaces "
         "from the N(0, 0.1) init through upper_softmax binarization) "
