@@ -3,8 +3,8 @@ sample the operator distribution, score test points with a vmap-batched base
 detector across all subspaces in one compiled program.
 
 Run: python examples/ensemble_od.py
-       [--base knn|knn_mean|lof|abod|iforest|mahalanobis|cblof|gmm|loda|
-               kde|copod|hbos|ecod]
+       [--base knn|knn_mean|lof|abod|cof|iforest|mahalanobis|cblof|gmm|
+               loda|kde|inne|copod|hbos|ecod]
        [--aggregation average|max|aom|moa]
 """
 
