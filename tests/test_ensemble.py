@@ -1243,6 +1243,115 @@ def test_ensemble_inne_base(rng):
     )
 
 
+def test_pca_scores_match_numpy(rng):
+    """pca_scores_masked vs a direct f64 numpy transcription of pyod's
+    PCA recipe (standardize -> fit PCA with svd_flip signs -> sum of
+    query-to-component-vector Euclidean distances weighted by inverse
+    explained-variance ratio, n_selected taken from the SMALLEST-variance
+    end), across every knob combination."""
+    from vgan_tpu.ensemble import pca_scores_masked
+
+    d, n_tr, nt = 7, 40, 12
+    xtr = rng.normal(size=(n_tr, d)).astype(np.float32)
+    xte = rng.normal(size=(nt, d)).astype(np.float32)
+    mask = np.array([1, 1, 0, 1, 1, 0, 1], bool)
+
+    def oracle(n_components=0, n_selected=0, standardize=True,
+               weighted=True):
+        xm = xtr.astype(np.float64) * mask
+        zm = xte.astype(np.float64) * mask
+        if standardize:
+            mu = xm.mean(0)
+            sd = np.sqrt(((xm - mu) ** 2).mean(0))
+            sd[sd == 0] = 1.0
+        else:
+            mu, sd = np.zeros(d), np.ones(d)
+        ztr, zte = (xm - mu) / sd, (zm - mu) / sd
+        c = ztr - ztr.mean(0)
+        evals, evecs = np.linalg.eigh(c.T @ c / (n_tr - 1))
+        evals = np.maximum(evals[::-1], 0)
+        v = evecs[:, ::-1]
+        proj = c @ v
+        i = np.abs(proj).argmax(0)
+        s = np.sign(proj[i, np.arange(d)])
+        s[s == 0] = 1
+        v = v * s
+        valid = evals > max(evals[0] * 1e-5, np.finfo(np.float64).tiny)
+        r = int(valid.sum())
+        ncomp = min(n_components, r) if n_components > 0 else r
+        nsel = min(n_selected, ncomp) if n_selected > 0 else ncomp
+        vv = v[:, valid][:, :ncomp][:, ncomp - nsel:ncomp]
+        ev = evals[valid][:ncomp][ncomp - nsel:ncomp]
+        # queries stay UNcentered by PCA's own mean, as pyod's do
+        dist = np.linalg.norm(
+            zte[:, None, :] - vv.T[None, :, :], axis=2
+        )
+        w = evals.sum() / ev if weighted else np.ones_like(ev)
+        return dist @ w
+
+    for kw in (dict(), dict(n_selected=3),
+               dict(n_components=4, n_selected=2),
+               dict(standardize=False), dict(weighted=False)):
+        ours = np.asarray(pca_scores_masked(
+            jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask), **kw
+        ))
+        np.testing.assert_allclose(ours, oracle(**kw), rtol=2e-4)
+
+
+def test_pca_guards(rng):
+    from vgan_tpu.ensemble import pca_scores_masked
+
+    xte = jnp.asarray(rng.normal(size=(5, 4)).astype(np.float32))
+    mask = jnp.asarray(np.ones(4, bool))
+    one = jnp.asarray(rng.normal(size=(1, 4)).astype(np.float32))
+    with pytest.raises(ValueError, match="at least 2 train rows"):
+        pca_scores_masked(xte, one, mask)
+    with pytest.raises(ValueError, match="pca_n_selected"):
+        SubspaceEnsemble(
+            np.ones((1, 4), bool), np.ones(1, np.float32),
+            base="pca", pca_n_selected=-1,
+        )
+    with pytest.raises(ValueError, match="pca_n_components"):
+        SubspaceEnsemble(
+            np.ones((1, 4), bool), np.ones(1, np.float32),
+            base="pca", pca_n_components=1.5,
+        )
+
+
+def test_ensemble_pca_base(rng):
+    """End-to-end SubspaceEnsemble(base='pca'): planted variance/mean
+    outliers rank above inliers through the aggregations; predict()
+    works; n_selected flows through the ensemble."""
+    d = 12
+    xtr = rng.normal(size=(200, d)).astype(np.float32)
+    inliers = rng.normal(size=(30, d)).astype(np.float32)
+    outliers = rng.normal(size=(10, d)).astype(np.float32) + 5.0
+    xte = np.vstack([inliers, outliers])
+
+    subs = rng.uniform(size=(10, d)) < 0.5
+    subs[~subs.any(axis=1), 0] = True
+    proba = np.full(10, 1 / 10, np.float32)
+
+    for agg in ("average", "max", "moa"):
+        ens = SubspaceEnsemble(
+            subs, proba, base="pca", aggregation=agg, chunk=4,
+        ).fit(xtr)
+        scores = ens.decision_function(xte)
+        assert scores[30:].mean() > scores[:30].mean(), agg
+
+    ens = SubspaceEnsemble(subs, proba, base="pca").fit(xtr)
+    labels = ens.predict(xte)
+    assert labels.shape == (40,)
+    assert labels[30:].mean() > labels[:30].mean()
+
+    sel = SubspaceEnsemble(
+        subs, proba, base="pca", pca_n_selected=2,
+    ).fit(xtr)
+    s_sel = sel.decision_function(xte)
+    assert s_sel.shape == (40,) and np.all(np.isfinite(s_sel))
+    assert not np.allclose(s_sel, ens.decision_function(xte))
+
+
 def test_ensemble_loda_base(rng):
     """End-to-end SubspaceEnsemble(base='loda'): planted mean-shift
     outliers score above inliers through every aggregation, predict()
@@ -1374,6 +1483,14 @@ def test_effective_chunk_governors():
     tp = 100 * 8
     expect = max(1, min(128, _MAHA_CHUNK_BUDGET // (tp * 10240 + 4096 * tp)))
     assert _effective_chunk("inne", 128, 4096, 10 ** 6, 10240) == expect
+    # pca: standardized train copy + projections + (d, d) spectrum +
+    # query projections
+    ntr, nt, d = 10 ** 5, 4096, 2048
+    expect = max(1, min(
+        128, _MAHA_CHUNK_BUDGET // (2 * ntr * d + 2 * d * d + nt * d)
+    ))
+    assert _effective_chunk("pca", 128, nt, ntr, d) == expect
+    assert _effective_chunk("pca", 128, 100, 1000, 16) == 128
 
 
 def test_hetero_combine_backend_parity(rng):

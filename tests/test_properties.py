@@ -98,6 +98,7 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
         kde_scores_masked,
         knn_scores_masked,
         loda_scores_masked,
+        pca_scores_masked,
     )
 
     mask = np.array([1, 0, 1, 0, 1, 0], bool)
@@ -127,6 +128,9 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
         ),
         lambda a: kde_scores_masked(
             jnp.asarray(a), xtr, jnp.asarray(mask), bandwidth=1.1
+        ),
+        lambda a: pca_scores_masked(
+            jnp.asarray(a), xtr, jnp.asarray(mask)
         ),
     ):
         np.testing.assert_allclose(

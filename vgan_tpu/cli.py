@@ -20,7 +20,7 @@ import sys
 # registry in tests/test_cli.py).
 _SCORE_BASES = ("knn", "knn_mean", "lof", "abod", "cof", "iforest",
                 "mahalanobis", "cblof", "gmm", "loda", "kde", "inne",
-                "copod", "hbos", "ecod")
+                "pca", "copod", "hbos", "ecod")
 
 
 def _add_common_hyperparams(p: argparse.ArgumentParser) -> None:
@@ -149,6 +149,10 @@ def build_parser() -> argparse.ArgumentParser:
                        help="hypersphere-center subsample size for "
                             "base='inne' (reads --n-trees as its "
                             "ensemble size)")
+    score.add_argument("--pca-n-selected", type=int, default=0,
+                       help="component count scored by --base pca, taken "
+                            "from the smallest-variance end as pyod does "
+                            "(0 = all valid components)")
     score.add_argument("--n-clusters", type=int, default=8,
                        help="k-means cluster count for --base cblof "
                             "(mixture components for --base gmm)")
@@ -282,6 +286,7 @@ def main(argv=None) -> int:
                 kde_bandwidth=args.kde_bandwidth,
                 n_projections=args.n_projections,
                 inne_psi=args.inne_psi,
+                pca_n_selected=args.pca_n_selected,
                 n_clusters=args.n_clusters,
                 gmm_covariance=args.gmm_covariance,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),
@@ -293,6 +298,7 @@ def main(argv=None) -> int:
                 kde_bandwidth=args.kde_bandwidth,
                 n_projections=args.n_projections,
                 inne_psi=args.inne_psi,
+                pca_n_selected=args.pca_n_selected,
                 n_clusters=args.n_clusters,
                 gmm_covariance=args.gmm_covariance,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),

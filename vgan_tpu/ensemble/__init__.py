@@ -19,6 +19,7 @@ from vgan_tpu.ensemble.od import (
     lof_scores_masked,
     mahalanobis_scores_masked,
     mean_dist_scores_masked,
+    pca_scores_masked,
     random_subspaces,
 )
 
@@ -42,5 +43,6 @@ __all__ = [
     "lof_scores_masked",
     "mahalanobis_scores_masked",
     "mean_dist_scores_masked",
+    "pca_scores_masked",
     "random_subspaces",
 ]

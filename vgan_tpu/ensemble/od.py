@@ -13,8 +13,8 @@ distances are computed with the matmul identity
 so each subspace's distance matrix is a batched MXU matmul, ``vmap`` batches
 over thousands of masks, and ``lax.map`` chunks the mask axis to bound
 memory. Base detectors implemented natively (KNN k-th-distance, KNN mean
-distance, LOF, ABOD, COF, isolation forest, Mahalanobis/PCA-family, CBLOF,
-GMM, LODA, KDE, and the dim-decomposable COPOD/HBOS/ECOD); a pyod adapter covers arbitrary CPU
+distance, LOF, ABOD, COF, isolation forest, Mahalanobis, PCA, CBLOF, GMM,
+LODA, KDE, INNE, and the dim-decomposable COPOD/HBOS/ECOD); a pyod adapter covers arbitrary CPU
 detectors for parity checks when pyod is installed (it is NOT a
 dependency).
 """
@@ -136,6 +136,14 @@ def _effective_chunk(
             nt = _EXPORT_NT_HINT
         tp = max(n_trees * inne_psi, 1)
         per_mask = max(tp * d + nt * tp, 1)
+        return max(1, min(chunk, _MAHA_CHUNK_BUDGET // per_mask))
+    if base == "pca":
+        # per in-flight mask: the standardized (ntr, d) train copy + its
+        # (ntr, d) projections, the (d, d) covariance/eigenvectors, and
+        # the (nt, d) query projections
+        if not isinstance(nt, int):  # symbolic batch dim under jax.export
+            nt = _EXPORT_NT_HINT
+        per_mask = max(2 * ntr * d + 2 * d * d + nt * d, 1)
         return max(1, min(chunk, _MAHA_CHUNK_BUDGET // per_mask))
     if base in ("cblof", "gmm"):
         # per in-flight mask: the masked (ntr, d) train copy + the (ntr,
@@ -1231,6 +1239,121 @@ def _inne_scorer(n_estimators: int, psi: int, seed: int):
     )
 
 
+def pca_scores_masked(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 0,
+    *, n_components: int = 0, n_selected: int = 0,
+    standardize: bool = True, weighted: bool = True,
+) -> jax.Array:
+    """pyod's PCA outlier detector (pyod.models.pca; Shyu et al. 2003) in
+    the masked subspace. Part of the reference's downstream detector
+    surface via the pyod/suod pins (requirements.txt:58,68 — PCA is the
+    canonical reconstruction-family baseline in the paper's experiment
+    grids).
+
+    pyod's exact recipe, quirks included: standardize with the train
+    column mean/std (sklearn StandardScaler, ddof=0; constant columns get
+    scale 1), fit PCA on the standardized train block, then score a query
+    as the sum over selected components of the plain Euclidean distance
+    from the standardized query to the component VECTOR treated as a
+    point in feature space — ``sum_j ||z - v_j|| / w_j`` with ``w_j`` the
+    component's explained-variance ratio. Two replicated quirks: the
+    query is standardized but NOT centered by PCA's own mean (visible
+    when ``standardize=False``), and ``n_selected`` takes components from
+    the SMALLEST-variance end of the kept list
+    (``components_[-n_selected:]``), pyod's actual default slice.
+    Component signs follow sklearn's ``svd_flip`` (u-based): each
+    component is flipped so the train row with the largest absolute
+    projection projects positively.
+
+    TPU-native shape: the masked covariance is one (d, d) MXU matmul per
+    mask, the spectrum one batched ``eigh`` (vmap over masks), and the
+    query-component distances ride ``||z||^2 + 1 - 2 z @ V`` — a single
+    (nt, d) matmul. Masked-out dims standardize to exact zeros, so their
+    eigenpairs carry (numerically) zero variance and are dropped by the
+    validity threshold below; everything stays full-d with no dynamic
+    shapes.
+
+    Divergence vs pyod (documented): numerically-zero-variance directions
+    (masked-out dims, exactly collinear or constant features) are
+    EXCLUDED from the component list (threshold ``1e-5 * lambda_max``)
+    rather than kept with ratio ~0 — pyod would divide by ~0 and let
+    float noise dominate the score. ``n_components``/``n_selected`` of 0
+    mean "all valid" (pyod's None). ``k`` is ignored (signature parity).
+    """
+    del k
+    dt = x_test.dtype
+    ntr, d = x_train.shape
+    if ntr < 2:
+        raise ValueError(
+            f"pca needs at least 2 train rows to define a covariance; "
+            f"got n_train={ntr}"
+        )
+    mask_f = mask.astype(dt)
+    xm_tr = x_train * mask_f[None, :]
+    mu = jnp.mean(xm_tr, axis=0)
+    if standardize:
+        # StandardScaler: ddof=0 std, constant columns keep scale 1 —
+        # masked-out columns are exactly zero, so mu=0, var=0, scale=1
+        # and the standardized column stays exactly 0
+        scale = jnp.sqrt(jnp.mean((xm_tr - mu[None, :]) ** 2, axis=0))
+        scale = jnp.where(scale > 0.0, scale, 1.0)
+    else:
+        mu = jnp.zeros_like(mu)
+        scale = jnp.ones_like(mu)
+    z_tr = (xm_tr - mu[None, :]) / scale[None, :]
+    z_te = (x_test * mask_f[None, :] - mu[None, :]) / scale[None, :]
+    # PCA centers internally; the scorer's queries stay UNcentered (pyod
+    # runs cdist on the scaler output, not on PCA-transformed data)
+    pmu = jnp.mean(z_tr, axis=0)
+    z_trc = z_tr - pmu[None, :]
+    cov = jnp.dot(
+        z_trc.T, z_trc, preferred_element_type=dt
+    ) / max(ntr - 1, 1)
+    evals, evecs = jnp.linalg.eigh(cov)  # ascending
+    evals = jnp.maximum(evals[::-1], 0.0)  # descending, clipped
+    v = evecs[:, ::-1]  # columns = components, variance-descending
+    # sklearn svd_flip (u_based_decision=True): sign of the max-|proj|
+    # train row's projection; argmax ties resolve to the first row, as
+    # numpy's do
+    z_proj = jnp.dot(z_trc, v, preferred_element_type=dt)  # (ntr, d)
+    i_star = jnp.argmax(jnp.abs(z_proj), axis=0)
+    sgn = jnp.sign(
+        jnp.take_along_axis(z_proj, i_star[None, :], axis=0)[0]
+    )
+    v = v * jnp.where(sgn == 0.0, 1.0, sgn)[None, :]
+    tot = jnp.sum(evals)
+    tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
+    valid = evals > jnp.maximum(evals[0] * 1e-5, tiny)
+    r = jnp.sum(valid.astype(jnp.int32))
+    # pyod's selection: keep the top n_components, then take the LAST
+    # n_selected of those (smallest variance); 0 means all
+    n_comp = jnp.minimum(n_components, r) if n_components > 0 else r
+    n_sel = jnp.minimum(n_selected, n_comp) if n_selected > 0 else n_comp
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1  # 0-based among valid
+    selected = valid & (rank >= n_comp - n_sel) & (rank < n_comp)
+    ratio = evals / jnp.maximum(tot, tiny)
+    coeff = selected.astype(dt)
+    if weighted:
+        coeff = coeff / jnp.maximum(ratio, jnp.asarray(1e-12, dt))
+    # ||z - v_j|| with unit ||v_j||: sq + 1 - 2 z.v — one (nt, d) matmul
+    sq_x = jnp.sum(z_te * z_te, axis=1)
+    zv = jnp.dot(z_te, v, preferred_element_type=dt)
+    dist = jnp.sqrt(jnp.maximum(sq_x[:, None] + 1.0 - 2.0 * zv, 0.0))
+    return jnp.dot(dist, coeff, preferred_element_type=dt)
+
+
+@functools.lru_cache(maxsize=None)
+def _pca_scorer(
+    n_components: int, n_selected: int, standardize: bool, weighted: bool,
+):
+    """Memoized partial (one hashable static per config; see
+    :func:`_loda_scorer`)."""
+    return functools.partial(
+        pca_scores_masked, n_components=n_components, n_selected=n_selected,
+        standardize=standardize, weighted=weighted,
+    )
+
+
 def copod_dim_scores(x_test: jax.Array, x_train: jax.Array) -> jax.Array:
     """Per-dimension two-sided ECDF tail scores, COPOD-style.
 
@@ -1551,7 +1674,7 @@ _BASE_SCORERS_EXCL = {
 
 # Bases whose scorer carries extra hyperparameters (resolved through a
 # memoized partial so the jitted paths still see one hashable static).
-_PARAM_BASES = ("loda", "kde", "cblof", "gmm", "inne")
+_PARAM_BASES = ("loda", "kde", "cblof", "gmm", "inne", "pca")
 
 
 def _scorer_and_k(
@@ -1560,7 +1683,9 @@ def _scorer_and_k(
     n_clusters: int = 8, cluster_alpha: float = 0.9,
     cluster_beta: float = 5.0, kmeans_iter: int = 30, cluster_seed: int = 0,
     cluster_init: str = "rows", gmm_covariance: str = "diag",
-    inne_psi: int = 8, exclude_self: bool = False,
+    inne_psi: int = 8, pca_n_components: int = 0, pca_n_selected: int = 0,
+    pca_standardize: bool = True, pca_weighted: bool = True,
+    exclude_self: bool = False,
 ):
     """Resolve a base name to its (scorer, static-k) pair — the single
     dispatch point shared by the ensemble paths and the serving exporters.
@@ -1574,6 +1699,11 @@ def _scorer_and_k(
         # and projection_seed as its center-subsample seed
         return _inne_scorer(int(n_trees), int(inne_psi),
                             int(projection_seed)), 0
+    if base == "pca":
+        return _pca_scorer(
+            int(pca_n_components), int(pca_n_selected),
+            bool(pca_standardize), bool(pca_weighted),
+        ), 0
     if base == "kde":
         return _kde_scorer(float(kde_bandwidth), False), 0
     if base == "cblof":
@@ -1604,7 +1734,9 @@ def _scorer_params(ens) -> dict:
         cluster_alpha=ens.cluster_alpha, cluster_beta=ens.cluster_beta,
         kmeans_iter=ens.kmeans_iter, cluster_seed=ens.cluster_seed,
         cluster_init=ens.cluster_init, gmm_covariance=ens.gmm_covariance,
-        inne_psi=ens.inne_psi,
+        inne_psi=ens.inne_psi, pca_n_components=ens.pca_n_components,
+        pca_n_selected=ens.pca_n_selected,
+        pca_standardize=ens.pca_standardize, pca_weighted=ens.pca_weighted,
     )
 
 
@@ -1627,8 +1759,10 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         log-likelihood; reads n_clusters/kmeans_iter/cluster_seed as its
         components/EM-iterations/init seed), 'loda' (random-projection
         histograms), 'inne' (isolation via nearest-neighbor hypersphere
-        ensembles — reads n_trees/inne_psi/projection_seed), 'kde'
-        (negative Gaussian kernel-density log-likelihood), 'copod',
+        ensembles — reads n_trees/inne_psi/projection_seed), 'pca'
+        (pyod's PCA detector: summed component-vector distances weighted
+        by inverse explained-variance ratio — reads the pca_* knobs),
+        'kde' (negative Gaussian kernel-density log-likelihood), 'copod',
         'hbos', 'ecod', or a pyod-style detector instance (CPU fallback
         loop; pyod optional — any object with sklearn-style
         get_params/fit/decision_function).
@@ -1677,6 +1811,12 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         max_samples; its 'auto' = min(8, n_train) — psi clamps to
         n_train the same way). 'inne' reads ``n_trees`` as its ensemble
         size and ``projection_seed`` as its subsample seed.
+    pca_n_components, pca_n_selected, pca_standardize, pca_weighted:
+        base='pca' knobs mirroring pyod's PCA(n_components,
+        n_selected_components, standardization, weighted); the two counts
+        use 0 for pyod's None (all valid components), and
+        ``pca_n_selected`` takes components from the SMALLEST-variance
+        end of the kept list, as pyod does.
     test_chunk:
         score ``decision_function`` test sets larger than this in
         ``test_chunk``-row slices — n_test becomes unbounded at
@@ -1748,6 +1888,10 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         cluster_init: str = "rows",
         gmm_covariance: str = "diag",
         inne_psi: int = 8,
+        pca_n_components: int = 0,
+        pca_n_selected: int = 0,
+        pca_standardize: bool = True,
+        pca_weighted: bool = True,
         test_chunk: Optional[int] = None,
         jl_dim: Optional[int] = None,
         jl_seed: int = 0,
@@ -1809,6 +1953,14 @@ class SubspaceEnsemble(PyodSurfaceMixin):
                 f"inne_psi must be an int >= 2 (hypersphere-center "
                 f"subsample size); got {inne_psi!r}"
             )
+        for name, val in (("pca_n_components", pca_n_components),
+                          ("pca_n_selected", pca_n_selected)):
+            if not (isinstance(val, (int, np.integer))
+                    and not isinstance(val, bool) and val >= 0):
+                raise ValueError(
+                    f"{name} must be an int >= 0 (0 = all valid "
+                    f"components, pyod's None); got {val!r}"
+                )
         if test_chunk is not None and (
             not isinstance(test_chunk, (int, np.integer))
             or isinstance(test_chunk, bool)
@@ -1888,6 +2040,10 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         self.cluster_init = cluster_init
         self.gmm_covariance = gmm_covariance
         self.inne_psi = inne_psi
+        self.pca_n_components = pca_n_components
+        self.pca_n_selected = pca_n_selected
+        self.pca_standardize = pca_standardize
+        self.pca_weighted = pca_weighted
         self.test_chunk = test_chunk
         self._x_train = None
         self._threshold = None
