@@ -1352,6 +1352,196 @@ def test_ensemble_pca_base(rng):
     assert not np.allclose(s_sel, ens.decision_function(xte))
 
 
+def test_sampling_scores_match_numpy(rng):
+    """sampling_scores_masked vs a direct f64 numpy transcription of the
+    pyod Sampling recipe (min Euclidean distance to the SAME host-drawn
+    train subsample)."""
+    from vgan_tpu.ensemble import sampling_scores_masked
+
+    d, n_tr, nt, s = 7, 50, 15, 12
+    xtr = rng.normal(size=(n_tr, d)).astype(np.float32)
+    xte = rng.normal(size=(nt, d)).astype(np.float32)
+    mask = np.array([1, 0, 1, 1, 0, 1, 0], bool)
+
+    ours = np.asarray(sampling_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask),
+        subset_size=s, seed=5,
+    ))
+    idx = np.random.default_rng(5).choice(n_tr, size=s, replace=False)
+    sub = xtr.astype(np.float64)[idx] * mask
+    want = np.sqrt(
+        (((xte.astype(np.float64) * mask)[:, None] - sub[None]) ** 2)
+        .sum(-1).min(axis=1)
+    )
+    np.testing.assert_allclose(ours, want, rtol=1e-4, atol=1e-6)
+
+    # determinism per seed; different seed -> different subsample
+    a = np.asarray(sampling_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask), seed=0))
+    b = np.asarray(sampling_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask), seed=0))
+    c = np.asarray(sampling_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask), seed=1))
+    np.testing.assert_array_equal(a, b)
+    assert not np.allclose(a, c)
+
+    # subset_size > n_train clamps to n_train -> exact 1-NN distance;
+    # a sampled train row scores 0 against itself
+    full = np.asarray(sampling_scores_masked(
+        jnp.asarray(xtr[:5]), jnp.asarray(xtr), jnp.asarray(mask),
+        subset_size=999, seed=0,
+    ))
+    np.testing.assert_allclose(full, 0.0, atol=1e-4)
+    with pytest.raises(ValueError, match="subset_size"):
+        SubspaceEnsemble(
+            np.ones((1, 4), bool), np.ones(1, np.float32),
+            base="sampling", subset_size=0,
+        )
+
+
+def test_ensemble_sampling_base(rng):
+    """End-to-end SubspaceEnsemble(base='sampling'): planted mean-shift
+    outliers rank above inliers; predict() works; subset_size flows."""
+    d = 12
+    xtr = rng.normal(size=(200, d)).astype(np.float32)
+    inliers = rng.normal(size=(30, d)).astype(np.float32)
+    outliers = rng.normal(size=(10, d)).astype(np.float32) + 5.0
+    xte = np.vstack([inliers, outliers])
+
+    subs = rng.uniform(size=(10, d)) < 0.5
+    subs[~subs.any(axis=1), 0] = True
+    proba = np.full(10, 1 / 10, np.float32)
+
+    for agg in ("average", "max"):
+        ens = SubspaceEnsemble(
+            subs, proba, base="sampling", aggregation=agg, chunk=4,
+        ).fit(xtr)
+        scores = ens.decision_function(xte)
+        assert scores[30:].mean() > scores[:30].mean(), agg
+
+    ens = SubspaceEnsemble(subs, proba, base="sampling").fit(xtr)
+    labels = ens.predict(xte)
+    assert labels.shape == (40,)
+    assert labels[30:].mean() > labels[:30].mean()
+
+    big = SubspaceEnsemble(
+        subs, proba, base="sampling", subset_size=150,
+    ).fit(xtr)
+    s_big = big.decision_function(xte)
+    assert s_big.shape == (40,) and np.all(np.isfinite(s_big))
+    assert not np.allclose(s_big, ens.decision_function(xte))
+
+
+def test_kpca_scores_match_numpy(rng):
+    """kpca_scores_masked vs a direct f64 numpy transcription of the
+    Hoffmann (2007) kernel-PCA novelty recipe (pyod.models.kpca's
+    scoring): spherical potential in RBF feature space minus squared
+    projections onto the leading centered-kernel eigenvectors."""
+    from vgan_tpu.ensemble import kpca_scores_masked
+
+    d, n_tr, nt = 7, 40, 12
+    xtr = rng.normal(size=(n_tr, d)).astype(np.float32)
+    xte = rng.normal(size=(nt, d)).astype(np.float32)
+    mask = np.array([1, 1, 0, 1, 1, 0, 1], bool)
+
+    def oracle(n_components=0, gamma=0.0, sampling=False,
+               subset_size=20, seed=0):
+        xf = xtr.astype(np.float64) * mask
+        if sampling:
+            s = max(2, min(subset_size, n_tr))
+            idx = np.random.default_rng(seed).choice(
+                n_tr, size=s, replace=False)
+            xf = xf[idx]
+        n = xf.shape[0]
+        zt = xte.astype(np.float64) * mask
+        g = gamma if gamma > 0 else 1.0 / mask.sum()
+
+        def rbf(a, b):
+            return np.exp(-g * ((a[:, None] - b[None]) ** 2).sum(-1))
+
+        kk = rbf(xf, xf)
+        rm, am = kk.mean(0), kk.mean()
+        ev, al = np.linalg.eigh(kk - rm[None, :] - rm[:, None] + am)
+        ev = np.maximum(ev[::-1], 0)
+        al = al[:, ::-1]
+        valid = ev > max(ev[0] * 1e-5, np.finfo(np.float64).tiny)
+        r = int(valid.sum())
+        ncomp = min(n_components, r) if n_components > 0 else r
+        keep = np.zeros(n, bool)
+        keep[np.flatnonzero(valid)[:ncomp]] = True
+        kt = rbf(zt, xf)
+        proj = (kt - kt.mean(1, keepdims=True) - rm[None, :] + am) @ al
+        proj_sq = np.where(
+            keep[None, :], proj ** 2 / np.maximum(ev, 1e-300)[None, :], 0.0
+        )
+        return 1.0 - 2.0 * kt.mean(1) + am - proj_sq.sum(1)
+
+    for kw in (dict(), dict(n_components=5), dict(gamma=0.3),
+               dict(sampling=True, subset_size=15, seed=3)):
+        ours = np.asarray(kpca_scores_masked(
+            jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask), **kw
+        ))
+        np.testing.assert_allclose(ours, oracle(**kw), rtol=5e-3,
+                                   atol=1e-5)
+
+    # Hoffmann sanity: train points reconstruct to ~0 with the full
+    # valid spectrum (complete basis)
+    tr = np.asarray(kpca_scores_masked(
+        jnp.asarray(xtr), jnp.asarray(xtr), jnp.asarray(mask)
+    ))
+    assert np.abs(tr).max() < 1e-4
+
+
+def test_kpca_guards(rng):
+    from vgan_tpu.ensemble import kpca_scores_masked
+
+    xte = jnp.asarray(rng.normal(size=(5, 4)).astype(np.float32))
+    mask = jnp.asarray(np.ones(4, bool))
+    one = jnp.asarray(rng.normal(size=(1, 4)).astype(np.float32))
+    with pytest.raises(ValueError, match="at least 2 fit rows"):
+        kpca_scores_masked(xte, one, mask)
+    with pytest.raises(ValueError, match="kpca_n_components"):
+        SubspaceEnsemble(
+            np.ones((1, 4), bool), np.ones(1, np.float32),
+            base="kpca", kpca_n_components=-1,
+        )
+    with pytest.raises(ValueError, match="kpca_gamma"):
+        SubspaceEnsemble(
+            np.ones((1, 4), bool), np.ones(1, np.float32),
+            base="kpca", kpca_gamma=-0.5,
+        )
+
+
+def test_ensemble_kpca_base(rng):
+    """End-to-end SubspaceEnsemble(base='kpca'): planted mean-shift
+    outliers rank above inliers; predict() works; the sampling escape
+    hatch and n_components flow through."""
+    d = 12
+    xtr = rng.normal(size=(150, d)).astype(np.float32)
+    inliers = rng.normal(size=(30, d)).astype(np.float32)
+    outliers = rng.normal(size=(10, d)).astype(np.float32) + 5.0
+    xte = np.vstack([inliers, outliers])
+
+    subs = rng.uniform(size=(10, d)) < 0.5
+    subs[~subs.any(axis=1), 0] = True
+    proba = np.full(10, 1 / 10, np.float32)
+
+    for kw in (dict(kpca_n_components=16),
+               dict(kpca_sampling=True, subset_size=40)):
+        ens = SubspaceEnsemble(
+            subs, proba, base="kpca", chunk=4, **kw
+        ).fit(xtr)
+        scores = ens.decision_function(xte)
+        assert scores[30:].mean() > scores[:30].mean(), kw
+
+    ens = SubspaceEnsemble(
+        subs, proba, base="kpca", kpca_n_components=16,
+    ).fit(xtr)
+    labels = ens.predict(xte)
+    assert labels.shape == (40,)
+    assert labels[30:].mean() > labels[:30].mean()
+
+
 def test_ensemble_loda_base(rng):
     """End-to-end SubspaceEnsemble(base='loda'): planted mean-shift
     outliers score above inliers through every aggregation, predict()
@@ -1491,6 +1681,14 @@ def test_effective_chunk_governors():
     ))
     assert _effective_chunk("pca", 128, nt, ntr, d) == expect
     assert _effective_chunk("pca", 128, 100, 1000, 16) == 128
+    # kpca: (n, n) kernel planes + eigh workspace + (nt, n) test planes;
+    # sampling=True bounds n at subset_size
+    n, nt = 20000, 4096
+    expect = max(1, min(128, _MAHA_CHUNK_BUDGET // (4 * n * n + 3 * nt * n)))
+    assert _effective_chunk("kpca", 128, nt, n, 64) == expect
+    assert _effective_chunk(
+        "kpca", 128, 100, n, 64, kpca_sampling=True, subset_size=256
+    ) == max(1, min(128, _MAHA_CHUNK_BUDGET // (4 * 256 * 256 + 3 * 100 * 256)))
 
 
 def test_hetero_combine_backend_parity(rng):

@@ -98,7 +98,9 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
         kde_scores_masked,
         knn_scores_masked,
         loda_scores_masked,
+        kpca_scores_masked,
         pca_scores_masked,
+        sampling_scores_masked,
     )
 
     mask = np.array([1, 0, 1, 0, 1, 0], bool)
@@ -131,6 +133,12 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
         ),
         lambda a: pca_scores_masked(
             jnp.asarray(a), xtr, jnp.asarray(mask)
+        ),
+        lambda a: sampling_scores_masked(
+            jnp.asarray(a), xtr, jnp.asarray(mask), subset_size=9, seed=1
+        ),
+        lambda a: kpca_scores_masked(
+            jnp.asarray(a), xtr, jnp.asarray(mask), n_components=5
         ),
     ):
         np.testing.assert_allclose(

@@ -92,7 +92,8 @@ def test_dim_base_scorer_export_roundtrip(rng, tmp_path):
     proba = np.full(6, 1 / 6, np.float32)
 
     for base in ("copod", "hbos", "ecod", "abod", "cof", "mahalanobis",
-                 "cblof", "gmm", "loda", "kde", "inne", "pca"):
+                 "cblof", "gmm", "loda", "kde", "inne", "pca", "sampling",
+                 "kpca"):
         ens = SubspaceEnsemble(masks, proba, base=base).fit(xtr)
         path = tmp_path / f"{base}.bin"
         export_ensemble_scorer(ens, path)

@@ -20,7 +20,7 @@ import sys
 # registry in tests/test_cli.py).
 _SCORE_BASES = ("knn", "knn_mean", "lof", "abod", "cof", "iforest",
                 "mahalanobis", "cblof", "gmm", "loda", "kde", "inne",
-                "pca", "copod", "hbos", "ecod")
+                "pca", "sampling", "kpca", "copod", "hbos", "ecod")
 
 
 def _add_common_hyperparams(p: argparse.ArgumentParser) -> None:
@@ -149,6 +149,16 @@ def build_parser() -> argparse.ArgumentParser:
                        help="hypersphere-center subsample size for "
                             "base='inne' (reads --n-trees as its "
                             "ensemble size)")
+    score.add_argument("--subset-size", type=int, default=20,
+                       help="train-subsample size for --base sampling "
+                            "(draw seed from the projection seed)")
+    score.add_argument("--kpca-gamma", type=float, default=0.0,
+                       help="RBF width for --base kpca (0 = sklearn's "
+                            "default 1/n_active_features per subspace)")
+    score.add_argument("--kpca-sampling", action="store_true",
+                       help="fit --base kpca's kernel spectrum on a "
+                            "--subset-size train subsample (pyod's "
+                            "O(n^2) escape hatch)")
     score.add_argument("--pca-n-selected", type=int, default=0,
                        help="component count scored by --base pca, taken "
                             "from the smallest-variance end as pyod does "
@@ -287,6 +297,9 @@ def main(argv=None) -> int:
                 n_projections=args.n_projections,
                 inne_psi=args.inne_psi,
                 pca_n_selected=args.pca_n_selected,
+                subset_size=args.subset_size,
+                kpca_gamma=args.kpca_gamma,
+                kpca_sampling=args.kpca_sampling,
                 n_clusters=args.n_clusters,
                 gmm_covariance=args.gmm_covariance,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),
@@ -299,6 +312,9 @@ def main(argv=None) -> int:
                 n_projections=args.n_projections,
                 inne_psi=args.inne_psi,
                 pca_n_selected=args.pca_n_selected,
+                subset_size=args.subset_size,
+                kpca_gamma=args.kpca_gamma,
+                kpca_sampling=args.kpca_sampling,
                 n_clusters=args.n_clusters,
                 gmm_covariance=args.gmm_covariance,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),

@@ -19,8 +19,10 @@ from vgan_tpu.ensemble.od import (
     lof_scores_masked,
     mahalanobis_scores_masked,
     mean_dist_scores_masked,
+    kpca_scores_masked,
     pca_scores_masked,
     random_subspaces,
+    sampling_scores_masked,
 )
 
 __all__ = [
@@ -43,6 +45,8 @@ __all__ = [
     "lof_scores_masked",
     "mahalanobis_scores_masked",
     "mean_dist_scores_masked",
+    "kpca_scores_masked",
     "pca_scores_masked",
     "random_subspaces",
+    "sampling_scores_masked",
 ]

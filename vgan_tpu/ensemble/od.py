@@ -14,7 +14,7 @@ so each subspace's distance matrix is a batched MXU matmul, ``vmap`` batches
 over thousands of masks, and ``lax.map`` chunks the mask axis to bound
 memory. Base detectors implemented natively (KNN k-th-distance, KNN mean
 distance, LOF, ABOD, COF, isolation forest, Mahalanobis, PCA, CBLOF, GMM,
-LODA, KDE, INNE, and the dim-decomposable COPOD/HBOS/ECOD); a pyod adapter covers arbitrary CPU
+LODA, KDE, INNE, Sampling, and the dim-decomposable COPOD/HBOS/ECOD); a pyod adapter covers arbitrary CPU
 detectors for parity checks when pyod is installed (it is NOT a
 dependency).
 """
@@ -101,6 +101,7 @@ def _effective_chunk(
     base, chunk: int, nt: int, ntr: int, d: int, k: int = 0,
     n_clusters: int = 8, gmm_covariance: str = "diag",
     n_trees: int = 100, inne_psi: int = 8,
+    kpca_sampling: bool = False, subset_size: int = 20,
 ) -> int:
     """Per-base memory governor for the vmapped-mask chunk — the single
     clamp shared by the live scoring paths and the serving exporters (the
@@ -144,6 +145,15 @@ def _effective_chunk(
         if not isinstance(nt, int):  # symbolic batch dim under jax.export
             nt = _EXPORT_NT_HINT
         per_mask = max(2 * ntr * d + 2 * d * d + nt * d, 1)
+        return max(1, min(chunk, _MAHA_CHUNK_BUDGET // per_mask))
+    if base == "kpca":
+        # per in-flight mask: the (n, n) fit kernel + its centered copy
+        # + eigh workspace (~2 n^2) + the (nt, n) test kernel/centered/
+        # projection planes; n is the fit-subsample size when sampling
+        if not isinstance(nt, int):  # symbolic batch dim under jax.export
+            nt = _EXPORT_NT_HINT
+        n = min(ntr, max(2, subset_size)) if kpca_sampling else ntr
+        per_mask = max(4 * n * n + 3 * nt * n, 1)
         return max(1, min(chunk, _MAHA_CHUNK_BUDGET // per_mask))
     if base in ("cblof", "gmm"):
         # per in-flight mask: the masked (ntr, d) train copy + the (ntr,
@@ -1354,6 +1364,159 @@ def _pca_scorer(
     )
 
 
+def sampling_scores_masked(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 0,
+    *, subset_size: int = 20, seed: int = 0,
+) -> jax.Array:
+    """Sampling outlier detector (Sugiyama & Borgwardt 2013, "Rapid
+    distance-based outlier detection via sampling"; pyod.models.sampling)
+    in the masked subspace. Part of the reference's downstream detector
+    surface via the pyod/suod pins (requirements.txt:58,68).
+
+    pyod's recipe: draw ``subset_size`` train rows once at fit, score a
+    query as its Euclidean distance to the NEAREST sampled row. The whole
+    detector is one masked (nt, d)@(d, s) matmul + a min — the cheapest
+    distance-based base, and the paper shows it is surprisingly
+    competitive with full kNN.
+
+    TPU-native shape: the subsample indices are drawn host-side from
+    ``seed`` at trace time and shared across ALL masks (the
+    loda/inne constant-embedding pattern; pyod draws once per fitted
+    detector — one draw per ensemble instance mirrors that). Distances
+    ride the usual ``||x||^2 + ||s||^2 - 2 x.s`` identity, so the only
+    O(nt x s) work is a single MXU matmul per mask chunk.
+
+    Divergence vs pyod (documented): ``subset_size > n_train`` clamps to
+    n_train (pyod raises); a train row that IS a sampled row scores 0
+    against itself, as pyod's does. ``k`` is ignored (signature parity).
+    """
+    del k
+    ntr, d = x_train.shape
+    if ntr < 1:
+        raise ValueError(f"sampling needs at least 1 train row; got {ntr}")
+    s_eff = max(1, min(int(subset_size), int(ntr)))
+    host_rng = np.random.default_rng(seed)
+    idx = host_rng.choice(ntr, size=s_eff, replace=False).astype(np.int32)
+    subset = x_train[jnp.asarray(idx)]  # (s, d)
+    d2 = _masked_sq_dists(x_test, subset, mask)
+    return jnp.sqrt(jnp.min(d2, axis=1))
+
+
+def kpca_scores_masked(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 0,
+    *, n_components: int = 0, gamma: float = 0.0,
+    sampling: bool = False, subset_size: int = 20, seed: int = 0,
+) -> jax.Array:
+    """Kernel-PCA novelty detection (Hoffmann 2007, "Kernel PCA for
+    novelty detection"; the recipe pyod.models.kpca implements) in the
+    masked subspace, RBF kernel. Part of the reference's downstream
+    detector surface via the pyod/suod pins (requirements.txt:58,68).
+
+    The score is the squared reconstruction error in feature space: the
+    spherical potential ``p(x) = ||phi(x) - phi_bar||^2`` (in kernel
+    terms ``k(x,x) - (2/n) sum_j k(x, x_j) + (1/n^2) sum_ij k(x_i,
+    x_j)``) minus the squared projections onto the leading kernel
+    principal components (eigenvectors of the double-centered train
+    kernel, projections scaled by ``1/sqrt(lambda_f)`` as sklearn
+    KernelPCA's transform does). For a train point with all components
+    kept the score is ~0; novel points leave energy orthogonal to the
+    learned subspace. Component signs cancel in the square, so
+    sklearn's svd_flip is irrelevant here.
+
+    TPU-native shape: both kernels ride the masked
+    ``||a||^2 + ||b||^2 - 2 a.b`` identity — (ntr, d)@(d, ntr) and
+    (nt, d)@(d, ntr) MXU matmuls — and the spectrum is one batched
+    ``eigh`` vmapped over masks. ``gamma=0.0`` means pyod's None:
+    ``1 / n_features`` of the PROJECTED data, i.e. ``1 / popcount(mask)``
+    per subspace (the convention every masked base here follows — the
+    detector sees only the selected dims). ``sampling=True`` fits on a
+    host-drawn ``subset_size`` train subsample shared across masks
+    (pyod's own escape hatch for the O(n^2) kernel; seed from ``seed``),
+    bounding the eigh at (s, s).
+
+    Divergence vs pyod (documented): numerically-zero eigenvalues are
+    excluded by a relative threshold (``1e-5 * lambda_max``) rather than
+    sklearn's exact ``> 0`` cut — in f32 the near-null spectrum is noise
+    amplified by the ``1/sqrt(lambda)`` scaling; ``n_components=0``
+    means "all valid" (pyod's None). ``k`` is ignored (signature
+    parity).
+    """
+    del k
+    dt = x_test.dtype
+    ntr_full = x_train.shape[0]
+    if sampling:
+        s_eff = max(2, min(int(subset_size), int(ntr_full)))
+        host_rng = np.random.default_rng(seed)
+        idx = host_rng.choice(
+            ntr_full, size=s_eff, replace=False
+        ).astype(np.int32)
+        x_fit = x_train[jnp.asarray(idx)]
+    else:
+        x_fit = x_train
+    n = x_fit.shape[0]
+    if n < 2:
+        raise ValueError(
+            f"kpca needs at least 2 fit rows to define a kernel "
+            f"spectrum; got n_train={n}"
+        )
+    mask_f = mask.astype(dt)
+    if gamma > 0.0:
+        g = jnp.asarray(gamma, dt)
+    else:
+        # pyod/sklearn None: 1/n_features of the projected data
+        g = 1.0 / jnp.maximum(jnp.sum(mask_f), 1.0)
+    k_tr = jnp.exp(-g * _masked_sq_dists(x_fit, x_fit, mask))  # (n, n)
+    k_te = jnp.exp(-g * _masked_sq_dists(x_test, x_fit, mask))  # (nt, n)
+    row_mean = jnp.mean(k_tr, axis=0)  # (n,) == col mean (symmetric)
+    all_mean = jnp.mean(row_mean)
+    kc_tr = k_tr - row_mean[None, :] - row_mean[:, None] + all_mean
+    evals, evecs = jnp.linalg.eigh(kc_tr)  # ascending
+    evals = jnp.maximum(evals[::-1], 0.0)
+    alphas = evecs[:, ::-1]  # unit-norm columns, variance-descending
+    tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
+    valid = evals > jnp.maximum(evals[0] * 1e-5, tiny)
+    r = jnp.sum(valid.astype(jnp.int32))
+    n_comp = jnp.minimum(n_components, r) if n_components > 0 else r
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    selected = valid & (rank < n_comp)
+    # centered test kernel (KernelCenterer transform)
+    kc_te = (
+        k_te - jnp.mean(k_te, axis=1, keepdims=True)
+        - row_mean[None, :] + all_mean
+    )
+    # projections onto selected components: (nt, n) @ (n, n) / sqrt(l)
+    proj = jnp.dot(kc_te, alphas, preferred_element_type=dt)
+    proj_sq = jnp.where(
+        selected[None, :], proj * proj / jnp.maximum(evals, tiny)[None, :],
+        0.0,
+    )
+    # spherical potential: k(x,x)=1 for rbf
+    potential = 1.0 - 2.0 * jnp.mean(k_te, axis=1) + all_mean
+    return potential - jnp.sum(proj_sq, axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _kpca_scorer(
+    n_components: int, gamma: float, sampling: bool, subset_size: int,
+    seed: int,
+):
+    """Memoized partial (one hashable static per config; see
+    :func:`_loda_scorer`)."""
+    return functools.partial(
+        kpca_scores_masked, n_components=n_components, gamma=gamma,
+        sampling=sampling, subset_size=subset_size, seed=seed,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _sampling_scorer(subset_size: int, seed: int):
+    """Memoized partial (one hashable static per config; see
+    :func:`_loda_scorer`)."""
+    return functools.partial(
+        sampling_scores_masked, subset_size=subset_size, seed=seed,
+    )
+
+
 def copod_dim_scores(x_test: jax.Array, x_train: jax.Array) -> jax.Array:
     """Per-dimension two-sided ECDF tail scores, COPOD-style.
 
@@ -1674,7 +1837,9 @@ _BASE_SCORERS_EXCL = {
 
 # Bases whose scorer carries extra hyperparameters (resolved through a
 # memoized partial so the jitted paths still see one hashable static).
-_PARAM_BASES = ("loda", "kde", "cblof", "gmm", "inne", "pca")
+_PARAM_BASES = (
+    "loda", "kde", "cblof", "gmm", "inne", "pca", "sampling", "kpca",
+)
 
 
 def _scorer_and_k(
@@ -1685,6 +1850,8 @@ def _scorer_and_k(
     cluster_init: str = "rows", gmm_covariance: str = "diag",
     inne_psi: int = 8, pca_n_components: int = 0, pca_n_selected: int = 0,
     pca_standardize: bool = True, pca_weighted: bool = True,
+    subset_size: int = 20, kpca_n_components: int = 0,
+    kpca_gamma: float = 0.0, kpca_sampling: bool = False,
     exclude_self: bool = False,
 ):
     """Resolve a base name to its (scorer, static-k) pair — the single
@@ -1703,6 +1870,16 @@ def _scorer_and_k(
         return _pca_scorer(
             int(pca_n_components), int(pca_n_selected),
             bool(pca_standardize), bool(pca_weighted),
+        ), 0
+    if base == "sampling":
+        # sampling reads projection_seed as its subsample seed
+        return _sampling_scorer(int(subset_size), int(projection_seed)), 0
+    if base == "kpca":
+        # kpca's optional fit subsample reuses subset_size +
+        # projection_seed (pyod's sampling/subset_size/random_state)
+        return _kpca_scorer(
+            int(kpca_n_components), float(kpca_gamma), bool(kpca_sampling),
+            int(subset_size), int(projection_seed),
         ), 0
     if base == "kde":
         return _kde_scorer(float(kde_bandwidth), False), 0
@@ -1737,6 +1914,9 @@ def _scorer_params(ens) -> dict:
         inne_psi=ens.inne_psi, pca_n_components=ens.pca_n_components,
         pca_n_selected=ens.pca_n_selected,
         pca_standardize=ens.pca_standardize, pca_weighted=ens.pca_weighted,
+        subset_size=ens.subset_size,
+        kpca_n_components=ens.kpca_n_components,
+        kpca_gamma=ens.kpca_gamma, kpca_sampling=ens.kpca_sampling,
     )
 
 
@@ -1762,6 +1942,12 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         ensembles — reads n_trees/inne_psi/projection_seed), 'pca'
         (pyod's PCA detector: summed component-vector distances weighted
         by inverse explained-variance ratio — reads the pca_* knobs),
+        'sampling' (distance to the nearest of ``subset_size`` sampled
+        train rows — Sugiyama & Borgwardt 2013; reads
+        ``projection_seed`` as its draw seed), 'kpca' (kernel-PCA
+        reconstruction error in RBF feature space — Hoffmann 2007;
+        reads the kpca_* knobs, and ``subset_size``/``projection_seed``
+        when ``kpca_sampling=True``),
         'kde' (negative Gaussian kernel-density log-likelihood), 'copod',
         'hbos', 'ecod', or a pyod-style detector instance (CPU fallback
         loop; pyod optional — any object with sklearn-style
@@ -1817,6 +2003,18 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         use 0 for pyod's None (all valid components), and
         ``pca_n_selected`` takes components from the SMALLEST-variance
         end of the kept list, as pyod does.
+    subset_size:
+        base='sampling' subsample size (pyod Sampling's subset_size;
+        clamps to n_train); also base='kpca''s fit-subsample size when
+        ``kpca_sampling=True``.
+    kpca_n_components, kpca_gamma, kpca_sampling:
+        base='kpca' knobs mirroring pyod's KPCA(n_components, gamma,
+        sampling): 0 components = all valid (pyod's None), gamma 0.0 =
+        pyod's None (``1 / popcount(mask)`` per subspace — the RBF width
+        sklearn would derive on the projected data), and
+        ``kpca_sampling=True`` fits the kernel spectrum on a
+        ``subset_size`` host-drawn train subsample (pyod's own O(n^2)
+        escape hatch).
     test_chunk:
         score ``decision_function`` test sets larger than this in
         ``test_chunk``-row slices — n_test becomes unbounded at
@@ -1892,6 +2090,10 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         pca_n_selected: int = 0,
         pca_standardize: bool = True,
         pca_weighted: bool = True,
+        subset_size: int = 20,
+        kpca_n_components: int = 0,
+        kpca_gamma: float = 0.0,
+        kpca_sampling: bool = False,
         test_chunk: Optional[int] = None,
         jl_dim: Optional[int] = None,
         jl_seed: int = 0,
@@ -1952,6 +2154,25 @@ class SubspaceEnsemble(PyodSurfaceMixin):
             raise ValueError(
                 f"inne_psi must be an int >= 2 (hypersphere-center "
                 f"subsample size); got {inne_psi!r}"
+            )
+        if not (isinstance(subset_size, (int, np.integer))
+                and not isinstance(subset_size, bool) and subset_size >= 1):
+            raise ValueError(
+                f"subset_size must be an int >= 1 (base='sampling' "
+                f"subsample size); got {subset_size!r}"
+            )
+        if not (isinstance(kpca_n_components, (int, np.integer))
+                and not isinstance(kpca_n_components, bool)
+                and kpca_n_components >= 0):
+            raise ValueError(
+                f"kpca_n_components must be an int >= 0 (0 = all valid "
+                f"components, pyod's None); got {kpca_n_components!r}"
+            )
+        if not (isinstance(kpca_gamma, (int, float, np.floating))
+                and not isinstance(kpca_gamma, bool) and kpca_gamma >= 0.0):
+            raise ValueError(
+                f"kpca_gamma must be a float >= 0 (0 = pyod's None: "
+                f"1/n_active_features per subspace); got {kpca_gamma!r}"
             )
         for name, val in (("pca_n_components", pca_n_components),
                           ("pca_n_selected", pca_n_selected)):
@@ -2044,6 +2265,10 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         self.pca_n_selected = pca_n_selected
         self.pca_standardize = pca_standardize
         self.pca_weighted = pca_weighted
+        self.subset_size = subset_size
+        self.kpca_n_components = kpca_n_components
+        self.kpca_gamma = kpca_gamma
+        self.kpca_sampling = kpca_sampling
         self.test_chunk = test_chunk
         self._x_train = None
         self._threshold = None
@@ -2273,6 +2498,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
             n_clusters=self.n_clusters,
             gmm_covariance=self.gmm_covariance,
             n_trees=self.n_trees, inne_psi=self.inne_psi,
+            kpca_sampling=self.kpca_sampling, subset_size=self.subset_size,
         )
         masks_np, proba_np = _chunked_masks(
             self.subspaces, self._combining_weights(), chunk, n_shards

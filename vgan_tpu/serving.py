@@ -123,6 +123,8 @@ def _ensemble_score_fn(ensemble, max_batch: int = 4096):
             n_clusters=ensemble.n_clusters,
             gmm_covariance=ensemble.gmm_covariance,
             n_trees=ensemble.n_trees, inne_psi=ensemble.inne_psi,
+            kpca_sampling=ensemble.kpca_sampling,
+            subset_size=ensemble.subset_size,
         )
         masks_np, proba_np = _chunked_masks(
             ensemble.subspaces, comb_proba, chunk
@@ -301,6 +303,8 @@ def export_per_subspace_scorer(ensemble, path, max_batch: int = 4096) -> None:
             n_clusters=ensemble.n_clusters,
             gmm_covariance=ensemble.gmm_covariance,
             n_trees=ensemble.n_trees, inne_psi=ensemble.inne_psi,
+            kpca_sampling=ensemble.kpca_sampling,
+            subset_size=ensemble.subset_size,
         )
         masks_np, _ = _chunked_masks(
             ensemble.subspaces, ensemble.proba, chunk
