@@ -1271,9 +1271,9 @@ def test_pca_scores_match_numpy(rng):
         evals, evecs = np.linalg.eigh(c.T @ c / (n_tr - 1))
         evals = np.maximum(evals[::-1], 0)
         v = evecs[:, ::-1]
-        proj = c @ v
-        i = np.abs(proj).argmax(0)
-        s = np.sign(proj[i, np.arange(d)])
+        # svd_flip u_based_decision=False (sklearn >= 1.5 PCA)
+        i = np.abs(v).argmax(0)
+        s = np.sign(v[i, np.arange(d)])
         s[s == 0] = 1
         v = v * s
         valid = evals > max(evals[0] * 1e-5, np.finfo(np.float64).tiny)

@@ -1271,9 +1271,11 @@ def pca_scores_masked(
     when ``standardize=False``), and ``n_selected`` takes components from
     the SMALLEST-variance end of the kept list
     (``components_[-n_selected:]``), pyod's actual default slice.
-    Component signs follow sklearn's ``svd_flip`` (u-based): each
-    component is flipped so the train row with the largest absolute
-    projection projects positively.
+    Component signs follow modern sklearn's ``svd_flip``
+    (``u_based_decision=False``, the PCA convention since sklearn 1.5):
+    each component is flipped so its largest-absolute coefficient is
+    positive — signs matter here because the score measures distance to
+    the component treated as a POINT, not a line.
 
     TPU-native shape: the masked covariance is one (d, d) MXU matmul per
     mask, the spectrum one batched ``eigh`` (vmap over masks), and the
@@ -1322,13 +1324,13 @@ def pca_scores_masked(
     evals, evecs = jnp.linalg.eigh(cov)  # ascending
     evals = jnp.maximum(evals[::-1], 0.0)  # descending, clipped
     v = evecs[:, ::-1]  # columns = components, variance-descending
-    # sklearn svd_flip (u_based_decision=True): sign of the max-|proj|
-    # train row's projection; argmax ties resolve to the first row, as
+    # sklearn svd_flip (u_based_decision=False, PCA's convention since
+    # sklearn 1.5): flip each component so its largest-|coefficient|
+    # entry is positive; argmax ties resolve to the first row, as
     # numpy's do
-    z_proj = jnp.dot(z_trc, v, preferred_element_type=dt)  # (ntr, d)
-    i_star = jnp.argmax(jnp.abs(z_proj), axis=0)
+    i_star = jnp.argmax(jnp.abs(v), axis=0)
     sgn = jnp.sign(
-        jnp.take_along_axis(z_proj, i_star[None, :], axis=0)[0]
+        jnp.take_along_axis(v, i_star[None, :], axis=0)[0]
     )
     v = v * jnp.where(sgn == 0.0, 1.0, sgn)[None, :]
     tot = jnp.sum(evals)
