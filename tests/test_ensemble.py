@@ -1542,6 +1542,70 @@ def test_ensemble_kpca_base(rng):
     assert labels[30:].mean() > labels[:30].mean()
 
 
+def test_mcd_guards(rng):
+    from vgan_tpu.ensemble import mcd_scores_masked
+
+    xte = jnp.asarray(rng.normal(size=(5, 4)).astype(np.float32))
+    mask = jnp.asarray(np.ones(4, bool))
+    one = jnp.asarray(rng.normal(size=(1, 4)).astype(np.float32))
+    with pytest.raises(ValueError, match="at least 2 train rows"):
+        mcd_scores_masked(xte, one, mask)
+    with pytest.raises(ValueError, match="support_fraction"):
+        SubspaceEnsemble(
+            np.ones((1, 4), bool), np.ones(1, np.float32),
+            base="mcd", support_fraction=1.5,
+        )
+    with pytest.raises(ValueError, match="mcd_starts"):
+        SubspaceEnsemble(
+            np.ones((1, 4), bool), np.ones(1, np.float32),
+            base="mcd", mcd_starts=0,
+        )
+
+    # determinism per seed; robust to the planted contamination: the
+    # outliers' own rows must not drag the estimate (score them high)
+    xtr = np.vstack([
+        rng.normal(size=(60, 4)) * 0.5, rng.normal(size=(8, 4)) + 8.0,
+    ]).astype(np.float32)
+    a = np.asarray(mcd_scores_masked(
+        jnp.asarray(xtr), jnp.asarray(xtr), mask, seed=0))
+    b = np.asarray(mcd_scores_masked(
+        jnp.asarray(xtr), jnp.asarray(xtr), mask, seed=0))
+    np.testing.assert_array_equal(a, b)
+    assert a[60:].min() > a[:60].max()
+
+
+def test_ensemble_mcd_base(rng):
+    """End-to-end SubspaceEnsemble(base='mcd'): planted mean-shift
+    outliers rank above inliers; predict() works; support_fraction
+    flows."""
+    d = 10
+    xtr = rng.normal(size=(150, d)).astype(np.float32)
+    inliers = rng.normal(size=(30, d)).astype(np.float32)
+    outliers = rng.normal(size=(10, d)).astype(np.float32) + 5.0
+    xte = np.vstack([inliers, outliers])
+
+    subs = rng.uniform(size=(8, d)) < 0.5
+    subs[~subs.any(axis=1), 0] = True
+    proba = np.full(8, 1 / 8, np.float32)
+
+    ens = SubspaceEnsemble(
+        subs, proba, base="mcd", chunk=4, mcd_starts=4, mcd_steps=8,
+    ).fit(xtr)
+    scores = ens.decision_function(xte)
+    assert scores[30:].mean() > scores[:30].mean()
+    labels = ens.predict(xte)
+    assert labels.shape == (40,)
+    assert labels[30:].mean() > labels[:30].mean()
+
+    frac = SubspaceEnsemble(
+        subs, proba, base="mcd", support_fraction=0.9, mcd_starts=4,
+        mcd_steps=8,
+    ).fit(xtr)
+    s_frac = frac.decision_function(xte)
+    assert s_frac.shape == (40,) and np.all(np.isfinite(s_frac))
+    assert not np.allclose(s_frac, scores)
+
+
 def test_ensemble_loda_base(rng):
     """End-to-end SubspaceEnsemble(base='loda'): planted mean-shift
     outliers score above inliers through every aggregation, predict()
@@ -1689,6 +1753,12 @@ def test_effective_chunk_governors():
     assert _effective_chunk(
         "kpca", 128, 100, n, 64, kpca_sampling=True, subset_size=256
     ) == max(1, min(128, _MAHA_CHUNK_BUDGET // (4 * 256 * 256 + 3 * 100 * 256)))
+    # mcd: per-start solve/cov planes, vmapped over starts
+    ntr, nt, d = 10 ** 5, 4096, 512
+    expect = max(1, min(128, _MAHA_CHUNK_BUDGET // (
+        ntr * d + 8 * (2 * ntr * d + 2 * d * d) + nt * d)))
+    assert _effective_chunk("mcd", 128, nt, ntr, d) == expect
+    assert _effective_chunk("mcd", 128, 50, 500, 8) == 128
 
 
 def test_hetero_combine_backend_parity(rng):

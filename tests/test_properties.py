@@ -99,6 +99,7 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
         knn_scores_masked,
         loda_scores_masked,
         kpca_scores_masked,
+        mcd_scores_masked,
         pca_scores_masked,
         sampling_scores_masked,
     )
@@ -139,6 +140,9 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
         ),
         lambda a: kpca_scores_masked(
             jnp.asarray(a), xtr, jnp.asarray(mask), n_components=5
+        ),
+        lambda a: mcd_scores_masked(
+            jnp.asarray(a), xtr, jnp.asarray(mask), n_starts=3, c_steps=5
         ),
     ):
         np.testing.assert_allclose(

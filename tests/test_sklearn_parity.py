@@ -123,6 +123,37 @@ def test_pca_matches_sklearn_pipeline(data):
         np.testing.assert_allclose(ours, want, rtol=2e-3)
 
 
+def test_mcd_matches_sklearn():
+    """mcd_scores_masked == MinCovDet.mahalanobis on data whose MCD
+    optimum is unambiguous (tight inlier cluster + far outliers), so our
+    fixed-protocol FastMCD and sklearn's tournament converge to the SAME
+    h-support — pinning the h formula, the analytic Pison/Croux raw
+    consistency factor, the 0.975 reweighting, and the reweighted-score
+    scaling exactly."""
+    from sklearn.covariance import MinCovDet
+
+    from vgan_tpu.ensemble import mcd_scores_masked
+
+    rng = np.random.default_rng(7)
+    n_in, n_out, d = 100, 15, 7
+    xtr = np.vstack([
+        rng.normal(size=(n_in, d)) * 0.5,
+        rng.normal(size=(n_out, d)) * 6 + 12,
+    ]).astype(np.float32)
+    xte = np.vstack([
+        rng.normal(size=(12, d)) * 0.5,
+        rng.normal(size=(4, d)) * 6 + 12,
+    ]).astype(np.float32)
+    mask = np.ones(d, bool)
+    mask[2] = False
+    m = MinCovDet(random_state=0).fit(xtr[:, mask].astype(np.float64))
+    want = m.mahalanobis(xte[:, mask].astype(np.float64))
+    ours = np.asarray(mcd_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask), seed=1
+    ))
+    np.testing.assert_allclose(ours, want, rtol=5e-3)
+
+
 def test_kpca_matches_sklearn_pipeline(data):
     """kpca_scores_masked == Hoffmann's score rebuilt from a real sklearn
     KernelPCA (transform already applies the centering + 1/sqrt(lambda)

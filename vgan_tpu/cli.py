@@ -20,7 +20,7 @@ import sys
 # registry in tests/test_cli.py).
 _SCORE_BASES = ("knn", "knn_mean", "lof", "abod", "cof", "iforest",
                 "mahalanobis", "cblof", "gmm", "loda", "kde", "inne",
-                "pca", "sampling", "kpca", "copod", "hbos", "ecod")
+                "pca", "sampling", "kpca", "mcd", "copod", "hbos", "ecod")
 
 
 def _add_common_hyperparams(p: argparse.ArgumentParser) -> None:
@@ -152,6 +152,10 @@ def build_parser() -> argparse.ArgumentParser:
     score.add_argument("--subset-size", type=int, default=20,
                        help="train-subsample size for --base sampling "
                             "(draw seed from the projection seed)")
+    score.add_argument("--support-fraction", type=float, default=0.0,
+                       help="FastMCD support fraction for --base mcd "
+                            "(0 = sklearn's None: h = ceil((n+p+1)/2) "
+                            "per subspace)")
     score.add_argument("--kpca-gamma", type=float, default=0.0,
                        help="RBF width for --base kpca (0 = sklearn's "
                             "default 1/n_active_features per subspace)")
@@ -300,6 +304,7 @@ def main(argv=None) -> int:
                 subset_size=args.subset_size,
                 kpca_gamma=args.kpca_gamma,
                 kpca_sampling=args.kpca_sampling,
+                support_fraction=args.support_fraction,
                 n_clusters=args.n_clusters,
                 gmm_covariance=args.gmm_covariance,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),
@@ -315,6 +320,7 @@ def main(argv=None) -> int:
                 subset_size=args.subset_size,
                 kpca_gamma=args.kpca_gamma,
                 kpca_sampling=args.kpca_sampling,
+                support_fraction=args.support_fraction,
                 n_clusters=args.n_clusters,
                 gmm_covariance=args.gmm_covariance,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),

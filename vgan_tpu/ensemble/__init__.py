@@ -20,6 +20,7 @@ from vgan_tpu.ensemble.od import (
     mahalanobis_scores_masked,
     mean_dist_scores_masked,
     kpca_scores_masked,
+    mcd_scores_masked,
     pca_scores_masked,
     random_subspaces,
     sampling_scores_masked,
@@ -46,6 +47,7 @@ __all__ = [
     "mahalanobis_scores_masked",
     "mean_dist_scores_masked",
     "kpca_scores_masked",
+    "mcd_scores_masked",
     "pca_scores_masked",
     "random_subspaces",
     "sampling_scores_masked",

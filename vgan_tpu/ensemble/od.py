@@ -13,8 +13,9 @@ distances are computed with the matmul identity
 so each subspace's distance matrix is a batched MXU matmul, ``vmap`` batches
 over thousands of masks, and ``lax.map`` chunks the mask axis to bound
 memory. Base detectors implemented natively (KNN k-th-distance, KNN mean
-distance, LOF, ABOD, COF, isolation forest, Mahalanobis, PCA, CBLOF, GMM,
-LODA, KDE, INNE, Sampling, and the dim-decomposable COPOD/HBOS/ECOD); a pyod adapter covers arbitrary CPU
+distance, LOF, ABOD, COF, isolation forest, Mahalanobis, MCD, PCA, KPCA,
+CBLOF, GMM, LODA, KDE, INNE, Sampling, and the dim-decomposable
+COPOD/HBOS/ECOD); a pyod adapter covers arbitrary CPU
 detectors for parity checks when pyod is installed (it is NOT a
 dependency).
 """
@@ -102,6 +103,7 @@ def _effective_chunk(
     n_clusters: int = 8, gmm_covariance: str = "diag",
     n_trees: int = 100, inne_psi: int = 8,
     kpca_sampling: bool = False, subset_size: int = 20,
+    mcd_starts: int = 8,
 ) -> int:
     """Per-base memory governor for the vmapped-mask chunk — the single
     clamp shared by the live scoring paths and the serving exporters (the
@@ -154,6 +156,16 @@ def _effective_chunk(
             nt = _EXPORT_NT_HINT
         n = min(ntr, max(2, subset_size)) if kpca_sampling else ntr
         per_mask = max(4 * n * n + 3 * nt * n, 1)
+        return max(1, min(chunk, _MAHA_CHUNK_BUDGET // per_mask))
+    if base == "mcd":
+        # per in-flight mask: the masked (ntr, d) train copy + per start
+        # (vmapped) the (d, ntr) triangular-solve plane, the (d, d)
+        # covariance/Cholesky pair, and the (ntr,) distance/weight rows
+        if not isinstance(nt, int):  # symbolic batch dim under jax.export
+            nt = _EXPORT_NT_HINT
+        per_mask = max(
+            ntr * d + mcd_starts * (2 * ntr * d + 2 * d * d) + nt * d, 1
+        )
         return max(1, min(chunk, _MAHA_CHUNK_BUDGET // per_mask))
     if base in ("cblof", "gmm"):
         # per in-flight mask: the masked (ntr, d) train copy + the (ntr,
@@ -1519,6 +1531,177 @@ def _sampling_scorer(subset_size: int, seed: int):
     )
 
 
+def mcd_scores_masked(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 0,
+    *, support_fraction: float = 0.0, n_starts: int = 8, c_steps: int = 15,
+    seed: int = 0,
+) -> jax.Array:
+    """Minimum Covariance Determinant outlier detector (Rousseeuw & Van
+    Driessen 1999 FastMCD; pyod.models.mcd wraps sklearn MinCovDet) in
+    the masked subspace. Part of the reference's downstream detector
+    surface via the pyod/suod pins (requirements.txt:58,68).
+
+    sklearn's exact estimator recipe, replicated end to end: support size
+    ``h = min(ceil(0.5 (n + p + 1)), n)`` with ``p`` the ACTIVE dim count
+    (``support_fraction > 0`` overrides as ``int(f * n)``), c-steps that
+    recompute the biased mean/covariance of the current h smallest
+    Mahalanobis distances, the raw-estimate analytic consistency
+    correction ``cov *= c(p, h/n)`` with
+    ``c(p, a) = a / chi2.cdf(chi2.ppf(a, p), p + 2)`` (modern sklearn's
+    ``_consistency_factor`` — the old median/chi2(0.5) recipe is gone),
+    Rousseeuw reweighting (keep points with ``d^2 < chi2.ppf(0.975,
+    p)``, biased covariance of the kept rows) scaled by the same factor
+    at ``a = 0.975``, and finally the
+    squared Mahalanobis distance of the queries to the reweighted
+    estimates (``MinCovDet.mahalanobis`` — pyod MCD's
+    decision_function). The chi-square quantile/cdf terms are
+    host-precomputed tables over dof 1..d and indexed by ``popcount
+    (mask)``, so every mask gets its own p-dependent thresholds inside
+    one traced program.
+
+    TPU-native shape: each c-step is one masked (d, d) covariance matmul
+    + one Cholesky + one triangular solve batched over the train rows —
+    the ``mahalanobis_scores_masked`` machinery under a ``lax.scan``;
+    ``n_starts`` random starts run as a ``vmap`` with the winner chosen
+    by masked log-determinant. The h-subset selection is a rank
+    threshold (double argsort), so every step keeps EXACTLY h rows with
+    ties broken by row index — no dynamic shapes. Initial subsets take
+    the first ``p + 1`` rows of host-drawn permutations (seed from
+    ``seed``, shared across masks; sklearn draws p+1-point subsets the
+    same way per trial).
+
+    Divergences vs sklearn (documented): fixed ``n_starts`` x
+    ``c_steps`` instead of select_candidates' 30-trial/2-step/top-10
+    tournament and the n>500 partitioning (on well-separated data both
+    reach the same optimum — pinned by the cross-library test); the
+    1-feature special case (shortest-half location) is not replicated
+    (c-steps run as in the general case); rank-deficient subspaces lean
+    on the same scale-aware ridge as ``mahalanobis_scores_masked``
+    instead of sklearn's full-rank warning. ``k`` is ignored (signature
+    parity).
+    """
+    del k
+    from scipy.stats import chi2  # host-side tables only (sklearn dep)
+
+    dt = x_test.dtype
+    ntr, d = x_train.shape
+    if ntr < 2:
+        raise ValueError(
+            f"mcd needs at least 2 train rows to define a covariance; "
+            f"got n_train={ntr}"
+        )
+    dofs = np.arange(1, d + 1)
+
+    def consistency(alpha: np.ndarray) -> np.ndarray:
+        # sklearn _consistency_factor (Pison 2002 Sec 3 / Croux 1999
+        # Eq 4.2); alpha -> 1 gives q -> inf, cdf -> 1, factor -> alpha
+        q = chi2.ppf(np.clip(alpha, 0.0, 1.0), dofs)
+        return alpha / np.where(
+            np.isfinite(q), chi2.cdf(q, dofs + 2), 1.0
+        )
+
+    if support_fraction > 0.0:
+        h_np = np.full(d, int(support_fraction * ntr))
+    else:
+        h_np = np.minimum(np.ceil(0.5 * (ntr + dofs + 1)).astype(int), ntr)
+    corr_raw = jnp.asarray(consistency(h_np / ntr), dt)  # (d,) by dof
+    chi2_rw = jnp.asarray(chi2.ppf(0.975, dofs), dt)
+    c_alpha = jnp.asarray(consistency(np.full(d, 0.975)), dt)
+    host_rng = np.random.default_rng(seed)
+    perms = jnp.asarray(np.stack(
+        [host_rng.permutation(ntr) for _ in range(int(n_starts))]
+    ).astype(np.int32))  # (S, ntr)
+    perm_rank = jnp.argsort(perms, axis=1)  # rank of row i in start s
+
+    mask_f = mask.astype(dt)
+    xm = x_train * mask_f[None, :]
+    p_sub = jnp.maximum(jnp.sum(mask_f), 1.0)
+    p_idx = jnp.clip(jnp.sum(mask).astype(jnp.int32) - 1, 0, d - 1)
+    # the SAME per-dof table the consistency factor was built from, so
+    # h and corr_raw can never disagree
+    h = jnp.asarray(h_np.astype(np.int32))[p_idx]
+
+    eye_unmasked = jnp.diag(1.0 - mask_f)
+    mm = mask_f[:, None] * mask_f[None, :]
+
+    def robust_cov(w):
+        """Biased (1/sum w) masked covariance + Cholesky of the
+        solvable embedding; returns (mu, chol, logdet_masked)."""
+        sw = jnp.maximum(jnp.sum(w), 1.0)
+        mu = jnp.dot(w, xm) / sw
+        xc = xm - mu[None, :]
+        cov = jnp.dot(
+            (w[:, None] * xc).T, xc, preferred_element_type=dt
+        ) / sw
+        cov = cov * mm
+        ridge = jnp.maximum(1e-6 * jnp.trace(cov) / p_sub, 1e-12)
+        cov = cov + eye_unmasked + ridge * jnp.diag(mask_f)
+        chol = jnp.linalg.cholesky(cov)
+        logdet = 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(chol)) * mask_f
+        )
+        return mu, chol, logdet
+
+    def maha(chol, mu, x):
+        y = jax.lax.linalg.triangular_solve(
+            chol, (x * mask_f[None, :] - mu[None, :]).T,
+            left_side=True, lower=True,
+        )
+        return jnp.sum(y * y, axis=0)
+
+    def h_smallest(d2):
+        # exactly-h 0/1 weights: rank by value with index tiebreak
+        order = jnp.argsort(d2)
+        rank = jnp.argsort(order)
+        return (rank < h).astype(dt)
+
+    def one_start(rank0):
+        w = (rank0 < jnp.minimum(
+            jnp.sum(mask).astype(jnp.int32) + 1, ntr
+        )).astype(dt)
+
+        def step(w, _):
+            mu, chol, _ = robust_cov(w)
+            d2 = maha(chol, mu, x_train)
+            return h_smallest(d2), None
+
+        w_fin, _ = jax.lax.scan(step, w, None, length=int(c_steps))
+        return w_fin, robust_cov(w_fin)[2]
+
+    w_all, logdet_all = jax.vmap(one_start)(perm_rank)
+    best = jnp.argmin(logdet_all)
+    w_raw = jnp.sum(
+        (jnp.arange(int(n_starts)) == best)[:, None].astype(dt) * w_all,
+        axis=0,
+    )
+    # raw estimates + analytic consistency correction (cov *= corr <=>
+    # dist /= corr, sklearn correct_covariance)
+    mu_raw, chol_raw, _ = robust_cov(w_raw)
+    d2_raw = maha(chol_raw, mu_raw, x_train)
+    d2_c = d2_raw / jnp.maximum(corr_raw[p_idx], jnp.asarray(1e-30, dt))
+    # Rousseeuw reweighting + Pison/Croux consistency at the normal
+    w_rw = (d2_c < chi2_rw[p_idx]).astype(dt)
+    mu_rw, chol_rw, _ = robust_cov(w_rw)
+    # sklearn's covariance_ is the biased kept-row covariance times
+    # c_alpha; the solve above used the unscaled covariance, so the
+    # quadratic form divides by the same scalar
+    return maha(chol_rw, mu_rw, x_test) / jnp.maximum(
+        c_alpha[p_idx], jnp.asarray(1e-30, dt)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _mcd_scorer(
+    support_fraction: float, n_starts: int, c_steps: int, seed: int,
+):
+    """Memoized partial (one hashable static per config; see
+    :func:`_loda_scorer`)."""
+    return functools.partial(
+        mcd_scores_masked, support_fraction=support_fraction,
+        n_starts=n_starts, c_steps=c_steps, seed=seed,
+    )
+
+
 def copod_dim_scores(x_test: jax.Array, x_train: jax.Array) -> jax.Array:
     """Per-dimension two-sided ECDF tail scores, COPOD-style.
 
@@ -1841,6 +2024,7 @@ _BASE_SCORERS_EXCL = {
 # memoized partial so the jitted paths still see one hashable static).
 _PARAM_BASES = (
     "loda", "kde", "cblof", "gmm", "inne", "pca", "sampling", "kpca",
+    "mcd",
 )
 
 
@@ -1854,6 +2038,8 @@ def _scorer_and_k(
     pca_standardize: bool = True, pca_weighted: bool = True,
     subset_size: int = 20, kpca_n_components: int = 0,
     kpca_gamma: float = 0.0, kpca_sampling: bool = False,
+    support_fraction: float = 0.0, mcd_starts: int = 8,
+    mcd_steps: int = 15,
     exclude_self: bool = False,
 ):
     """Resolve a base name to its (scorer, static-k) pair — the single
@@ -1882,6 +2068,12 @@ def _scorer_and_k(
         return _kpca_scorer(
             int(kpca_n_components), float(kpca_gamma), bool(kpca_sampling),
             int(subset_size), int(projection_seed),
+        ), 0
+    if base == "mcd":
+        # mcd reads projection_seed as its start-permutation seed
+        return _mcd_scorer(
+            float(support_fraction), int(mcd_starts), int(mcd_steps),
+            int(projection_seed),
         ), 0
     if base == "kde":
         return _kde_scorer(float(kde_bandwidth), False), 0
@@ -1919,6 +2111,8 @@ def _scorer_params(ens) -> dict:
         subset_size=ens.subset_size,
         kpca_n_components=ens.kpca_n_components,
         kpca_gamma=ens.kpca_gamma, kpca_sampling=ens.kpca_sampling,
+        support_fraction=ens.support_fraction,
+        mcd_starts=ens.mcd_starts, mcd_steps=ens.mcd_steps,
     )
 
 
@@ -1949,7 +2143,11 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         ``projection_seed`` as its draw seed), 'kpca' (kernel-PCA
         reconstruction error in RBF feature space — Hoffmann 2007;
         reads the kpca_* knobs, and ``subset_size``/``projection_seed``
-        when ``kpca_sampling=True``),
+        when ``kpca_sampling=True``), 'mcd' (Minimum Covariance
+        Determinant — squared Mahalanobis distance to sklearn
+        MinCovDet's reweighted FastMCD estimates; reads
+        ``support_fraction``/``mcd_starts``/``mcd_steps`` and
+        ``projection_seed`` as its start seed),
         'kde' (negative Gaussian kernel-density log-likelihood), 'copod',
         'hbos', 'ecod', or a pyod-style detector instance (CPU fallback
         loop; pyod optional — any object with sklearn-style
@@ -2017,6 +2215,12 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         ``kpca_sampling=True`` fits the kernel spectrum on a
         ``subset_size`` host-drawn train subsample (pyod's own O(n^2)
         escape hatch).
+    support_fraction, mcd_starts, mcd_steps:
+        base='mcd' knobs: ``support_fraction`` mirrors sklearn
+        MinCovDet's (0.0 = None: ``h = ceil((n + p + 1)/2)`` with p the
+        per-subspace active dim count); ``mcd_starts`` random starts
+        each run ``mcd_steps`` c-steps (fixed-protocol FastMCD — the
+        documented divergence vs sklearn's adaptive tournament).
     test_chunk:
         score ``decision_function`` test sets larger than this in
         ``test_chunk``-row slices — n_test becomes unbounded at
@@ -2096,6 +2300,9 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         kpca_n_components: int = 0,
         kpca_gamma: float = 0.0,
         kpca_sampling: bool = False,
+        support_fraction: float = 0.0,
+        mcd_starts: int = 8,
+        mcd_steps: int = 15,
         test_chunk: Optional[int] = None,
         jl_dim: Optional[int] = None,
         jl_seed: int = 0,
@@ -2163,6 +2370,21 @@ class SubspaceEnsemble(PyodSurfaceMixin):
                 f"subset_size must be an int >= 1 (base='sampling' "
                 f"subsample size); got {subset_size!r}"
             )
+        if not (isinstance(support_fraction, (int, float, np.floating))
+                and not isinstance(support_fraction, bool)
+                and 0.0 <= support_fraction <= 1.0):
+            raise ValueError(
+                f"support_fraction must be in [0, 1] (0 = sklearn's None: "
+                f"h = ceil((n + p + 1)/2) per subspace); got "
+                f"{support_fraction!r}"
+            )
+        for name, val in (("mcd_starts", mcd_starts),
+                          ("mcd_steps", mcd_steps)):
+            if not (isinstance(val, (int, np.integer))
+                    and not isinstance(val, bool) and val >= 1):
+                raise ValueError(
+                    f"{name} must be an int >= 1; got {val!r}"
+                )
         if not (isinstance(kpca_n_components, (int, np.integer))
                 and not isinstance(kpca_n_components, bool)
                 and kpca_n_components >= 0):
@@ -2271,6 +2493,9 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         self.kpca_n_components = kpca_n_components
         self.kpca_gamma = kpca_gamma
         self.kpca_sampling = kpca_sampling
+        self.support_fraction = support_fraction
+        self.mcd_starts = mcd_starts
+        self.mcd_steps = mcd_steps
         self.test_chunk = test_chunk
         self._x_train = None
         self._threshold = None
@@ -2501,6 +2726,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
             gmm_covariance=self.gmm_covariance,
             n_trees=self.n_trees, inne_psi=self.inne_psi,
             kpca_sampling=self.kpca_sampling, subset_size=self.subset_size,
+            mcd_starts=self.mcd_starts,
         )
         masks_np, proba_np = _chunked_masks(
             self.subspaces, self._combining_weights(), chunk, n_shards

@@ -125,6 +125,7 @@ def _ensemble_score_fn(ensemble, max_batch: int = 4096):
             n_trees=ensemble.n_trees, inne_psi=ensemble.inne_psi,
             kpca_sampling=ensemble.kpca_sampling,
             subset_size=ensemble.subset_size,
+            mcd_starts=ensemble.mcd_starts,
         )
         masks_np, proba_np = _chunked_masks(
             ensemble.subspaces, comb_proba, chunk
@@ -305,6 +306,7 @@ def export_per_subspace_scorer(ensemble, path, max_batch: int = 4096) -> None:
             n_trees=ensemble.n_trees, inne_psi=ensemble.inne_psi,
             kpca_sampling=ensemble.kpca_sampling,
             subset_size=ensemble.subset_size,
+            mcd_starts=ensemble.mcd_starts,
         )
         masks_np, _ = _chunked_masks(
             ensemble.subspaces, ensemble.proba, chunk
