@@ -1606,6 +1606,91 @@ def test_ensemble_mcd_base(rng):
     assert not np.allclose(s_frac, scores)
 
 
+def test_ae_learns_low_rank_structure(rng):
+    """ae_scores_masked (pyod AutoEncoder semantics, trained in-program):
+    on rank-3 data the AE reconstructs inliers and not off-manifold
+    points; training strictly reduces the train reconstruction error
+    (epochs=200 vs epochs=1); per-seed deterministic."""
+    from vgan_tpu.ensemble import ae_scores_masked
+
+    d = 12
+    z = rng.normal(size=(300, 3))
+    a_mix = rng.normal(size=(3, d))
+    xtr = (z @ a_mix + 0.1 * rng.normal(size=(300, d))).astype(np.float32)
+    inl = (rng.normal(size=(30, 3)) @ a_mix
+           + 0.1 * rng.normal(size=(30, d))).astype(np.float32)
+    out = rng.normal(size=(10, d)).astype(np.float32) * 3.0
+    xte = np.vstack([inl, out])
+    mask = np.ones(d, bool)
+    mask[3] = False
+
+    s = np.asarray(ae_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask),
+        hidden=(16, 8), epochs=200, lr=3e-3, seed=0,
+    ))
+    assert np.all(np.isfinite(s))
+    assert s[30:].mean() > s[:30].mean() + 1.0
+
+    tr_trained = np.asarray(ae_scores_masked(
+        jnp.asarray(xtr[:50]), jnp.asarray(xtr), jnp.asarray(mask),
+        hidden=(16, 8), epochs=200, lr=3e-3, seed=0,
+    ))
+    tr_init = np.asarray(ae_scores_masked(
+        jnp.asarray(xtr[:50]), jnp.asarray(xtr), jnp.asarray(mask),
+        hidden=(16, 8), epochs=1, lr=3e-3, seed=0,
+    ))
+    assert tr_trained.mean() < tr_init.mean()
+
+    a = np.asarray(ae_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask), epochs=20))
+    b = np.asarray(ae_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask), epochs=20))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_ae_guards(rng):
+    from vgan_tpu.ensemble import ae_scores_masked
+
+    xte = jnp.asarray(rng.normal(size=(5, 4)).astype(np.float32))
+    mask = jnp.asarray(np.ones(4, bool))
+    one = jnp.asarray(rng.normal(size=(1, 4)).astype(np.float32))
+    with pytest.raises(ValueError, match="at least 2 train rows"):
+        ae_scores_masked(xte, one, mask)
+    with pytest.raises(ValueError, match="ae_hidden"):
+        SubspaceEnsemble(
+            np.ones((1, 4), bool), np.ones(1, np.float32),
+            base="ae", ae_hidden=(),
+        )
+    with pytest.raises(ValueError, match="ae_lr"):
+        SubspaceEnsemble(
+            np.ones((1, 4), bool), np.ones(1, np.float32),
+            base="ae", ae_lr=0.0,
+        )
+
+
+def test_ensemble_ae_base(rng):
+    """End-to-end SubspaceEnsemble(base='ae'): planted mean-shift
+    outliers rank above inliers; predict() works; ae knobs flow."""
+    d = 10
+    xtr = rng.normal(size=(150, d)).astype(np.float32)
+    inliers = rng.normal(size=(30, d)).astype(np.float32)
+    outliers = rng.normal(size=(10, d)).astype(np.float32) + 5.0
+    xte = np.vstack([inliers, outliers])
+
+    subs = rng.uniform(size=(6, d)) < 0.5
+    subs[~subs.any(axis=1), 0] = True
+    proba = np.full(6, 1 / 6, np.float32)
+
+    ens = SubspaceEnsemble(
+        subs, proba, base="ae", ae_hidden=(16, 8), ae_epochs=60, chunk=3,
+    ).fit(xtr)
+    scores = ens.decision_function(xte)
+    assert scores[30:].mean() > scores[:30].mean()
+    labels = ens.predict(xte)
+    assert labels.shape == (40,)
+    assert labels[30:].mean() > labels[:30].mean()
+
+
 def test_ensemble_loda_base(rng):
     """End-to-end SubspaceEnsemble(base='loda'): planted mean-shift
     outliers score above inliers through every aggregation, predict()
@@ -1759,6 +1844,13 @@ def test_effective_chunk_governors():
         ntr * d + 8 * (2 * ntr * d + 2 * d * d) + nt * d)))
     assert _effective_chunk("mcd", 128, nt, ntr, d) == expect
     assert _effective_chunk("mcd", 128, 50, 500, 8) == 128
+    # ae: weights + Adam state + train/test activation planes
+    ntr, nt, d, h = 10 ** 5, 4096, 512, (64, 32)
+    w = 2 * (d * 64 + 64 * 32)
+    expect = max(1, min(128, _MAHA_CHUNK_BUDGET // (
+        6 * w + 4 * ntr * (d + 96) + nt * (d + 96))))
+    assert _effective_chunk("ae", 128, nt, ntr, d) == expect
+    assert _effective_chunk("ae", 128, 50, 500, 8) == 128
 
 
 def test_hetero_combine_backend_parity(rng):

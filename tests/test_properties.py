@@ -98,6 +98,7 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
         kde_scores_masked,
         knn_scores_masked,
         loda_scores_masked,
+        ae_scores_masked,
         kpca_scores_masked,
         mcd_scores_masked,
         pca_scores_masked,
@@ -143,6 +144,10 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
         ),
         lambda a: mcd_scores_masked(
             jnp.asarray(a), xtr, jnp.asarray(mask), n_starts=3, c_steps=5
+        ),
+        lambda a: ae_scores_masked(
+            jnp.asarray(a), xtr, jnp.asarray(mask), hidden=(8, 4),
+            epochs=10,
         ),
     ):
         np.testing.assert_allclose(

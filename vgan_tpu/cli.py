@@ -20,7 +20,8 @@ import sys
 # registry in tests/test_cli.py).
 _SCORE_BASES = ("knn", "knn_mean", "lof", "abod", "cof", "iforest",
                 "mahalanobis", "cblof", "gmm", "loda", "kde", "inne",
-                "pca", "sampling", "kpca", "mcd", "copod", "hbos", "ecod")
+                "pca", "sampling", "kpca", "mcd", "ae", "copod", "hbos",
+                "ecod")
 
 
 def _add_common_hyperparams(p: argparse.ArgumentParser) -> None:
@@ -152,6 +153,11 @@ def build_parser() -> argparse.ArgumentParser:
     score.add_argument("--subset-size", type=int, default=20,
                        help="train-subsample size for --base sampling "
                             "(draw seed from the projection seed)")
+    score.add_argument("--ae-hidden", default="64,32",
+                       help="comma-separated encoder widths for --base ae "
+                            "(decoder mirrored)")
+    score.add_argument("--ae-epochs", type=int, default=50,
+                       help="full-batch Adam steps for --base ae")
     score.add_argument("--support-fraction", type=float, default=0.0,
                        help="FastMCD support fraction for --base mcd "
                             "(0 = sklearn's None: h = ceil((n+p+1)/2) "
@@ -305,6 +311,9 @@ def main(argv=None) -> int:
                 kpca_gamma=args.kpca_gamma,
                 kpca_sampling=args.kpca_sampling,
                 support_fraction=args.support_fraction,
+                ae_hidden=tuple(
+                    int(h) for h in args.ae_hidden.split(",")),
+                ae_epochs=args.ae_epochs,
                 n_clusters=args.n_clusters,
                 gmm_covariance=args.gmm_covariance,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),
@@ -321,6 +330,9 @@ def main(argv=None) -> int:
                 kpca_gamma=args.kpca_gamma,
                 kpca_sampling=args.kpca_sampling,
                 support_fraction=args.support_fraction,
+                ae_hidden=tuple(
+                    int(h) for h in args.ae_hidden.split(",")),
+                ae_epochs=args.ae_epochs,
                 n_clusters=args.n_clusters,
                 gmm_covariance=args.gmm_covariance,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),

@@ -14,7 +14,8 @@ so each subspace's distance matrix is a batched MXU matmul, ``vmap`` batches
 over thousands of masks, and ``lax.map`` chunks the mask axis to bound
 memory. Base detectors implemented natively (KNN k-th-distance, KNN mean
 distance, LOF, ABOD, COF, isolation forest, Mahalanobis, MCD, PCA, KPCA,
-CBLOF, GMM, LODA, KDE, INNE, Sampling, and the dim-decomposable
+CBLOF, GMM, LODA, KDE, INNE, Sampling, a trained-in-program AutoEncoder,
+and the dim-decomposable
 COPOD/HBOS/ECOD); a pyod adapter covers arbitrary CPU
 detectors for parity checks when pyod is installed (it is NOT a
 dependency).
@@ -103,7 +104,7 @@ def _effective_chunk(
     n_clusters: int = 8, gmm_covariance: str = "diag",
     n_trees: int = 100, inne_psi: int = 8,
     kpca_sampling: bool = False, subset_size: int = 20,
-    mcd_starts: int = 8,
+    mcd_starts: int = 8, ae_hidden: tuple = (64, 32),
 ) -> int:
     """Per-base memory governor for the vmapped-mask chunk — the single
     clamp shared by the live scoring paths and the serving exporters (the
@@ -165,6 +166,20 @@ def _effective_chunk(
             nt = _EXPORT_NT_HINT
         per_mask = max(
             ntr * d + mcd_starts * (2 * ntr * d + 2 * d * d) + nt * d, 1
+        )
+        return max(1, min(chunk, _MAHA_CHUNK_BUDGET // per_mask))
+    if base == "ae":
+        # per in-flight mask: weights + 3x Adam state, the layer
+        # activations (forward + grads, ~4 passes) over the train rows,
+        # and the test-row forward planes
+        if not isinstance(nt, int):  # symbolic batch dim under jax.export
+            nt = _EXPORT_NT_HINT
+        h_sum = sum(ae_hidden)
+        w = 2 * (d * ae_hidden[0] + sum(
+            a * b for a, b in zip(ae_hidden[:-1], ae_hidden[1:])
+        ))
+        per_mask = max(
+            6 * w + 4 * ntr * (d + h_sum) + nt * (d + h_sum), 1
         )
         return max(1, min(chunk, _MAHA_CHUNK_BUDGET // per_mask))
     if base in ("cblof", "gmm"):
@@ -1690,6 +1705,117 @@ def mcd_scores_masked(
     )
 
 
+def ae_scores_masked(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 0,
+    *, hidden: tuple = (64, 32), epochs: int = 50, lr: float = 1e-3,
+    seed: int = 0,
+) -> jax.Array:
+    """AutoEncoder reconstruction-error outlier detector
+    (pyod.models.auto_encoder — the canonical deep baseline in the
+    paper's comparison family) in the masked subspace. Part of the
+    reference's downstream detector surface via the pyod pin
+    (requirements.txt:58).
+
+    pyod's semantics: standardize with the train scaler, train a
+    symmetric MLP autoencoder (``d -> hidden -> reversed(hidden) -> d``,
+    ReLU between layers, linear output, Adam on MSE), score a query as
+    the plain Euclidean distance between its standardized features and
+    their reconstruction.
+
+    TPU-native shape: training happens INSIDE the scorer — a
+    ``lax.scan`` of ``epochs`` full-batch Adam steps whose forward/
+    backward is a chain of (ntr, d)@(d, h) MXU matmuls — so ``vmap``
+    over masks trains THOUSANDS of per-subspace autoencoders as one
+    batched program (each mask gets its own weights; masked-out dims
+    standardize to exact zeros, the reconstruction is re-masked, and the
+    MSE normalizes by the ACTIVE dim count so every subspace sees the
+    same effective learning rate). Initial weights are host-drawn
+    Glorot-uniform constants from ``seed`` shared across masks (the
+    loda/inne constant-embedding pattern).
+
+    Divergences vs pyod (documented): full-batch Adam for a fixed
+    ``epochs`` instead of minibatch shuffling with torch's loader; no
+    dropout/batch-norm (pyod's defaults regularize its 32-row
+    minibatches; full-batch training on standardized subspaces does not
+    need them — and keeping the trainer a pure scan keeps the whole
+    ensemble one compiled program). ``k`` is ignored (signature
+    parity).
+    """
+    del k
+    dt = x_test.dtype
+    ntr, d = x_train.shape
+    if ntr < 2:
+        raise ValueError(
+            f"ae needs at least 2 train rows to standardize; got "
+            f"n_train={ntr}"
+        )
+    mask_f = mask.astype(dt)
+    xm_tr = x_train * mask_f[None, :]
+    mu = jnp.mean(xm_tr, axis=0)
+    scale = jnp.sqrt(jnp.mean((xm_tr - mu[None, :]) ** 2, axis=0))
+    scale = jnp.where(scale > 0.0, scale, 1.0)
+    z_tr = (xm_tr - mu[None, :]) / scale[None, :]
+    z_te = (x_test * mask_f[None, :] - mu[None, :]) / scale[None, :]
+    d_sub = jnp.maximum(jnp.sum(mask_f), 1.0)
+
+    widths = [d, *[int(h) for h in hidden],
+              *[int(h) for h in reversed(hidden)][1:], d]
+    host_rng = np.random.default_rng(seed)
+    params = []
+    for w_in, w_out in zip(widths[:-1], widths[1:]):
+        lim = float(np.sqrt(6.0 / (w_in + w_out)))
+        params.append((
+            jnp.asarray(host_rng.uniform(-lim, lim, (w_in, w_out)), dt),
+            jnp.zeros((w_out,), dt),
+        ))
+
+    def forward(ps, z):
+        a = z
+        last = len(ps) - 1
+        for i, (w, b) in enumerate(ps):
+            a = jnp.dot(a, w, preferred_element_type=dt) + b
+            if i < last:
+                a = jax.nn.relu(a)
+        return a * mask_f[None, :]
+
+    def loss(ps):
+        r = forward(ps, z_tr)
+        return jnp.sum((r - z_tr) ** 2) / (ntr * d_sub)
+
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    def adam_step(carry, t):
+        ps, m, v = carry
+        g = jax.grad(loss)(ps)
+        m = jax.tree_util.tree_map(
+            lambda a, b: b1 * a + (1 - b1) * b, m, g)
+        v = jax.tree_util.tree_map(
+            lambda a, b: b2 * a + (1 - b2) * b * b, v, g)
+        tf = t.astype(dt) + 1.0
+        step = lr * jnp.sqrt(1.0 - b2 ** tf) / (1.0 - b1 ** tf)
+        ps = jax.tree_util.tree_map(
+            lambda p, mm, vv: p - step * mm / (jnp.sqrt(vv) + eps),
+            ps, m, v)
+        return (ps, m, v), None
+
+    (params, _, _), _ = jax.lax.scan(
+        adam_step, (params, zeros, zeros),
+        jnp.arange(int(epochs), dtype=jnp.int32),
+    )
+    r_te = forward(params, z_te)
+    return jnp.sqrt(jnp.sum((r_te - z_te) ** 2, axis=1))
+
+
+@functools.lru_cache(maxsize=None)
+def _ae_scorer(hidden: tuple, epochs: int, lr: float, seed: int):
+    """Memoized partial (one hashable static per config; see
+    :func:`_loda_scorer`)."""
+    return functools.partial(
+        ae_scores_masked, hidden=hidden, epochs=epochs, lr=lr, seed=seed,
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _mcd_scorer(
     support_fraction: float, n_starts: int, c_steps: int, seed: int,
@@ -2024,7 +2150,7 @@ _BASE_SCORERS_EXCL = {
 # memoized partial so the jitted paths still see one hashable static).
 _PARAM_BASES = (
     "loda", "kde", "cblof", "gmm", "inne", "pca", "sampling", "kpca",
-    "mcd",
+    "mcd", "ae",
 )
 
 
@@ -2039,7 +2165,8 @@ def _scorer_and_k(
     subset_size: int = 20, kpca_n_components: int = 0,
     kpca_gamma: float = 0.0, kpca_sampling: bool = False,
     support_fraction: float = 0.0, mcd_starts: int = 8,
-    mcd_steps: int = 15,
+    mcd_steps: int = 15, ae_hidden: tuple = (64, 32),
+    ae_epochs: int = 50, ae_lr: float = 1e-3,
     exclude_self: bool = False,
 ):
     """Resolve a base name to its (scorer, static-k) pair — the single
@@ -2074,6 +2201,12 @@ def _scorer_and_k(
         return _mcd_scorer(
             float(support_fraction), int(mcd_starts), int(mcd_steps),
             int(projection_seed),
+        ), 0
+    if base == "ae":
+        # ae reads projection_seed as its weight-init seed
+        return _ae_scorer(
+            tuple(int(h) for h in ae_hidden), int(ae_epochs),
+            float(ae_lr), int(projection_seed),
         ), 0
     if base == "kde":
         return _kde_scorer(float(kde_bandwidth), False), 0
@@ -2113,6 +2246,7 @@ def _scorer_params(ens) -> dict:
         kpca_gamma=ens.kpca_gamma, kpca_sampling=ens.kpca_sampling,
         support_fraction=ens.support_fraction,
         mcd_starts=ens.mcd_starts, mcd_steps=ens.mcd_steps,
+        ae_hidden=ens.ae_hidden, ae_epochs=ens.ae_epochs, ae_lr=ens.ae_lr,
     )
 
 
@@ -2147,7 +2281,10 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         Determinant — squared Mahalanobis distance to sklearn
         MinCovDet's reweighted FastMCD estimates; reads
         ``support_fraction``/``mcd_starts``/``mcd_steps`` and
-        ``projection_seed`` as its start seed),
+        ``projection_seed`` as its start seed), 'ae' (symmetric MLP
+        autoencoder reconstruction distance, trained in-program per
+        subspace — reads the ae_* knobs and ``projection_seed`` as its
+        init seed),
         'kde' (negative Gaussian kernel-density log-likelihood), 'copod',
         'hbos', 'ecod', or a pyod-style detector instance (CPU fallback
         loop; pyod optional — any object with sklearn-style
@@ -2221,6 +2358,12 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         per-subspace active dim count); ``mcd_starts`` random starts
         each run ``mcd_steps`` c-steps (fixed-protocol FastMCD — the
         documented divergence vs sklearn's adaptive tournament).
+    ae_hidden, ae_epochs, ae_lr:
+        base='ae' knobs mirroring pyod AutoEncoder's
+        hidden_neuron_list/epoch_num/lr: encoder widths (decoder
+        mirrored), full-batch Adam steps, learning rate. Every mask
+        trains its OWN autoencoder inside the one compiled program
+        (vmap over masks batches the training matmuls).
     test_chunk:
         score ``decision_function`` test sets larger than this in
         ``test_chunk``-row slices — n_test becomes unbounded at
@@ -2303,6 +2446,9 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         support_fraction: float = 0.0,
         mcd_starts: int = 8,
         mcd_steps: int = 15,
+        ae_hidden: tuple = (64, 32),
+        ae_epochs: int = 50,
+        ae_lr: float = 1e-3,
         test_chunk: Optional[int] = None,
         jl_dim: Optional[int] = None,
         jl_seed: int = 0,
@@ -2385,6 +2531,23 @@ class SubspaceEnsemble(PyodSurfaceMixin):
                 raise ValueError(
                     f"{name} must be an int >= 1; got {val!r}"
                 )
+        if not (len(tuple(ae_hidden)) >= 1 and all(
+                isinstance(h, (int, np.integer)) and not isinstance(h, bool)
+                and h >= 1 for h in tuple(ae_hidden))):
+            raise ValueError(
+                f"ae_hidden must be a non-empty tuple of ints >= 1 "
+                f"(encoder widths, mirrored for the decoder); got "
+                f"{ae_hidden!r}"
+            )
+        for name, val in (("ae_epochs", ae_epochs),):
+            if not (isinstance(val, (int, np.integer))
+                    and not isinstance(val, bool) and val >= 1):
+                raise ValueError(f"{name} must be an int >= 1; got {val!r}")
+        if not (isinstance(ae_lr, (int, float, np.floating))
+                and not isinstance(ae_lr, bool) and ae_lr > 0.0):
+            raise ValueError(
+                f"ae_lr must be a float > 0; got {ae_lr!r}"
+            )
         if not (isinstance(kpca_n_components, (int, np.integer))
                 and not isinstance(kpca_n_components, bool)
                 and kpca_n_components >= 0):
@@ -2496,6 +2659,9 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         self.support_fraction = support_fraction
         self.mcd_starts = mcd_starts
         self.mcd_steps = mcd_steps
+        self.ae_hidden = tuple(ae_hidden)
+        self.ae_epochs = ae_epochs
+        self.ae_lr = ae_lr
         self.test_chunk = test_chunk
         self._x_train = None
         self._threshold = None
@@ -2726,7 +2892,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
             gmm_covariance=self.gmm_covariance,
             n_trees=self.n_trees, inne_psi=self.inne_psi,
             kpca_sampling=self.kpca_sampling, subset_size=self.subset_size,
-            mcd_starts=self.mcd_starts,
+            mcd_starts=self.mcd_starts, ae_hidden=self.ae_hidden,
         )
         masks_np, proba_np = _chunked_masks(
             self.subspaces, self._combining_weights(), chunk, n_shards

@@ -126,6 +126,7 @@ def _ensemble_score_fn(ensemble, max_batch: int = 4096):
             kpca_sampling=ensemble.kpca_sampling,
             subset_size=ensemble.subset_size,
             mcd_starts=ensemble.mcd_starts,
+            ae_hidden=ensemble.ae_hidden,
         )
         masks_np, proba_np = _chunked_masks(
             ensemble.subspaces, comb_proba, chunk
@@ -307,6 +308,7 @@ def export_per_subspace_scorer(ensemble, path, max_batch: int = 4096) -> None:
             kpca_sampling=ensemble.kpca_sampling,
             subset_size=ensemble.subset_size,
             mcd_starts=ensemble.mcd_starts,
+            ae_hidden=ensemble.ae_hidden,
         )
         masks_np, _ = _chunked_masks(
             ensemble.subspaces, ensemble.proba, chunk
