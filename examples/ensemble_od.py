@@ -4,7 +4,8 @@ detector across all subspaces in one compiled program.
 
 Run: python examples/ensemble_od.py
        [--base knn|knn_mean|lof|abod|cof|iforest|mahalanobis|cblof|gmm|
-               loda|kde|inne|pca|sampling|kpca|mcd|ae|copod|hbos|ecod]
+               loda|kde|inne|pca|sampling|kpca|mcd|ae|dsvdd|sod|copod|
+               hbos|ecod]
        [--aggregation average|max|aom|moa]
 """
 

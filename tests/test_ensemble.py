@@ -1691,6 +1691,152 @@ def test_ensemble_ae_base(rng):
     assert labels[30:].mean() > labels[:30].mean()
 
 
+def test_dsvdd_one_class_behavior(rng):
+    """dsvdd_scores_masked (Ruff 2018 / pyod deep_svdd semantics): the
+    trained embedding contracts the train distribution around the frozen
+    center, so off-distribution points score higher; training reduces
+    the train objective vs the init network; deterministic per seed."""
+    from vgan_tpu.ensemble import dsvdd_scores_masked
+
+    d = 12
+    xtr = rng.normal(size=(300, d)).astype(np.float32)
+    inl = rng.normal(size=(30, d)).astype(np.float32)
+    out = (rng.normal(size=(10, d)) * 4.0 + 4.0).astype(np.float32)
+    xte = np.vstack([inl, out])
+    mask = np.ones(d, bool)
+    mask[5] = False
+
+    s = np.asarray(dsvdd_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask),
+        hidden=(16, 8), epochs=150, lr=3e-3, seed=0,
+    ))
+    assert np.all(np.isfinite(s))
+    assert s[30:].mean() > s[:30].mean()
+
+    tr_trained = np.asarray(dsvdd_scores_masked(
+        jnp.asarray(xtr[:50]), jnp.asarray(xtr), jnp.asarray(mask),
+        hidden=(16, 8), epochs=150, lr=3e-3, seed=0,
+    ))
+    tr_init = np.asarray(dsvdd_scores_masked(
+        jnp.asarray(xtr[:50]), jnp.asarray(xtr), jnp.asarray(mask),
+        hidden=(16, 8), epochs=1, lr=3e-3, seed=0,
+    ))
+    assert tr_trained.mean() < tr_init.mean()
+
+    a = np.asarray(dsvdd_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask), epochs=15))
+    b = np.asarray(dsvdd_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask), epochs=15))
+    np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError, match="at least 2 train rows"):
+        dsvdd_scores_masked(
+            jnp.asarray(xte), jnp.asarray(xtr[:1]), jnp.asarray(mask))
+
+
+def test_ensemble_dsvdd_base(rng):
+    """End-to-end SubspaceEnsemble(base='dsvdd') sharing the ae knobs."""
+    d = 10
+    xtr = rng.normal(size=(150, d)).astype(np.float32)
+    inliers = rng.normal(size=(30, d)).astype(np.float32)
+    outliers = rng.normal(size=(10, d)).astype(np.float32) + 5.0
+    xte = np.vstack([inliers, outliers])
+
+    subs = rng.uniform(size=(6, d)) < 0.5
+    subs[~subs.any(axis=1), 0] = True
+    proba = np.full(6, 1 / 6, np.float32)
+
+    ens = SubspaceEnsemble(
+        subs, proba, base="dsvdd", ae_hidden=(16, 8), ae_epochs=60,
+        chunk=3,
+    ).fit(xtr)
+    scores = ens.decision_function(xte)
+    assert scores[30:].mean() > scores[:30].mean()
+    labels = ens.predict(xte)
+    assert labels.shape == (40,)
+    assert labels[30:].mean() > labels[:30].mean()
+
+
+def test_sod_scores_match_numpy(rng):
+    """sod_scores_masked vs a direct f64 numpy transcription of the
+    Kriegel/pyod SOD recipe (novelty-style: shared-nearest-neighbor
+    reference sets of the TRAIN kNN lists, low-variance dimension
+    selection, normalized deviation), exact thanks to the deterministic
+    lowest-index SNN tiebreak."""
+    from vgan_tpu.ensemble import sod_scores_masked
+
+    ntr, nt, d, k, r, alpha = 60, 15, 8, 12, 6, 0.8
+    xtr = rng.normal(size=(ntr, d)).astype(np.float32)
+    xte = rng.normal(size=(nt, d)).astype(np.float32)
+    mask = np.array([1, 1, 0, 1, 1, 0, 1, 1], bool)
+
+    xm = xtr.astype(np.float64) * mask
+    zm = xte.astype(np.float64) * mask
+    d2tr = ((xm[:, None] - xm[None]) ** 2).sum(-1)
+    np.fill_diagonal(d2tr, np.inf)
+    idx_tr = np.argsort(d2tr, axis=1, kind="stable")[:, :k]
+    d2te = ((zm[:, None] - xm[None]) ** 2).sum(-1)
+    idx_te = np.argsort(d2te, axis=1, kind="stable")[:, :k]
+    t_ind = np.zeros((ntr, ntr))
+    q_ind = np.zeros((nt, ntr))
+    t_ind[np.arange(ntr)[:, None], idx_tr] = 1
+    q_ind[np.arange(nt)[:, None], idx_te] = 1
+    snn = q_ind @ t_ind.T
+    want = np.zeros(nt)
+    for i in range(nt):
+        ref = xm[np.argsort(-snn[i], kind="stable")[:r]]
+        mean, var = ref.mean(0), ref.var(0)
+        ind = (var < alpha * var.sum() / mask.sum()) & mask
+        if ind.sum():
+            want[i] = np.sqrt(
+                (ind * (zm[i] - mean) ** 2).sum() / ind.sum()
+            )
+
+    ours = np.asarray(sod_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask), k,
+        ref_set=r, alpha=alpha,
+    ))
+    np.testing.assert_allclose(ours, want, rtol=1e-4, atol=1e-6)
+
+    with pytest.raises(ValueError, match="k < n_train"):
+        sod_scores_masked(
+            jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask), ntr
+        )
+    with pytest.raises(ValueError, match="sod_ref_set"):
+        SubspaceEnsemble(
+            np.ones((1, 8), bool), np.ones(1, np.float32),
+            base="sod", sod_ref_set=0,
+        )
+    with pytest.raises(ValueError, match="sod_alpha"):
+        SubspaceEnsemble(
+            np.ones((1, 8), bool), np.ones(1, np.float32),
+            base="sod", sod_alpha=0.0,
+        )
+
+
+def test_ensemble_sod_base(rng):
+    """End-to-end SubspaceEnsemble(base='sod'): planted mean-shift
+    outliers rank above inliers; predict() (train self-scoring through
+    the exclude_self path) works."""
+    d = 10
+    xtr = rng.normal(size=(150, d)).astype(np.float32)
+    inliers = rng.normal(size=(30, d)).astype(np.float32)
+    outliers = rng.normal(size=(10, d)).astype(np.float32) + 5.0
+    xte = np.vstack([inliers, outliers])
+
+    subs = rng.uniform(size=(8, d)) < 0.5
+    subs[~subs.any(axis=1), 0] = True
+    proba = np.full(8, 1 / 8, np.float32)
+
+    ens = SubspaceEnsemble(
+        subs, proba, base="sod", k=15, chunk=4,
+    ).fit(xtr)
+    scores = ens.decision_function(xte)
+    assert scores[30:].mean() > scores[:30].mean()
+    labels = ens.predict(xte)
+    assert labels.shape == (40,)
+    assert labels[30:].mean() > labels[:30].mean()
+
+
 def test_ensemble_loda_base(rng):
     """End-to-end SubspaceEnsemble(base='loda'): planted mean-shift
     outliers score above inliers through every aggregation, predict()
@@ -1851,6 +1997,12 @@ def test_effective_chunk_governors():
         6 * w + 4 * ntr * (d + 96) + nt * (d + 96))))
     assert _effective_chunk("ae", 128, nt, ntr, d) == expect
     assert _effective_chunk("ae", 128, 50, 500, 8) == 128
+    # sod: (ntr, ntr) indicator planes + (nt, ntr) SNN planes + ref block
+    ntr, nt, d, r = 10 ** 4, 4096, 512, 10
+    expect = max(1, min(128, _MAHA_CHUNK_BUDGET // (
+        2 * ntr * ntr + 3 * nt * ntr + nt * r * d)))
+    assert _effective_chunk("sod", 128, nt, ntr, d) == expect
+    assert _effective_chunk("sod", 128, 20, 200, 8) == 128
 
 
 def test_hetero_combine_backend_parity(rng):

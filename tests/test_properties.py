@@ -99,10 +99,12 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
         knn_scores_masked,
         loda_scores_masked,
         ae_scores_masked,
+        dsvdd_scores_masked,
         kpca_scores_masked,
         mcd_scores_masked,
         pca_scores_masked,
         sampling_scores_masked,
+        sod_scores_masked,
     )
 
     mask = np.array([1, 0, 1, 0, 1, 0], bool)
@@ -148,6 +150,13 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
         lambda a: ae_scores_masked(
             jnp.asarray(a), xtr, jnp.asarray(mask), hidden=(8, 4),
             epochs=10,
+        ),
+        lambda a: dsvdd_scores_masked(
+            jnp.asarray(a), xtr, jnp.asarray(mask), hidden=(8, 4),
+            epochs=10,
+        ),
+        lambda a: sod_scores_masked(
+            jnp.asarray(a), xtr, jnp.asarray(mask), 6, ref_set=4
         ),
     ):
         np.testing.assert_allclose(

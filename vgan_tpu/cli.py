@@ -20,8 +20,8 @@ import sys
 # registry in tests/test_cli.py).
 _SCORE_BASES = ("knn", "knn_mean", "lof", "abod", "cof", "iforest",
                 "mahalanobis", "cblof", "gmm", "loda", "kde", "inne",
-                "pca", "sampling", "kpca", "mcd", "ae", "copod", "hbos",
-                "ecod")
+                "pca", "sampling", "kpca", "mcd", "ae", "dsvdd", "sod",
+                "copod", "hbos", "ecod")
 
 
 def _add_common_hyperparams(p: argparse.ArgumentParser) -> None:
@@ -153,6 +153,9 @@ def build_parser() -> argparse.ArgumentParser:
     score.add_argument("--subset-size", type=int, default=20,
                        help="train-subsample size for --base sampling "
                             "(draw seed from the projection seed)")
+    score.add_argument("--sod-ref-set", type=int, default=10,
+                       help="shared-nearest-neighbor reference-set size "
+                            "for --base sod (--k is its n_neighbors)")
     score.add_argument("--ae-hidden", default="64,32",
                        help="comma-separated encoder widths for --base ae "
                             "(decoder mirrored)")
@@ -314,6 +317,7 @@ def main(argv=None) -> int:
                 ae_hidden=tuple(
                     int(h) for h in args.ae_hidden.split(",")),
                 ae_epochs=args.ae_epochs,
+                sod_ref_set=args.sod_ref_set,
                 n_clusters=args.n_clusters,
                 gmm_covariance=args.gmm_covariance,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),
@@ -333,6 +337,7 @@ def main(argv=None) -> int:
                 ae_hidden=tuple(
                     int(h) for h in args.ae_hidden.split(",")),
                 ae_epochs=args.ae_epochs,
+                sod_ref_set=args.sod_ref_set,
                 n_clusters=args.n_clusters,
                 gmm_covariance=args.gmm_covariance,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),

@@ -105,6 +105,7 @@ def _effective_chunk(
     n_trees: int = 100, inne_psi: int = 8,
     kpca_sampling: bool = False, subset_size: int = 20,
     mcd_starts: int = 8, ae_hidden: tuple = (64, 32),
+    sod_ref_set: int = 10,
 ) -> int:
     """Per-base memory governor for the vmapped-mask chunk — the single
     clamp shared by the live scoring paths and the serving exporters (the
@@ -168,7 +169,17 @@ def _effective_chunk(
             ntr * d + mcd_starts * (2 * ntr * d + 2 * d * d) + nt * d, 1
         )
         return max(1, min(chunk, _MAHA_CHUNK_BUDGET // per_mask))
-    if base == "ae":
+    if base == "sod":
+        # per in-flight mask: the (ntr, ntr) train distance + indicator
+        # planes, the (nt, ntr) query distance/indicator/SNN planes, and
+        # the gathered (nt, ref_set, d) reference block
+        if not isinstance(nt, int):  # symbolic batch dim under jax.export
+            nt = _EXPORT_NT_HINT
+        per_mask = max(
+            2 * ntr * ntr + 3 * nt * ntr + nt * sod_ref_set * d, 1
+        )
+        return max(1, min(chunk, _MAHA_CHUNK_BUDGET // per_mask))
+    if base in ("ae", "dsvdd"):
         # per in-flight mask: weights + 3x Adam state, the layer
         # activations (forward + grads, ~4 passes) over the train rows,
         # and the test-row forward planes
@@ -1431,6 +1442,108 @@ def sampling_scores_masked(
     return jnp.sqrt(jnp.min(d2, axis=1))
 
 
+def sod_scores_masked(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 20,
+    *, ref_set: int = 10, alpha: float = 0.8, exclude_self: bool = False,
+) -> jax.Array:
+    """Subspace Outlier Detection (Kriegel et al. 2009, "Outlier
+    detection in axis-parallel subspaces of high dimensional data";
+    pyod.models.sod) in the masked subspace. Part of the reference's
+    downstream detector surface via the pyod pin (requirements.txt:58)
+    — and the thematically central baseline: SOD is the axis-parallel
+    subspace-search family the V-GAN paper positions itself against.
+
+    pyod's recipe: each query's reference set is the ``ref_set`` points
+    with the highest shared-nearest-neighbor similarity (overlap of
+    k-nearest-neighbor lists); within the reference set, a dimension is
+    RELEVANT when its variance is below ``alpha * mean_variance``; the
+    score is the distance to the reference mean restricted to the
+    relevant dimensions, normalized by their count:
+    ``sqrt(sum_j ind_j (x_j - mean_j)^2 / rel_dim)`` (0 when no
+    dimension qualifies, as pyod's branch does). ``k`` is pyod's
+    n_neighbors (the ensemble's ``k`` flows here).
+
+    Novelty-style adaptation (documented divergence): pyod's ``_sod``
+    is transductive — it scores X against X. Here queries score against
+    the TRAIN set (kNN lists of train rows are self-excluded; a query's
+    list self-excludes only when ``exclude_self`` marks the positional
+    overlap, pyod's unsupplied-X convention — the same contract as the
+    lof/knn bases). Masked-out dimensions carry zero variance and would
+    always pass the variance test; they are excluded from the relevant
+    set (their deviation term is exactly 0 anyway, but they must not
+    inflate ``rel_dim``).
+
+    TPU-native shape: both kNN searches ride the masked squared-distance
+    MXU matmuls; the SNN similarity is ONE (nt, ntr)@(ntr, ntr) matmul
+    of 0/1 neighbor-indicator matrices (built by scatter, resident per
+    mask); reference rows gather as an (nt, ref_set, d) block (the
+    abod/cof pattern, governed below).
+    """
+    dt = x_test.dtype
+    ntr, d = x_train.shape
+    k_eff = int(k)
+    if k_eff < 1 or k_eff >= ntr:
+        raise ValueError(
+            f"sod needs 1 <= k < n_train neighbors (pyod clamps the "
+            f"same way); got k={k} with n_train={ntr}"
+        )
+    r_eff = min(int(ref_set), ntr)
+    if r_eff < 1:
+        raise ValueError(f"ref_set must be >= 1; got {ref_set!r}")
+    mask_f = mask.astype(dt)
+    xm = x_train * mask_f[None, :]
+    nt = x_test.shape[0]
+
+    d2_tr = _masked_sq_dists(x_train, x_train, mask)
+    d2_tr = _mask_diagonal(d2_tr)  # train kNN lists self-exclude
+    _, idx_tr = jax.lax.approx_min_k(d2_tr, k_eff, recall_target=1.0)
+    d2_te = _masked_sq_dists(x_test, x_train, mask)
+    if exclude_self:
+        d2_te = _mask_diagonal(d2_te)
+    _, idx_te = jax.lax.approx_min_k(d2_te, k_eff, recall_target=1.0)
+
+    # 0/1 neighbor indicators; SNN counts = one MXU matmul
+    t_ind = jnp.zeros((ntr, ntr), dt).at[
+        jnp.arange(ntr)[:, None], idx_tr
+    ].set(1.0)
+    q_ind = jnp.zeros((nt, ntr), dt).at[
+        jnp.arange(nt)[:, None], idx_te
+    ].set(1.0)
+    snn = jnp.dot(q_ind, t_ind.T, preferred_element_type=dt)  # (nt, ntr)
+    if exclude_self:
+        snn = _mask_diagonal(-snn)  # +big on (i, i): drop from top-R
+        snn = -snn
+    # SNN counts are small integers, so top-R ties are everywhere; bias
+    # by -index/(2 ntr) (< the count gap of 1) so the LOWEST index wins
+    # every tie — a deterministic order the oracle can transcribe
+    snn = snn - jnp.arange(ntr, dtype=dt)[None, :] * (0.5 / ntr)
+    _, ref_idx = jax.lax.approx_min_k(-snn, r_eff, recall_target=1.0)
+
+    ref = xm[ref_idx]  # (nt, R, d)
+    means = jnp.mean(ref, axis=1)  # (nt, d)
+    var = jnp.mean((ref - means[:, None, :]) ** 2, axis=1)  # (nt, d)
+    d_sub = jnp.maximum(jnp.sum(mask_f), 1.0)
+    var_expect = alpha * jnp.sum(var, axis=1, keepdims=True) / d_sub
+    ind = (var < var_expect) & (mask_f[None, :] > 0)
+    rel = jnp.sum(ind.astype(dt), axis=1)
+    dev = jnp.sum(
+        ind.astype(dt) * (x_test * mask_f[None, :] - means) ** 2, axis=1
+    )
+    return jnp.where(
+        rel > 0, jnp.sqrt(dev / jnp.maximum(rel, 1.0)), 0.0
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _sod_scorer(ref_set: int, alpha: float, exclude_self: bool):
+    """Memoized partial (one hashable static per config; see
+    :func:`_loda_scorer`)."""
+    return functools.partial(
+        sod_scores_masked, ref_set=ref_set, alpha=alpha,
+        exclude_self=exclude_self,
+    )
+
+
 def kpca_scores_masked(
     x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 0,
     *, n_components: int = 0, gamma: float = 0.0,
@@ -1807,6 +1920,119 @@ def ae_scores_masked(
     return jnp.sqrt(jnp.sum((r_te - z_te) ** 2, axis=1))
 
 
+def dsvdd_scores_masked(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 0,
+    *, hidden: tuple = (64, 32), epochs: int = 50, lr: float = 1e-3,
+    weight_decay: float = 1e-5, seed: int = 0,
+) -> jax.Array:
+    """Deep SVDD one-class outlier detector (Ruff et al. 2018;
+    pyod.models.deep_svdd) in the masked subspace. Part of the
+    reference's downstream detector surface via the pyod pin
+    (requirements.txt:58) — the second deep family alongside the
+    autoencoder.
+
+    Ruff's recipe: a BIAS-FREE MLP encoder (biases admit the trivial
+    constant-map solution — Proposition 3 of the paper), the hypersphere
+    center ``c`` frozen at the mean INITIAL embedding of the train set
+    with near-zero coordinates snapped to ``+/- 0.1`` (pyod's eps
+    trick, same trivial-solution guard), then minimize the mean squared
+    embedding-to-center distance plus L2 weight decay. The outlier
+    score is the squared distance of the query's embedding to ``c``.
+
+    TPU-native shape: identical machinery to :func:`ae_scores_masked` —
+    the training scan lives inside the scorer, host-Glorot init from
+    ``seed``, vmap over masks trains one bias-free encoder per subspace
+    as batched MXU matmuls. Standardization and MSE/active-dim
+    normalization also mirror the ae base.
+
+    Divergences vs pyod (documented): full-batch Adam for fixed
+    ``epochs`` instead of minibatches; no dropout; pyod's optional
+    ``use_ae`` reconstruction term is not carried (that variant is the
+    'ae' base). ``k`` is ignored (signature parity).
+    """
+    del k
+    dt = x_test.dtype
+    ntr, d = x_train.shape
+    if ntr < 2:
+        raise ValueError(
+            f"dsvdd needs at least 2 train rows to standardize; got "
+            f"n_train={ntr}"
+        )
+    mask_f = mask.astype(dt)
+    xm_tr = x_train * mask_f[None, :]
+    mu = jnp.mean(xm_tr, axis=0)
+    scale = jnp.sqrt(jnp.mean((xm_tr - mu[None, :]) ** 2, axis=0))
+    scale = jnp.where(scale > 0.0, scale, 1.0)
+    z_tr = (xm_tr - mu[None, :]) / scale[None, :]
+    z_te = (x_test * mask_f[None, :] - mu[None, :]) / scale[None, :]
+
+    widths = [d, *[int(h) for h in hidden]]
+    host_rng = np.random.default_rng(seed)
+    params = []
+    for w_in, w_out in zip(widths[:-1], widths[1:]):
+        lim = float(np.sqrt(6.0 / (w_in + w_out)))
+        params.append(
+            jnp.asarray(host_rng.uniform(-lim, lim, (w_in, w_out)), dt)
+        )
+
+    def embed(ps, z):
+        a = z
+        last = len(ps) - 1
+        for i, w in enumerate(ps):
+            a = jnp.dot(a, w, preferred_element_type=dt)
+            if i < last:
+                a = jax.nn.relu(a)
+        return a
+
+    # center = mean initial embedding, eps-snapped away from 0 (Ruff's
+    # guard against the all-zero collapse; pyod uses eps = 0.1)
+    c0 = jnp.mean(embed(params, z_tr), axis=0)
+    eps = jnp.asarray(0.1, dt)
+    c = jnp.where(jnp.abs(c0) < eps, jnp.where(c0 < 0, -eps, eps), c0)
+
+    def loss(ps):
+        e = embed(ps, z_tr)
+        sq = jnp.mean(jnp.sum((e - c[None, :]) ** 2, axis=1))
+        l2 = sum(jnp.sum(w * w) for w in ps)
+        return sq + weight_decay * l2
+
+    b1, b2, aeps = 0.9, 0.999, 1e-8
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    def adam_step(carry, t):
+        ps, m, v = carry
+        g = jax.grad(loss)(ps)
+        m = jax.tree_util.tree_map(
+            lambda a, b: b1 * a + (1 - b1) * b, m, g)
+        v = jax.tree_util.tree_map(
+            lambda a, b: b2 * a + (1 - b2) * b * b, v, g)
+        tf = t.astype(dt) + 1.0
+        step = lr * jnp.sqrt(1.0 - b2 ** tf) / (1.0 - b1 ** tf)
+        ps = jax.tree_util.tree_map(
+            lambda p, mm, vv: p - step * mm / (jnp.sqrt(vv) + aeps),
+            ps, m, v)
+        return (ps, m, v), None
+
+    (params, _, _), _ = jax.lax.scan(
+        adam_step, (params, zeros, zeros),
+        jnp.arange(int(epochs), dtype=jnp.int32),
+    )
+    e_te = embed(params, z_te)
+    return jnp.sum((e_te - c[None, :]) ** 2, axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _dsvdd_scorer(
+    hidden: tuple, epochs: int, lr: float, weight_decay: float, seed: int,
+):
+    """Memoized partial (one hashable static per config; see
+    :func:`_loda_scorer`)."""
+    return functools.partial(
+        dsvdd_scores_masked, hidden=hidden, epochs=epochs, lr=lr,
+        weight_decay=weight_decay, seed=seed,
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _ae_scorer(hidden: tuple, epochs: int, lr: float, seed: int):
     """Memoized partial (one hashable static per config; see
@@ -2126,7 +2352,10 @@ _BASE_SCORERS = {
 
 # Neighbor-based bases: exclude_self (positional self-pair drop) reaches
 # exactly these — the single tuple the guard sites and hetero share.
-_NEIGHBOR_BASES = ("knn", "knn_mean", "lof", "abod", "cof")
+# sod is parametric (dispatched in _scorer_and_k's param branch) but
+# neighbor-semantic: its kNN lists obey the same k < n_train /
+# exclude_self contract.
+_NEIGHBOR_BASES = ("knn", "knn_mean", "lof", "abod", "cof", "sod")
 
 # Dim-decomposable bases: per-dim score planes shared across ALL masks, the
 # whole ensemble reduces to masked-sum matmuls (see _dim_subspace_raw).
@@ -2150,7 +2379,7 @@ _BASE_SCORERS_EXCL = {
 # memoized partial so the jitted paths still see one hashable static).
 _PARAM_BASES = (
     "loda", "kde", "cblof", "gmm", "inne", "pca", "sampling", "kpca",
-    "mcd", "ae",
+    "mcd", "ae", "dsvdd", "sod",
 )
 
 
@@ -2167,6 +2396,7 @@ def _scorer_and_k(
     support_fraction: float = 0.0, mcd_starts: int = 8,
     mcd_steps: int = 15, ae_hidden: tuple = (64, 32),
     ae_epochs: int = 50, ae_lr: float = 1e-3,
+    sod_ref_set: int = 10, sod_alpha: float = 0.8,
     exclude_self: bool = False,
 ):
     """Resolve a base name to its (scorer, static-k) pair — the single
@@ -2208,6 +2438,19 @@ def _scorer_and_k(
             tuple(int(h) for h in ae_hidden), int(ae_epochs),
             float(ae_lr), int(projection_seed),
         ), 0
+    if base == "dsvdd":
+        # dsvdd shares the ae knobs (encoder widths / epochs / lr) and
+        # projection_seed; weight decay is Ruff's 1e-5 default
+        return _dsvdd_scorer(
+            tuple(int(h) for h in ae_hidden), int(ae_epochs),
+            float(ae_lr), 1e-5, int(projection_seed),
+        ), 0
+    if base == "sod":
+        # sod is the one parametric NEIGHBOR base: the ensemble's k is
+        # its n_neighbors and exclude_self reaches its query kNN list
+        return _sod_scorer(
+            int(sod_ref_set), float(sod_alpha), bool(exclude_self),
+        ), k
     if base == "kde":
         return _kde_scorer(float(kde_bandwidth), False), 0
     if base == "cblof":
@@ -2247,6 +2490,7 @@ def _scorer_params(ens) -> dict:
         support_fraction=ens.support_fraction,
         mcd_starts=ens.mcd_starts, mcd_steps=ens.mcd_steps,
         ae_hidden=ens.ae_hidden, ae_epochs=ens.ae_epochs, ae_lr=ens.ae_lr,
+        sod_ref_set=ens.sod_ref_set, sod_alpha=ens.sod_alpha,
     )
 
 
@@ -2284,7 +2528,12 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         ``projection_seed`` as its start seed), 'ae' (symmetric MLP
         autoencoder reconstruction distance, trained in-program per
         subspace — reads the ae_* knobs and ``projection_seed`` as its
-        init seed),
+        init seed), 'dsvdd' (Deep SVDD: squared distance of a bias-free
+        MLP embedding to the frozen mean-init hypersphere center, Ruff
+        et al. 2018 — shares the ae_* knobs), 'sod' (Kriegel 2009
+        subspace outlier detection: deviation from the shared-nearest-
+        neighbor reference set in its low-variance dimensions — reads
+        ``k`` as its n_neighbors plus ``sod_ref_set``/``sod_alpha``),
         'kde' (negative Gaussian kernel-density log-likelihood), 'copod',
         'hbos', 'ecod', or a pyod-style detector instance (CPU fallback
         loop; pyod optional — any object with sklearn-style
@@ -2363,7 +2612,14 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         hidden_neuron_list/epoch_num/lr: encoder widths (decoder
         mirrored), full-batch Adam steps, learning rate. Every mask
         trains its OWN autoencoder inside the one compiled program
-        (vmap over masks batches the training matmuls).
+        (vmap over masks batches the training matmuls). base='dsvdd'
+        reads the same three knobs (its encoder = ``ae_hidden``, no
+        decoder, no biases).
+    sod_ref_set, sod_alpha:
+        base='sod' knobs mirroring pyod SOD's ref_set/alpha: the
+        shared-nearest-neighbor reference-set size and the variance
+        threshold coefficient (a dim is relevant when its reference
+        variance < alpha * mean variance). ``k`` is SOD's n_neighbors.
     test_chunk:
         score ``decision_function`` test sets larger than this in
         ``test_chunk``-row slices — n_test becomes unbounded at
@@ -2449,6 +2705,8 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         ae_hidden: tuple = (64, 32),
         ae_epochs: int = 50,
         ae_lr: float = 1e-3,
+        sod_ref_set: int = 10,
+        sod_alpha: float = 0.8,
         test_chunk: Optional[int] = None,
         jl_dim: Optional[int] = None,
         jl_seed: int = 0,
@@ -2531,6 +2789,18 @@ class SubspaceEnsemble(PyodSurfaceMixin):
                 raise ValueError(
                     f"{name} must be an int >= 1; got {val!r}"
                 )
+        if not (isinstance(sod_ref_set, (int, np.integer))
+                and not isinstance(sod_ref_set, bool) and sod_ref_set >= 1):
+            raise ValueError(
+                f"sod_ref_set must be an int >= 1 (pyod SOD's reference-"
+                f"set size); got {sod_ref_set!r}"
+            )
+        if not (isinstance(sod_alpha, (int, float, np.floating))
+                and not isinstance(sod_alpha, bool) and sod_alpha > 0.0):
+            raise ValueError(
+                f"sod_alpha must be a float > 0 (variance-threshold "
+                f"coefficient); got {sod_alpha!r}"
+            )
         if not (len(tuple(ae_hidden)) >= 1 and all(
                 isinstance(h, (int, np.integer)) and not isinstance(h, bool)
                 and h >= 1 for h in tuple(ae_hidden))):
@@ -2662,6 +2932,8 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         self.ae_hidden = tuple(ae_hidden)
         self.ae_epochs = ae_epochs
         self.ae_lr = ae_lr
+        self.sod_ref_set = sod_ref_set
+        self.sod_alpha = sod_alpha
         self.test_chunk = test_chunk
         self._x_train = None
         self._threshold = None
@@ -2893,6 +3165,7 @@ class SubspaceEnsemble(PyodSurfaceMixin):
             n_trees=self.n_trees, inne_psi=self.inne_psi,
             kpca_sampling=self.kpca_sampling, subset_size=self.subset_size,
             mcd_starts=self.mcd_starts, ae_hidden=self.ae_hidden,
+            sod_ref_set=self.sod_ref_set,
         )
         masks_np, proba_np = _chunked_masks(
             self.subspaces, self._combining_weights(), chunk, n_shards

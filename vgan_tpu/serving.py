@@ -127,6 +127,7 @@ def _ensemble_score_fn(ensemble, max_batch: int = 4096):
             subset_size=ensemble.subset_size,
             mcd_starts=ensemble.mcd_starts,
             ae_hidden=ensemble.ae_hidden,
+            sod_ref_set=ensemble.sod_ref_set,
         )
         masks_np, proba_np = _chunked_masks(
             ensemble.subspaces, comb_proba, chunk
@@ -309,6 +310,7 @@ def export_per_subspace_scorer(ensemble, path, max_batch: int = 4096) -> None:
             subset_size=ensemble.subset_size,
             mcd_starts=ensemble.mcd_starts,
             ae_hidden=ensemble.ae_hidden,
+            sod_ref_set=ensemble.sod_ref_set,
         )
         masks_np, _ = _chunked_masks(
             ensemble.subspaces, ensemble.proba, chunk
