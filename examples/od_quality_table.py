@@ -32,8 +32,8 @@ from od_quality_eval import auc, one_class_task  # noqa: E402 (sibling example)
 
 BASES = (
     "knn", "lof", "abod", "cof", "iforest", "mahalanobis", "cblof", "gmm",
-    "loda", "kde", "inne", "pca", "sampling", "kpca", "mcd", "hbos",
-    "copod", "ecod",
+    "loda", "kde", "inne", "pca", "sampling", "kpca", "mcd", "ae",
+    "hbos", "copod", "ecod",
 )
 
 # Smoke mode for CI/dev: 2 bases, first dataset only (set VGAN_QT_SMOKE=1).
