@@ -33,7 +33,7 @@ from od_quality_eval import auc, one_class_task  # noqa: E402 (sibling example)
 BASES = (
     "knn", "lof", "abod", "cof", "iforest", "mahalanobis", "cblof", "gmm",
     "loda", "kde", "inne", "pca", "sampling", "kpca", "mcd", "ae",
-    "hbos", "copod", "ecod",
+    "dsvdd", "sod", "hbos", "copod", "ecod", "hetero",
 )
 
 # Smoke mode for CI/dev: 2 bases, first dataset only (set VGAN_QT_SMOKE=1).
@@ -229,6 +229,21 @@ def eval_seed(seed, epochs, kl_epochs, cache, cache_path,
             fb_masks, fb_proba = random_subspaces(d, 100, seed=2000 + seed)
 
             def pool_auc(masks, proba, base, **kw):
+                if base == "hetero":
+                    # the suod/combo surface as ONE table row: a
+                    # knn+lof+ecod HeterogeneousEnsemble with sel_suod-
+                    # style consensus 'select' weighting over the SAME
+                    # pool every homogeneous row uses
+                    from vgan_tpu.ensemble import HeterogeneousEnsemble
+
+                    kw.pop("normalize", None)  # members standardize
+                    het = HeterogeneousEnsemble(
+                        masks, proba,
+                        members=[{"base": "knn"}, {"base": "lof"},
+                                 {"base": "ecod"}],
+                        combination="select", k=10, **kw,
+                    ).fit(x_tr)
+                    return float(auc(het.decision_function(x_te), labels))
                 ens = SubspaceEnsemble(
                     masks, proba, base=base, k=10, **kw
                 ).fit(x_tr)
