@@ -1818,6 +1818,47 @@ def mcd_scores_masked(
     )
 
 
+def _adam_train(loss_fn, params, epochs: int, lr: float, dt):
+    """Full-batch Adam as a pure ``lax.scan`` over any params pytree —
+    the shared trainer of the in-program deep bases (ae/dsvdd). Standard
+    bias-corrected moments, eps 1e-8."""
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    def step(carry, t):
+        ps, m, v = carry
+        g = jax.grad(loss_fn)(ps)
+        m = jax.tree_util.tree_map(
+            lambda a, b: b1 * a + (1 - b1) * b, m, g)
+        v = jax.tree_util.tree_map(
+            lambda a, b: b2 * a + (1 - b2) * b * b, v, g)
+        tf = t.astype(dt) + 1.0
+        sz = lr * jnp.sqrt(1.0 - b2 ** tf) / (1.0 - b1 ** tf)
+        ps = jax.tree_util.tree_map(
+            lambda p, mm, vv: p - sz * mm / (jnp.sqrt(vv) + eps),
+            ps, m, v)
+        return (ps, m, v), None
+
+    (params, _, _), _ = jax.lax.scan(
+        step, (params, zeros, zeros),
+        jnp.arange(int(epochs), dtype=jnp.int32),
+    )
+    return params
+
+
+def _masked_standardize(x_test, x_train, mask_f):
+    """Train-scaler standardization on the masked dims (StandardScaler
+    semantics: ddof-0 std, constant columns keep scale 1; masked-out
+    columns come out exactly 0) — shared by the pca/ae/dsvdd bases."""
+    xm_tr = x_train * mask_f[None, :]
+    mu = jnp.mean(xm_tr, axis=0)
+    scale = jnp.sqrt(jnp.mean((xm_tr - mu[None, :]) ** 2, axis=0))
+    scale = jnp.where(scale > 0.0, scale, 1.0)
+    z_tr = (xm_tr - mu[None, :]) / scale[None, :]
+    z_te = (x_test * mask_f[None, :] - mu[None, :]) / scale[None, :]
+    return z_tr, z_te
+
+
 def ae_scores_masked(
     x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 0,
     *, hidden: tuple = (64, 32), epochs: int = 50, lr: float = 1e-3,
@@ -1863,12 +1904,7 @@ def ae_scores_masked(
             f"n_train={ntr}"
         )
     mask_f = mask.astype(dt)
-    xm_tr = x_train * mask_f[None, :]
-    mu = jnp.mean(xm_tr, axis=0)
-    scale = jnp.sqrt(jnp.mean((xm_tr - mu[None, :]) ** 2, axis=0))
-    scale = jnp.where(scale > 0.0, scale, 1.0)
-    z_tr = (xm_tr - mu[None, :]) / scale[None, :]
-    z_te = (x_test * mask_f[None, :] - mu[None, :]) / scale[None, :]
+    z_tr, z_te = _masked_standardize(x_test, x_train, mask_f)
     d_sub = jnp.maximum(jnp.sum(mask_f), 1.0)
 
     widths = [d, *[int(h) for h in hidden],
@@ -1895,27 +1931,7 @@ def ae_scores_masked(
         r = forward(ps, z_tr)
         return jnp.sum((r - z_tr) ** 2) / (ntr * d_sub)
 
-    b1, b2, eps = 0.9, 0.999, 1e-8
-    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-
-    def adam_step(carry, t):
-        ps, m, v = carry
-        g = jax.grad(loss)(ps)
-        m = jax.tree_util.tree_map(
-            lambda a, b: b1 * a + (1 - b1) * b, m, g)
-        v = jax.tree_util.tree_map(
-            lambda a, b: b2 * a + (1 - b2) * b * b, v, g)
-        tf = t.astype(dt) + 1.0
-        step = lr * jnp.sqrt(1.0 - b2 ** tf) / (1.0 - b1 ** tf)
-        ps = jax.tree_util.tree_map(
-            lambda p, mm, vv: p - step * mm / (jnp.sqrt(vv) + eps),
-            ps, m, v)
-        return (ps, m, v), None
-
-    (params, _, _), _ = jax.lax.scan(
-        adam_step, (params, zeros, zeros),
-        jnp.arange(int(epochs), dtype=jnp.int32),
-    )
+    params = _adam_train(loss, params, epochs, lr, dt)
     r_te = forward(params, z_te)
     return jnp.sqrt(jnp.sum((r_te - z_te) ** 2, axis=1))
 
@@ -1959,12 +1975,7 @@ def dsvdd_scores_masked(
             f"n_train={ntr}"
         )
     mask_f = mask.astype(dt)
-    xm_tr = x_train * mask_f[None, :]
-    mu = jnp.mean(xm_tr, axis=0)
-    scale = jnp.sqrt(jnp.mean((xm_tr - mu[None, :]) ** 2, axis=0))
-    scale = jnp.where(scale > 0.0, scale, 1.0)
-    z_tr = (xm_tr - mu[None, :]) / scale[None, :]
-    z_te = (x_test * mask_f[None, :] - mu[None, :]) / scale[None, :]
+    z_tr, z_te = _masked_standardize(x_test, x_train, mask_f)
 
     widths = [d, *[int(h) for h in hidden]]
     host_rng = np.random.default_rng(seed)
@@ -1996,27 +2007,7 @@ def dsvdd_scores_masked(
         l2 = sum(jnp.sum(w * w) for w in ps)
         return sq + weight_decay * l2
 
-    b1, b2, aeps = 0.9, 0.999, 1e-8
-    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-
-    def adam_step(carry, t):
-        ps, m, v = carry
-        g = jax.grad(loss)(ps)
-        m = jax.tree_util.tree_map(
-            lambda a, b: b1 * a + (1 - b1) * b, m, g)
-        v = jax.tree_util.tree_map(
-            lambda a, b: b2 * a + (1 - b2) * b * b, v, g)
-        tf = t.astype(dt) + 1.0
-        step = lr * jnp.sqrt(1.0 - b2 ** tf) / (1.0 - b1 ** tf)
-        ps = jax.tree_util.tree_map(
-            lambda p, mm, vv: p - step * mm / (jnp.sqrt(vv) + aeps),
-            ps, m, v)
-        return (ps, m, v), None
-
-    (params, _, _), _ = jax.lax.scan(
-        adam_step, (params, zeros, zeros),
-        jnp.arange(int(epochs), dtype=jnp.int32),
-    )
+    params = _adam_train(loss, params, epochs, lr, dt)
     e_te = embed(params, z_te)
     return jnp.sum((e_te - c[None, :]) ** 2, axis=1)
 
