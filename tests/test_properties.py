@@ -101,11 +101,15 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
         ae_scores_masked,
         dsvdd_scores_masked,
         kpca_scores_masked,
+        lof_scores_masked,
+        mahalanobis_scores_masked,
         mcd_scores_masked,
+        mean_dist_scores_masked,
         pca_scores_masked,
         sampling_scores_masked,
         sod_scores_masked,
     )
+    from vgan_tpu.ensemble.od import _iforest_adapter
 
     mask = np.array([1, 0, 1, 0, 1, 0], bool)
     xtr = jnp.asarray(x[:20])
@@ -157,6 +161,18 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
         ),
         lambda a: sod_scores_masked(
             jnp.asarray(a), xtr, jnp.asarray(mask), 6, ref_set=4
+        ),
+        lambda a: mean_dist_scores_masked(
+            jnp.asarray(a), xtr, jnp.asarray(mask), 3
+        ),
+        lambda a: lof_scores_masked(
+            jnp.asarray(a), xtr, jnp.asarray(mask), 3
+        ),
+        lambda a: mahalanobis_scores_masked(
+            jnp.asarray(a), xtr, jnp.asarray(mask)
+        ),
+        lambda a: _iforest_adapter(
+            jnp.asarray(a), xtr, jnp.asarray(mask), 16
         ),
     ):
         np.testing.assert_allclose(
