@@ -84,17 +84,34 @@ def main() -> None:
         "Pallas kernels engage at d >= 512 or m >= 4096; their numbers are "
         "the Gram line below and examples/tpu_kernel_parity.py)")
 
+    # Jitter-robust headline (round-4 finding: median-of-3 let two bad
+    # host-RPC runs set BENCH_r04's record 43% below the true chip rate —
+    # runs 1.70/0.53/0.92 s for an unchanged program). The tunnel's jitter
+    # is purely ADDITIVE host/RPC overhead on top of a deterministic
+    # compiled program, so min over >=5 runs is the honest estimate of the
+    # chip time; median and the per-run list are reported alongside, and a
+    # jitter flag fires when spread exceeds 1.5x so the snapshot
+    # self-diagnoses (docs/KERNELS.md "Measurement methodology").
     times = []
-    for r in range(3):
+    for r in range(5):
         t0 = time.time()
         state, losses = compiled(x, jax.random.fold_in(key, r))
         float(losses[-1])  # real completion barrier (value fetch)
         times.append(time.time() - t0)
-    dt = float(np.median(times))
+    dt_min = float(np.min(times))
+    dt_med = float(np.median(times))
     steps = epochs * (x.shape[0] // config.batch_size)
-    steps_per_sec = steps / dt
-    log(f"train: {steps} steps in median {dt:.3f}s (runs: "
-        f"{', '.join(f'{t:.2f}' for t in times)}) -> {steps_per_sec:.0f} steps/s")
+    steps_per_sec = steps / dt_min
+    jitter = dt_med / dt_min if dt_min > 0 else 1.0
+    spread = max(times) / dt_min if dt_min > 0 else 1.0
+    log(f"train: {steps} steps in min {dt_min:.3f}s / median {dt_med:.3f}s "
+        f"(runs: {', '.join(f'{t:.2f}' for t in times)}) -> "
+        f"{steps_per_sec:.0f} steps/s (min-based; median-based: "
+        f"{steps/dt_med:.0f})")
+    if spread > 1.5:
+        log(f"JITTER FLAG: run spread {spread:.1f}x (max/min) exceeds 1.5x "
+            f"-> ambient host/tunnel RPC noise present; the min-based "
+            f"headline is the chip rate, the median reflects the noise")
 
     # --- secondary: kl (adversarial) variant throughput ---------------------
     try:
@@ -113,12 +130,16 @@ def main() -> None:
         float(det_hist[-1])
         log(f"kl trace+compile: {t_kl_compile:.1f}s  "
             f"first run+fetch: {time.time() - t0:.1f}s")
-        t0 = time.time()
-        _, det_hist, _ = kl_compiled(x, jax.random.PRNGKey(8), phases)
-        float(det_hist[-1])
-        dt_kl = time.time() - t0
+        t_kl = []
+        for r in range(3):
+            t0 = time.time()
+            _, det_hist, _ = kl_compiled(x, jax.random.PRNGKey(8 + r), phases)
+            float(det_hist[-1])
+            t_kl.append(time.time() - t0)
+        dt_kl = float(np.min(t_kl))
         kl_steps = kl_epochs * (x.shape[0] // kl_config.batch_size)
-        log(f"kl train: {kl_steps} steps in {dt_kl:.3f}s -> "
+        log(f"kl train: {kl_steps} steps in min {dt_kl:.3f}s (runs: "
+            f"{', '.join(f'{t:.2f}' for t in t_kl)}) -> "
             f"{kl_steps/dt_kl:.0f} steps/s (ref CPU: 18.7)")
     except Exception as e:  # pragma: no cover
         log(f"kl bench skipped: {e}")
@@ -172,14 +193,17 @@ def main() -> None:
             xs_fit, jax.random.PRNGKey(3), stress_cfg, s_epochs
         )
         float(losses_s[-1])
-        t0 = time.time()
-        state_s, losses_s = no_kl_fit_program(
-            xs_fit, jax.random.PRNGKey(4), stress_cfg, s_epochs
-        )
-        float(losses_s[-1])
-        dt_s = time.time() - t0
+        t_s = []
+        for r in range(2):
+            t0 = time.time()
+            state_s, losses_s = no_kl_fit_program(
+                xs_fit, jax.random.PRNGKey(4 + r), stress_cfg, s_epochs
+            )
+            float(losses_s[-1])
+            t_s.append(time.time() - t0)
+        dt_s = float(np.min(t_s))
         s_steps = s_epochs * (xs_fit.shape[0] // stress_cfg.batch_size)
-        log(f"stress fit (d=10240): {s_steps} steps in {dt_s:.2f}s -> "
+        log(f"stress fit (d=10240): {s_steps} steps in min {dt_s:.2f}s -> "
             f"{s_steps/dt_s:.0f} steps/s (ref CPU: 0.040)")
 
         # bf16 stress options: bf16 model-matmul operands + bf16-stored
@@ -194,14 +218,18 @@ def main() -> None:
             xs_fit, jax.random.PRNGKey(3), stress16, s_epochs
         )
         float(losses_s[-1])
-        t0 = time.time()
-        state_s, losses_s = no_kl_fit_program(
-            xs_fit, jax.random.PRNGKey(4), stress16, s_epochs
-        )
-        final16 = float(losses_s[-1])
-        dt_s16 = time.time() - t0
+        t_s16 = []
+        final16 = 0.0
+        for r in range(2):
+            t0 = time.time()
+            state_s, losses_s = no_kl_fit_program(
+                xs_fit, jax.random.PRNGKey(4 + r), stress16, s_epochs
+            )
+            final16 = float(losses_s[-1])
+            t_s16.append(time.time() - t0)
+        dt_s16 = float(np.min(t_s16))
         log(f"stress fit bf16 (model+opt-state+gram): {s_steps} steps in "
-            f"{dt_s16:.2f}s -> {s_steps/dt_s16:.0f} steps/s "
+            f"min {dt_s16:.2f}s -> {s_steps/dt_s16:.0f} steps/s "
             f"(final loss {final16:.4f})")
         del xs_fit, state_s
     except Exception as e:  # pragma: no cover
@@ -284,18 +312,77 @@ def main() -> None:
             xs_fit, jax.random.PRNGKey(5), ks_phases, kl_stress_cfg
         )
         float(det_h[-1])
-        t0 = time.time()
+        t_ks = []
+        for r in range(2):
+            t0 = time.time()
+            _, det_h, _ = kl_fit_program(
+                xs_fit, jax.random.PRNGKey(6 + r), ks_phases, kl_stress_cfg
+            )
+            float(det_h[-1])
+            t_ks.append(time.time() - t0)
+        dt_ks = float(np.min(t_ks))
+        ks_steps = ks_epochs * (xs_fit.shape[0] // kl_stress_cfg.batch_size)
+        log(f"kl stress fit (d=10240): {ks_steps} steps in min {dt_ks:.2f}s "
+            f"-> {ks_steps/dt_ks:.0f} steps/s (ref CPU: est. <0.05)")
+
+        # bf16 variant (round-4 VERDICT item 9: the kl stress bf16 line was
+        # builder-claimed only; capture it in the driver record)
+        kl_stress16 = TrainConfig(
+            ndims=10240, batch_size=500, mmd_impl="auto",
+            gram_matmul_dtype="bfloat16", model_matmul_dtype="bfloat16",
+            opt_state_dtype="bfloat16",
+        )
         _, det_h, _ = kl_fit_program(
-            xs_fit, jax.random.PRNGKey(6), ks_phases, kl_stress_cfg
+            xs_fit, jax.random.PRNGKey(5), ks_phases, kl_stress16
         )
         float(det_h[-1])
-        dt_ks = time.time() - t0
-        ks_steps = ks_epochs * (xs_fit.shape[0] // kl_stress_cfg.batch_size)
-        log(f"kl stress fit (d=10240): {ks_steps} steps in {dt_ks:.2f}s -> "
-            f"{ks_steps/dt_ks:.0f} steps/s (ref CPU: est. <0.05)")
+        t_ks16 = []
+        for r in range(2):
+            t0 = time.time()
+            _, det_h, _ = kl_fit_program(
+                xs_fit, jax.random.PRNGKey(6 + r), ks_phases, kl_stress16
+            )
+            float(det_h[-1])
+            t_ks16.append(time.time() - t0)
+        dt_ks16 = float(np.min(t_ks16))
+        log(f"kl stress fit bf16 (d=10240): {ks_steps} steps in min "
+            f"{dt_ks16:.2f}s -> {ks_steps/dt_ks16:.0f} steps/s")
         del xs_fit
     except Exception as e:  # pragma: no cover
         log(f"kl stress bench skipped: {e}")
+
+    # --- secondary: d=20480 headroom fit (round-4 VERDICT item 9) ------------
+    # Double the stress feature dim: proves the d-chunked Gram path has
+    # headroom past the tracked stress config (examples/huge_fit_demo.py
+    # covers the m=40960 side; this covers the d side in the driver record).
+    try:
+        d_h = 20480
+        xs_h = jnp.asarray(rng.normal(size=(2000, d_h)).astype(np.float32))
+        h_cfg = TrainConfig(
+            ndims=d_h, batch_size=500, mmd_impl="auto",
+            gram_matmul_dtype="bfloat16", model_matmul_dtype="bfloat16",
+            opt_state_dtype="bfloat16",
+        )
+        h_epochs = 50  # 200 steps
+        _, losses_h = no_kl_fit_program(
+            xs_h, jax.random.PRNGKey(11), h_cfg, h_epochs
+        )
+        float(losses_h[-1])
+        t_h = []
+        for r in range(2):
+            t0 = time.time()
+            _, losses_h = no_kl_fit_program(
+                xs_h, jax.random.PRNGKey(12 + r), h_cfg, h_epochs
+            )
+            final_h = float(losses_h[-1])
+            t_h.append(time.time() - t0)
+        dt_h = float(np.min(t_h))
+        h_steps = h_epochs * (xs_h.shape[0] // h_cfg.batch_size)
+        log(f"headroom fit bf16 (d=20480): {h_steps} steps in min {dt_h:.2f}s "
+            f"-> {h_steps/dt_h:.0f} steps/s (final loss {final_h:.4f})")
+        del xs_h
+    except Exception as e:  # pragma: no cover
+        log(f"headroom fit bench skipped: {e}")
 
     # --- secondary: subspaces sampled/sec -----------------------------------
     try:
@@ -421,8 +508,8 @@ def main() -> None:
             )
             np.asarray(out[3])
             t_f.append(time.time() - t0)
-        dt_f = float(np.median(t_f))
-        log(f"fused whole-fit kernel: {steps} steps in median {dt_f:.3f}s -> "
+        dt_f = float(np.min(t_f))
+        log(f"fused whole-fit kernel: {steps} steps in min {dt_f:.3f}s -> "
             f"{steps/dt_f:.0f} steps/s (scan path above is the default)")
     except Exception as e:  # pragma: no cover
         log(f"fused bench skipped: {e}")

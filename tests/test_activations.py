@@ -13,6 +13,7 @@ import torch
 from vgan_tpu.ops.activations import (
     binarize_mask,
     gumbel_upper_softmax,
+    st_upper_softmax,
     upper_lower_softmax,
     upper_softmax,
 )
@@ -79,6 +80,34 @@ def test_binarize_mask(rng):
     mask = np.asarray(binarize_mask(jnp.asarray(u), axis=1))
     np.testing.assert_array_equal(mask, u >= 0.1)
     assert mask.dtype == bool
+
+
+def test_st_upper_softmax_forward_identical_backward_softmax(rng):
+    # Forward: bit-identical to upper_softmax. Backward: the plain softmax
+    # jacobian everywhere (gradient FLOWS through snapped coords) — the
+    # de-confounding estimator for the geometry-vs-optimization ablation.
+    x = rng.normal(size=(5, 11)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(st_upper_softmax(jnp.asarray(x), axis=1)),
+        np.asarray(upper_softmax(jnp.asarray(x), axis=1)),
+    )
+    g = rng.normal(size=(5, 11)).astype(np.float32)
+
+    def f(xx):
+        return jnp.sum(st_upper_softmax(xx, axis=1) * jnp.asarray(g))
+
+    def f_soft(xx):
+        return jnp.sum(jax.nn.softmax(xx, axis=1) * jnp.asarray(g))
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f)(jnp.asarray(x))),
+        np.asarray(jax.grad(f_soft)(jnp.asarray(x))),
+        rtol=1e-6, atol=1e-7,
+    )
+    # and specifically: nonzero grad through a snapped coordinate
+    xs = jnp.array([[10.0, 0.0, 0.0, 0.0]])
+    grad = jax.grad(lambda xx: st_upper_softmax(xx, axis=1)[0, 0])(xs)
+    assert np.any(np.asarray(grad) != 0.0)
 
 
 def test_gumbel_upper_softmax_straight_through():

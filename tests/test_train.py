@@ -330,3 +330,94 @@ def test_bf16_model_and_opt_state_fit_close_to_f32(rng):
     assert leaf.dtype == jnp.bfloat16
     leaf32 = jax.tree.leaves(st32.opt_state.square_avg)[0]
     assert leaf32.dtype == jnp.float32
+
+
+def test_generator_grad_estimators_train_the_kl_generator():
+    """Round-4 VERDICT item 1: 'st' and 'gumbel_st' are opt-in binarization
+    gradient estimators that actually move the kl generator (the reference
+    estimator zeroes the gradient through every selected coordinate). Both
+    must produce finite losses and update generator params; detector params
+    stay untouched in the generator phase."""
+    x = jnp.asarray(correlated_gaussian(n=96, d=10))
+    for gg in ("st", "gumbel_st"):
+        config = TrainConfig(
+            ndims=10, batch_size=32, mmd_impl="jnp",
+            replicate_generator_detach=False, generator_grad=gg,
+        )
+        state = init_kl_state(config, jax.random.PRNGKey(2))
+        det_before = jax.tree.map(np.asarray, state.det_params)
+        gen_before = np.asarray(
+            state.gen_params["params"]["Dense_0"]["kernel"]
+        )
+        state, loss = kl_generator_epoch(state, x, config)
+        assert np.isfinite(float(loss)), gg
+        assert not np.allclose(
+            gen_before,
+            np.asarray(state.gen_params["params"]["Dense_0"]["kernel"]),
+        ), gg
+        jax.tree.map(
+            np.testing.assert_array_equal, det_before,
+            jax.tree.map(np.asarray, state.det_params),
+        )
+        # the detector phase also runs under the non-reference estimator
+        state, d_loss = kl_detector_epoch(state, x, config)
+        assert np.isfinite(float(d_loss)), gg
+
+
+def test_generator_grad_st_forward_matches_reference_estimator():
+    """'st' changes ONLY the backward: a full no-kl fit under 'st' follows
+    a different parameter trajectory, but module forwards of the SAME params
+    are bit-identical between the train-time 'st' module and the
+    deterministic sampling module."""
+    from vgan_tpu.ops.activations import binarize_mask
+
+    x = jnp.asarray(correlated_gaussian(n=128, d=10))
+    cfg = TrainConfig(
+        ndims=10, batch_size=32, mmd_impl="jnp", generator_grad="st"
+    )
+    state, losses = no_kl_fit_program(x, jax.random.PRNGKey(0), cfg, epochs=4)
+    assert np.all(np.isfinite(np.asarray(losses)))
+    z = jax.random.normal(jax.random.PRNGKey(1), (32, cfg.latent_size))
+    train_mod = cfg.generator_module(kl=False, train=True)
+    infer_mod = cfg.generator_module(kl=False)  # deterministic sampling
+    np.testing.assert_array_equal(
+        np.asarray(train_mod.apply(state.params, z)),
+        np.asarray(infer_mod.apply(state.params, z)),
+    )
+    # sampling stays deterministic under any estimator
+    m1 = np.asarray(binarize_mask(infer_mod.apply(state.params, z), axis=-1))
+    m2 = np.asarray(binarize_mask(infer_mod.apply(state.params, z), axis=-1))
+    np.testing.assert_array_equal(m1, m2)
+
+
+def test_gumbel_st_rejects_external_noise_injection():
+    from vgan_tpu.train.steps import _gumbel_keys
+
+    noise_array = jnp.zeros((3, 8, 2))
+    try:
+        _gumbel_keys(noise_array, 3)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "gumbel_st" in str(e)
+
+
+def test_api_gumbel_st_fit_and_sample():
+    """API surface: VGAN(generator_grad='gumbel_st',
+    replicate_generator_detach=False) fits and samples deterministically
+    (the sampling path uses the deterministic upper-softmax module)."""
+    from vgan_tpu import VGAN
+
+    x = correlated_gaussian(n=96, d=10)
+    m = VGAN(
+        epochs=7, batch_size=32, verbose=False,
+        replicate_generator_detach=False, generator_grad="gumbel_st",
+        mmd_impl="jnp",
+    )
+    m.fit(x)
+    u1 = m.generate_subspaces(16)
+    u2 = m.generate_subspaces(16)
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+    # epoch 0 is a detector epoch -> generator loss is NaN there
+    # (reference last-seen-loss history semantics, vgan.py:232-233)
+    assert np.all(np.isfinite(m.train_history["generator_loss"][1:]))
+    assert np.all(np.isfinite(m.train_history["detector_loss"]))

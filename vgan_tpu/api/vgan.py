@@ -443,6 +443,8 @@ class VGAN(_VGANCommon):
         mmd_impl: str = "auto",
         replicate_reference_quirks: bool = True,
         replicate_generator_detach: Optional[bool] = None,
+        generator_grad: str = "reference",
+        gumbel_tau: float = 1.0,
         elm: bool = False,
         verbose: bool = True,
         mesh=None,
@@ -488,6 +490,14 @@ class VGAN(_VGANCommon):
             else replicate_generator_detach
         )
         self.elm = elm  # reference's private __elm flag (vgan.py:45)
+        # Binarization gradient estimator (extension; docs/QUALITY.md
+        # ablation): 'reference' = mask-as-constant upper_softmax grads;
+        # 'st' = straight-through; 'gumbel_st' = Gumbel-ST at gumbel_tau.
+        # Only meaningful when the generator actually trains
+        # (replicate_generator_detach=False); sampling always uses the
+        # deterministic upper-softmax forward.
+        self.generator_grad = generator_grad
+        self.gumbel_tau = gumbel_tau
         self.gram_matmul_dtype = gram_matmul_dtype
         self.model_matmul_dtype = model_matmul_dtype
         self.opt_state_dtype = opt_state_dtype
@@ -518,6 +528,8 @@ class VGAN(_VGANCommon):
             gram_matmul_dtype=self.gram_matmul_dtype,
             model_matmul_dtype=self.model_matmul_dtype,
             opt_state_dtype=self.opt_state_dtype,
+            generator_grad=self.generator_grad,
+            gumbel_tau=self.gumbel_tau,
         )
 
     def get_the_networks(self, ndims: int, latent_size: int, device: str = None):
@@ -600,6 +612,8 @@ class VGAN_no_kl(_VGANCommon):
         *,
         mmd_impl: str = "auto",
         replicate_reference_quirks: bool = True,
+        generator_grad: str = "reference",
+        gumbel_tau: float = 1.0,
         verbose: bool = True,
         mesh=None,
         shard_features: bool = False,
@@ -634,6 +648,8 @@ class VGAN_no_kl(_VGANCommon):
         self.weight_decay = weight_decay
         self.mmd_impl = mmd_impl
         self.replicate_reference_quirks = replicate_reference_quirks
+        self.generator_grad = generator_grad
+        self.gumbel_tau = gumbel_tau
         self.verbose = verbose
         self.bandwidth = None
 
@@ -667,6 +683,10 @@ class VGAN_no_kl(_VGANCommon):
             "fit_impl='fused' runs its own in-kernel f32 math and does not "
             "honor model_matmul_dtype/opt_state_dtype; use fit_impl='scan' "
             "for the bf16 options"
+        )
+        assert self.generator_grad == "reference", (
+            "fit_impl='fused' implements the reference gradient estimator "
+            "only; use fit_impl='scan' for generator_grad='st'/'gumbel_st'"
         )
         n, ndims = X.shape
         assert fused_supported(
@@ -709,6 +729,8 @@ class VGAN_no_kl(_VGANCommon):
             gram_matmul_dtype=self.gram_matmul_dtype,
             model_matmul_dtype=self.model_matmul_dtype,
             opt_state_dtype=self.opt_state_dtype,
+            generator_grad=self.generator_grad,
+            gumbel_tau=self.gumbel_tau,
         )
 
     def get_the_networks(self, ndims: int, latent_size: int, device: str = None):

@@ -23,7 +23,11 @@ import flax.linen as nn
 import jax
 
 from vgan_tpu.models.initializers import REFERENCE_NORMAL, dense_inits
-from vgan_tpu.ops.activations import upper_softmax
+from vgan_tpu.ops.activations import (
+    gumbel_upper_softmax,
+    st_upper_softmax,
+    upper_softmax,
+)
 
 
 class GeneratorBig(nn.Module):
@@ -34,6 +38,18 @@ class GeneratorBig(nn.Module):
     stress-regime option (docs/KERNELS.md roofline). The pre-softmax
     logits are cast back to f32: at d ~ 10^4 the softmax mass per
     coordinate is ~1e-4, below bf16's resolution near the 1/d threshold.
+
+    ``activation`` selects the terminal binarization's GRADIENT estimator
+    (opt-in extensions; the reference-parity default is 'upper_softmax',
+    whose mask-as-constant gradient is the behavioral spec at
+    Generator.py:18-22):
+
+    - ``'upper_softmax'`` — reference-exact (zero gradient through snapped
+      coordinates);
+    - ``'st'`` — identical forward, straight-through softmax gradient;
+    - ``'gumbel_st'`` — Gumbel-softmax relaxation with straight-through
+      snapping at temperature ``gumbel_tau``; requires a ``gumbel_key``
+      argument to ``__call__``.
     """
 
     out_features: int
@@ -41,9 +57,11 @@ class GeneratorBig(nn.Module):
     init_scheme: str = REFERENCE_NORMAL
     param_dtype: type = jax.numpy.float32
     compute_dtype: "type | None" = None
+    activation: str = "upper_softmax"
+    gumbel_tau: float = 1.0
 
     @nn.compact
-    def __call__(self, z: jax.Array) -> jax.Array:
+    def __call__(self, z: jax.Array, gumbel_key: "jax.Array | None" = None) -> jax.Array:
         widths = [
             2 * self.latent_size,
             4 * self.latent_size,
@@ -66,7 +84,21 @@ class GeneratorBig(nn.Module):
             # back to full precision for the softmax: at d ~ 10^4 the
             # per-coordinate mass (~1/d) is below bf16 resolution
             h = h.astype(jax.numpy.float32)
-        return upper_softmax(h, axis=-1)
+        if self.activation == "upper_softmax":
+            return upper_softmax(h, axis=-1)
+        if self.activation == "st":
+            return st_upper_softmax(h, axis=-1)
+        if self.activation == "gumbel_st":
+            if gumbel_key is None:
+                raise ValueError(
+                    "activation='gumbel_st' requires a gumbel_key argument "
+                    "(the Gumbel noise stream); inference paths should "
+                    "construct the deterministic module instead"
+                )
+            return gumbel_upper_softmax(
+                h, gumbel_key, tau=self.gumbel_tau, axis=-1
+            )
+        raise ValueError(f"unknown activation {self.activation!r}")
 
 
 class Generator(nn.Module):

@@ -49,6 +49,24 @@ def binarize_mask(u: jax.Array, axis: int = -1) -> jax.Array:
     return u >= 1.0 / d
 
 
+def st_upper_softmax(x: jax.Array, axis: int = -1) -> jax.Array:
+    """Straight-through upper-softmax (extension; opt-in).
+
+    Forward is IDENTICAL to :func:`upper_softmax` (selected coords snap to
+    exactly 1.0), but the backward pass is the gradient of the plain softmax
+    everywhere — gradients flow through the selected coordinates instead of
+    being zeroed by the constant snap. This isolates the reference's
+    crippled gradient estimator (Generator.py:18-22 treats the selection
+    mask as a constant) from the selection geometry: same forward
+    distribution, working gradients. Not used by reference-parity paths;
+    enable via ``TrainConfig(generator_grad='st')``.
+    """
+    d = x.shape[axis]
+    s = jax.nn.softmax(x, axis=axis)
+    forward = jnp.where(s >= 1.0 / d, jnp.ones((), dtype=s.dtype), s)
+    return jax.lax.stop_gradient(forward - s) + s
+
+
 def gumbel_upper_softmax(
     x: jax.Array,
     key: jax.Array,

@@ -89,6 +89,17 @@ class TrainConfig:
     opt_state_dtype: "str | None" = None
     init_scheme_kl: str = REFERENCE_NORMAL
     init_scheme_no_kl: str = TORCH_DEFAULT
+    # Generator binarization GRADIENT estimator (round-4 VERDICT item 1 —
+    # the de-confounding knob for the geometry-vs-optimization finding):
+    # 'reference' = upper_softmax's mask-as-constant gradient (zero grad
+    # through selected coords, Generator.py:18-22 — the parity default);
+    # 'st' = identical forward, straight-through softmax gradient;
+    # 'gumbel_st' = Gumbel-softmax relaxation + straight-through snap at
+    # temperature `gumbel_tau` (stochastic forward during training).
+    # Inference/sampling always uses the deterministic upper_softmax
+    # forward regardless (generator_module(train=False)).
+    generator_grad: str = "reference"
+    gumbel_tau: float = 1.0
     # inner batch-scan unroll factor: amortizes the per-iteration scan
     # overhead (~10% step-throughput win at the reference config); capped by
     # the number of batches per epoch
@@ -109,12 +120,29 @@ class TrainConfig:
             else None
         )
 
-    def generator_module(self, kl: bool) -> GeneratorBig:
+    def generator_module(self, kl: bool, train: bool = False) -> GeneratorBig:
+        """Generator module; ``train=True`` applies ``generator_grad``.
+
+        Inference paths (sampling, serving, export) construct the
+        deterministic upper-softmax module: params are activation-agnostic
+        (Dense layers only), so a generator trained under 'st'/'gumbel_st'
+        samples deterministically through the reference binarization.
+        """
+        activation = "upper_softmax"
+        if train and self.generator_grad != "reference":
+            if self.generator_grad not in ("st", "gumbel_st"):
+                raise ValueError(
+                    f"unknown generator_grad {self.generator_grad!r} "
+                    "(expected 'reference', 'st' or 'gumbel_st')"
+                )
+            activation = self.generator_grad
         return GeneratorBig(
             out_features=self.ndims,
             latent_size=self.latent_size,
             init_scheme=self.init_scheme_kl if kl else self.init_scheme_no_kl,
             compute_dtype=self._compute_dtype,
+            activation=activation,
+            gumbel_tau=self.gumbel_tau,
         )
 
     def detector_module(self) -> Detector:
@@ -218,6 +246,22 @@ def _epoch_inputs(state_key, x, batch_size: int, rng):
     return batches, noise_src, next_key
 
 
+def _gumbel_keys(noise_src, nb: int) -> jax.Array:
+    """Per-batch Gumbel-noise keys for ``generator_grad='gumbel_st'``.
+
+    Derived from the epoch's noise key via a fixed fold so the z-noise
+    stream itself is untouched. Incompatible with external noise-array
+    injection (the lockstep parity paths are reference-gradient only).
+    """
+    if hasattr(noise_src, "ndim") and getattr(noise_src, "ndim") == 3:
+        raise ValueError(
+            "generator_grad='gumbel_st' cannot be combined with external "
+            "noise-array injection (lockstep/parity paths use the "
+            "reference gradient estimator)"
+        )
+    return jax.random.split(jax.random.fold_in(noise_src, 0x475354), nb)
+
+
 def _epoch_rng_chain(key: jax.Array, epochs: int):
     """Per-epoch (perm_key, noise_key) streams with the same split structure
     the epoch bodies use, plus the final carried key."""
@@ -263,7 +307,7 @@ def _no_kl_epoch_body(
     ``(perm, noise_key)`` from the epoch-batched RNG path (the carried key is
     then left untouched; the caller installs the chain's final key).
     """
-    gen = config.generator_module(kl=False)
+    gen = config.generator_module(kl=False, train=True)
     opt = config._adadelta(config.lr_g)
 
     batches, noise_key, next_key = _epoch_inputs(
@@ -273,13 +317,18 @@ def _no_kl_epoch_body(
     noise = _resolve_epoch_noise(
         noise_key, nb, config.batch_size, config.latent_size, x.dtype
     )
+    use_gumbel = config.generator_grad == "gumbel_st"
+    gkeys = _gumbel_keys(noise_key, nb) if use_gumbel else None
 
     def batch_step(carry, inp):
         params, opt_state, bw_value, bw_is_set = carry
-        batch, z = inp
+        if use_gumbel:
+            batch, z, gk = inp
+        else:
+            (batch, z), gk = inp, None
 
         def loss_fn(p):
-            u = gen.apply(p, z)
+            u = gen.apply(p, z) if gk is None else gen.apply(p, z, gk)
             loss, bw = mmd_ops.mmd_loss_constrained_stateful(
                 batch,
                 u * batch,
@@ -304,8 +353,9 @@ def _no_kl_epoch_body(
         return (new_params, new_opt, bw_used, new_is_set), loss
 
     carry0 = (state.params, state.opt_state, state.bw_value, state.bw_is_set)
+    xs = (batches, noise, gkeys) if use_gumbel else (batches, noise)
     (params, opt_state, bw_value, bw_is_set), losses = jax.lax.scan(
-        batch_step, carry0, (batches, noise), unroll=config._unroll(nb)
+        batch_step, carry0, xs, unroll=config._unroll(nb)
     )
     new_state = NoKLTrainState(params, opt_state, bw_value, bw_is_set, next_key)
     return new_state, jnp.mean(losses)
@@ -402,7 +452,7 @@ def _kl_detector_epoch_body(
     ``-(MMD(enc x, enc Ux, U) - 0.1 L2(x, dec x) - 0.1 L2(Ux, dec Ux))``.
     Encoder params step only while ``encoder_active`` (see module docstring).
     """
-    gen = config.generator_module(kl=True)
+    gen = config.generator_module(kl=True, train=True)
     det = config.detector_module()
     det_opt = config._adadelta(config.lr_d)
 
@@ -413,6 +463,8 @@ def _kl_detector_epoch_body(
         noise_key, batches.shape[0], config.batch_size, config.latent_size,
         x.dtype,
     )
+    use_gumbel = config.generator_grad == "gumbel_st"
+    gkeys = _gumbel_keys(noise_key, batches.shape[0]) if use_gumbel else None
 
     encoder_active = state.encoder_active | (not config.replicate_encoder_freeze)
     if config.elm:
@@ -422,8 +474,14 @@ def _kl_detector_epoch_body(
 
     def batch_step(carry, inp):
         det_params, det_opt_state, bw_value, bw_is_set = carry
-        batch, z = inp
-        u = jax.lax.stop_gradient(gen.apply(state.gen_params, z))
+        if use_gumbel:
+            batch, z, gk = inp
+        else:
+            (batch, z), gk = inp, None
+        u = jax.lax.stop_gradient(
+            gen.apply(state.gen_params, z) if gk is None
+            else gen.apply(state.gen_params, z, gk)
+        )
 
         def loss_fn(p):
             enc_x, dec_x = det.apply(p, batch)
@@ -452,8 +510,9 @@ def _kl_detector_epoch_body(
         return (new_params, new_opt, bw_used, new_is_set), loss
 
     carry0 = (state.det_params, state.det_opt, state.bw_value, state.bw_is_set)
+    xs = (batches, noise, gkeys) if use_gumbel else (batches, noise)
     (det_params, det_opt_state, bw_value, bw_is_set), losses = jax.lax.scan(
-        batch_step, carry0, (batches, noise),
+        batch_step, carry0, xs,
         unroll=config._unroll(batches.shape[0]),
     )
     new_state = state._replace(
@@ -482,7 +541,7 @@ def _kl_generator_epoch_body(
     parameters and optimizer state are untouched. With the flag off, the
     generator trains as the paper describes.
     """
-    gen = config.generator_module(kl=True)
+    gen = config.generator_module(kl=True, train=True)
     det = config.detector_module()
     gen_opt = config._adadelta(config.lr_g)
 
@@ -493,13 +552,18 @@ def _kl_generator_epoch_body(
         noise_key, batches.shape[0], config.batch_size, config.latent_size,
         x.dtype,
     )
+    use_gumbel = config.generator_grad == "gumbel_st"
+    gkeys = _gumbel_keys(noise_key, batches.shape[0]) if use_gumbel else None
 
     def batch_step(carry, inp):
         gen_params, gen_opt_state, bw_value, bw_is_set = carry
-        batch, z = inp
+        if use_gumbel:
+            batch, z, gk = inp
+        else:
+            (batch, z), gk = inp, None
 
         def loss_fn(p):
-            u = gen.apply(p, z)
+            u = gen.apply(p, z) if gk is None else gen.apply(p, z, gk)
             enc_x, _ = det.apply(state.det_params, batch)
             enc_ux, _ = det.apply(state.det_params, u * batch)
             loss, bw = mmd_ops.mmd_loss_constrained_stateful(
@@ -527,8 +591,9 @@ def _kl_generator_epoch_body(
         return (new_params, new_opt, bw_used, new_is_set), loss
 
     carry0 = (state.gen_params, state.gen_opt, state.bw_value, state.bw_is_set)
+    xs = (batches, noise, gkeys) if use_gumbel else (batches, noise)
     (gen_params, gen_opt_state, bw_value, bw_is_set), losses = jax.lax.scan(
-        batch_step, carry0, (batches, noise),
+        batch_step, carry0, xs,
         unroll=config._unroll(batches.shape[0]),
     )
     new_state = state._replace(
