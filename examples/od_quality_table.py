@@ -173,24 +173,93 @@ def _fit_pool(model, x_tr, nsubs=500):
     return model.subspaces, model.proba
 
 
+# learned / derived mask pools, in column order (full + fb follow)
+LEARNED_POOLS = ("nokl", "klq", "klt", "klg", "georand")
+
+
+def _get_pool(pool, seed, name, x_tr, epochs, kl_epochs, cache, cache_path):
+    """Fit (or load from the pool-level cache) one mask pool.
+
+    Pools are deterministic per (seed, dataset): VGAN rehardcodes seed 777
+    (reference vgan.py:45) and VGAN_no_kl takes an explicit seed, so the
+    masks themselves are cacheable — adding a new BASE later re-scores
+    against cached masks instead of refitting 500-epoch kl programs.
+
+    - ``nokl``:    VGAN_no_kl, the variant round 3 measured;
+    - ``klq``:     VGAN with reference quirks — the generator is detached
+                   exactly as torch ``Variable()`` detaches at
+                   /root/reference/src/vgan.py:308-310, so its mask
+                   distribution is the init-time geometry;
+    - ``klt``:     VGAN with ONLY ``replicate_generator_detach=False`` —
+                   the paper-intended adversarial kernel learning under the
+                   reference's mask-as-constant gradient estimator
+                   (Generator.py:18-22: zero gradient through selected
+                   coordinates);
+    - ``klg``:     klt but trained with the Gumbel-ST estimator
+                   (``generator_grad='gumbel_st'``) — gradients actually
+                   flow through the binarization (round-4 VERDICT item 1:
+                   does adversarial training matter once it CAN move?);
+    - ``georand``: geometry-matched random control — one random mask per
+                   klq (init-geometry) mask with the SAME active-dim count
+                   and the SAME pool probability, positions uniform. If
+                   this scores like klq, the generator's contribution is
+                   the size/count distribution alone, not the positions
+                   or their near-complementary structure.
+    """
+    key = f"POOL|{seed}|{name}|{pool}|e{epochs}"
+    if key in cache:
+        masks_s, proba = cache[key]
+        masks = np.array(
+            [[c == "1" for c in row] for row in masks_s], bool
+        )
+        return masks, np.asarray(proba, np.float64)
+    bs = min(500, len(x_tr))
+    d = x_tr.shape[1]
+    if pool == "nokl":
+        masks, proba = _fit_pool(VGAN_no_kl(
+            epochs=epochs, lr=0.007, batch_size=bs,
+            seed=int(1000 + seed), verbose=False,
+        ), x_tr)
+    elif pool == "klq":
+        masks, proba = _fit_pool(VGAN(
+            epochs=kl_epochs, batch_size=bs, verbose=False,
+        ), x_tr)
+    elif pool == "klt":
+        masks, proba = _fit_pool(VGAN(
+            epochs=kl_epochs, batch_size=bs, verbose=False,
+            replicate_generator_detach=False,
+        ), x_tr)
+    elif pool == "klg":
+        masks, proba = _fit_pool(VGAN(
+            epochs=kl_epochs, batch_size=bs, verbose=False,
+            replicate_generator_detach=False, generator_grad="gumbel_st",
+        ), x_tr)
+    elif pool == "georand":
+        kmasks, kproba = _get_pool(
+            "klq", seed, name, x_tr, epochs, kl_epochs, cache, cache_path
+        )
+        grng = np.random.default_rng(3000 + seed)
+        masks = np.zeros_like(kmasks)
+        for i, s in enumerate(kmasks.sum(axis=1)):
+            masks[i, grng.choice(d, size=int(s), replace=False)] = True
+        proba = kproba
+    else:  # pragma: no cover
+        raise ValueError(pool)
+    masks = np.asarray(masks, bool)
+    cache[key] = [
+        ["".join("1" if v else "0" for v in row) for row in masks],
+        [float(p) for p in np.asarray(proba)],
+    ]
+    _save_cache(cache_path, cache)
+    return masks, np.asarray(proba, np.float64)
+
+
 def eval_seed(seed, epochs, kl_epochs, cache, cache_path,
               adbench_dir=None):
-    """{(dataset, base): (auc_no_kl, auc_kl_ref, auc_kl_trained, auc_full,
-    auc_fb)} for one seed.
-
-    Three GENERATOR POOLS (VERDICT round-3 item 1 — the ablation the paper's
-    claim needs) plus the two non-learned baselines:
-
-    - ``no-kl``:      VGAN_no_kl, the variant round 3 measured;
-    - ``kl(ref)``:    VGAN with reference quirks — the generator is detached
-                      exactly as torch ``Variable()`` detaches at
-                      /root/reference/src/vgan.py:308-310, so its mask
-                      distribution is the init-time geometry;
-    - ``kl(trained)``: VGAN with ONLY ``replicate_generator_detach=False`` —
-                      the paper-intended adversarial kernel learning;
-    - ``full``:       the base detector on the full feature space;
-    - ``fb``:         random feature bagging, same member budget.
-    """
+    """{(dataset, base): (auc_nokl, auc_klq, auc_klt, auc_klg,
+    auc_georand, auc_full, auc_fb)} for one seed (five learned/derived
+    pools — see :func:`_get_pool` — plus the full-space detector and
+    random feature bagging)."""
     from vgan_tpu.ensemble import random_subspaces
 
     results = {}
@@ -200,27 +269,17 @@ def eval_seed(seed, epochs, kl_epochs, cache, cache_path,
         missing = [
             b for b in BASES
             if key0(b) not in cache
-            or keyk(b, "klq") not in cache
-            or keyk(b, "klt") not in cache
+            or any(keyk(b, v) not in cache
+                   for v in ("klq", "klt", "klg", "georand"))
         ]
         if missing:
             bs = min(500, len(x_tr))
             d = x_tr.shape[1]
-            pools = {}
-            if any(key0(b) not in cache for b in missing):
-                pools["nokl"] = _fit_pool(VGAN_no_kl(
-                    epochs=epochs, lr=0.007, batch_size=bs,
-                    seed=int(1000 + seed), verbose=False,
-                ), x_tr)
-            if any(keyk(b, "klq") not in cache for b in missing):
-                pools["klq"] = _fit_pool(VGAN(
-                    epochs=kl_epochs, batch_size=bs, verbose=False,
-                ), x_tr)
-            if any(keyk(b, "klt") not in cache for b in missing):
-                pools["klt"] = _fit_pool(VGAN(
-                    epochs=kl_epochs, batch_size=bs, verbose=False,
-                    replicate_generator_detach=False,
-                ), x_tr)
+
+            def pool(p):
+                return _get_pool(p, seed, name, x_tr, epochs, kl_epochs,
+                                 cache, cache_path)
+
             full_mask = np.ones((1, d), bool)
             # 100 members (not 500): random masks don't dedupe the way V-GAN
             # draws collapse to ~10 unique subspaces, and bagging AUC
@@ -252,15 +311,14 @@ def eval_seed(seed, epochs, kl_epochs, cache, cache_path,
             for base in missing:
                 if key0(base) not in cache:
                     cache[key0(base)] = [
-                        pool_auc(*pools["nokl"], base),
+                        pool_auc(*pool("nokl"), base),
                         pool_auc(full_mask, np.ones(1, np.float32), base,
                                  normalize=None),
                         pool_auc(fb_masks, fb_proba, base),
                     ]
-                if keyk(base, "klq") not in cache:
-                    cache[keyk(base, "klq")] = pool_auc(*pools["klq"], base)
-                if keyk(base, "klt") not in cache:
-                    cache[keyk(base, "klt")] = pool_auc(*pools["klt"], base)
+                for v in ("klq", "klt", "klg", "georand"):
+                    if keyk(base, v) not in cache:
+                        cache[keyk(base, v)] = pool_auc(*pool(v), base)
             _save_cache(cache_path, cache)
             print(f"  seed {seed}: {name} done "
                   f"({len(missing)} bases computed)", flush=True)
@@ -270,6 +328,7 @@ def eval_seed(seed, epochs, kl_epochs, cache, cache_path,
             nokl, full, fb = cache[key0(base)]
             results[(name, base)] = (
                 nokl, cache[keyk(base, "klq")], cache[keyk(base, "klt")],
+                cache[keyk(base, "klg")], cache[keyk(base, "georand")],
                 full, fb,
             )
     return results
@@ -321,10 +380,38 @@ def main():
     ]
     keys = list(per_seed[0].keys())
 
-    POOLS = ("no-kl", "kl(ref)", "kl(trained)", "full", "fb")
+    POOLS = ("no-kl", "kl(ref)", "kl(trained)", "kl(gumbel)", "geo-rand",
+             "full", "fb")
+    N_LEARNED = 5   # first five columns are learned/derived pools
+    FULL, FB = 5, 6
 
     def mean_of(key, idx):
         return float(np.mean([ps[key][idx] for ps in per_seed]))
+
+    def seeds_of(key, idx):
+        return np.array([ps[key][idx] for ps in per_seed])
+
+    def paired_stats(ks, i, j, n_boot=10000):
+        """(wins, mean delta, bootstrap CI95 lo/hi, wilcoxon p) for pool i
+        vs pool j over the (dataset, base) pairs ``ks``, paired on the
+        seed-mean. Inference lives HERE (n = len(ks) pairs): per-pair
+        n=5 seeds cannot reach p < 0.05 (exact two-sided Wilcoxon floor
+        at n=5 is 0.0625), so pair-level marks are descriptive only."""
+        from scipy import stats as sps
+
+        deltas = np.array([mean_of(k, i) - mean_of(k, j) for k in ks])
+        wins = int(np.sum(deltas >= 0))
+        brng = np.random.default_rng(0)
+        boots = np.array([
+            deltas[brng.integers(0, len(deltas), len(deltas))].mean()
+            for _ in range(n_boot)
+        ])
+        lo, hi = np.percentile(boots, [2.5, 97.5])
+        if np.allclose(deltas, 0.0):
+            p = 1.0
+        else:
+            p = float(sps.wilcoxon(deltas, zero_method="wilcox").pvalue)
+        return wins, float(deltas.mean()), float(lo), float(hi), p
 
     lines = [
         "# OD quality: learned subspace ensembles vs full-space detector",
@@ -338,45 +425,59 @@ def main():
         "ADBench-taxonomy synthetic STRESS rows (marked *) at d=128 where "
         "the informative structure is a subtle rank-3 factor block.",
         "",
-        "Three LEARNED generator pools (the round-3 VERDICT ablation):",
-        "`no-kl` = VGAN_no_kl; `kl(ref)` = VGAN with reference quirks — the "
-        "generator is detached exactly as torch `Variable()` detaches at "
-        "reference vgan.py:308-310, so its masks are the init-time "
-        "geometry; `kl(trained)` = VGAN with only "
-        "`replicate_generator_detach=False`, the paper-intended adversarial "
-        "kernel learning. `fb` is a RANDOM feature-bagging pool (100 masks, "
-        "pyod convention; bagging AUC saturates well before 100 members). "
-        "Bold = best learned pool when it beats the full space.",
+        "Five LEARNED/DERIVED generator pools (rounds 3-5 VERDICT "
+        "ablations): `no-kl` = VGAN_no_kl; `kl(ref)` = VGAN with reference "
+        "quirks — the generator is detached exactly as torch `Variable()` "
+        "detaches at reference vgan.py:308-310, so its masks are the "
+        "init-time geometry; `kl(trained)` = VGAN with only "
+        "`replicate_generator_detach=False` — the paper-intended "
+        "adversarial training, but under the reference's mask-as-constant "
+        "gradient estimator (Generator.py:18-22 zeroes the gradient "
+        "through every selected coordinate); `kl(gumbel)` = kl(trained) "
+        "with `generator_grad='gumbel_st'` — the Gumbel-ST estimator, so "
+        "gradients actually FLOW through the binarization (the round-4 "
+        "de-confounding control: does adversarial training matter once it "
+        "can move the masks?); `geo-rand` = geometry-matched random "
+        "control — one uniform-position random mask per kl(ref) mask with "
+        "the same active-dim count and pool probability (does the "
+        "generator beat size-matched random masks at all?). `fb` is a "
+        "RANDOM feature-bagging pool (100 masks, pyod convention; bagging "
+        "AUC saturates well before 100 members). Bold = best learned pool "
+        "when it beats the full space on the seed-mean; a trailing ° "
+        "marks pairs where it also wins on EVERY seed (the strongest "
+        "per-pair evidence 5 shared seeds can give — per-pair n=5 cannot "
+        "reach p<0.05, exact two-sided Wilcoxon floors at 0.0625, so "
+        "inference lives in the pool-level tests below).",
         "",
-        "| dataset | base | no-kl | kl(ref) | kl(trained) | full | fb |",
-        "|---|---|---|---|---|---|---|",
+        "| dataset | base | no-kl | kl(ref) | kl(trained) | kl(gumbel) | "
+        "geo-rand | full | fb |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     wins = 0       # best learned pool >= full
     fb_wins = 0    # best learned pool >= fb
     for name, base in keys:
         cols = [
             np.array([ps[(name, base)][i] for ps in per_seed])
-            for i in range(5)
+            for i in range(len(POOLS))
         ]
-        learned_best = int(np.argmax([c.mean() for c in cols[:3]]))
-        w = cols[learned_best].mean() >= cols[3].mean()
+        learned_best = int(np.argmax([c.mean() for c in cols[:N_LEARNED]]))
+        w = cols[learned_best].mean() >= cols[FULL].mean()
         wins += int(w)
-        fb_wins += int(cols[learned_best].mean() >= cols[4].mean())
+        fb_wins += int(cols[learned_best].mean() >= cols[FB].mean())
         txts = [f"{c.mean():.3f} +/- {c.std():.3f}" for c in cols]
         if w:
-            txts[learned_best] = f"**{txts[learned_best]}**"
+            every_seed = bool(np.all(cols[learned_best] >= cols[FULL]))
+            txts[learned_best] = (
+                f"**{txts[learned_best]}**" + ("°" if every_seed else "")
+            )
         lines.append(
             f"| {name} | {base} | " + " | ".join(txts) + " |"
         )
     real_keys = [k for k in keys if not k[0].endswith("*")]
 
-    def pairwise_wins(ks, i, j):
-        """#keys where pool i >= pool j on the seed-mean."""
-        return sum(1 for k in ks if mean_of(k, i) >= mean_of(k, j))
-
     best_real = sum(
         1 for k in real_keys
-        if max(mean_of(k, i) for i in range(3)) >= mean_of(k, 3)
+        if max(mean_of(k, i) for i in range(N_LEARNED)) >= mean_of(k, FULL)
     )
     lines += [
         "",
@@ -386,36 +487,48 @@ def main():
         f"feature bagging in {fb_wins}/{len(keys)} pairs overall.",
         "",
         "Pairwise pool comparison on the real tasks "
-        f"({len(real_keys)} (dataset, base) pairs, seed-mean >=):",
+        f"({len(real_keys)} (dataset, base) pairs, paired on the "
+        "seed-mean). p = exact two-sided Wilcoxon signed-rank over the "
+        "per-pair deltas; CI95 = paired bootstrap (10k resamples) on the "
+        "mean delta. Round-4 VERDICT item 5: claims whose CI crosses 0 "
+        "and p > 0.05 are reported as NOT distinguishable from noise.",
         "",
     ]
     pool_pairs = [
         ("kl(trained) vs no-kl", 2, 0),
         ("kl(trained) vs kl(ref)", 2, 1),
-        ("kl(trained) vs fb", 2, 4),
-        ("kl(trained) vs full", 2, 3),
-        ("no-kl vs fb", 0, 4),
-        ("no-kl vs full", 0, 3),
-        ("kl(ref) vs fb", 1, 4),
+        ("kl(gumbel) vs kl(ref)", 3, 1),
+        ("kl(gumbel) vs kl(trained)", 3, 2),
+        ("kl(ref) vs geo-rand", 1, 4),
+        ("geo-rand vs fb", 4, 6),
+        ("kl(trained) vs fb", 2, 6),
+        ("kl(trained) vs full", 2, 5),
+        ("no-kl vs fb", 0, 6),
+        ("no-kl vs full", 0, 5),
+        ("kl(ref) vs fb", 1, 6),
     ]
     for label, i, j in pool_pairs:
-        n_win = pairwise_wins(real_keys, i, j)
-        md = float(np.mean([mean_of(k, i) - mean_of(k, j)
-                            for k in real_keys]))
-        lines.append(f"- **{label}**: {n_win}/{len(real_keys)} "
-                     f"(mean AUC delta {md:+.3f})")
+        n_win, md, lo, hi, p = paired_stats(real_keys, i, j)
+        sig = "" if p > 0.05 else " — significant"
+        lines.append(
+            f"- **{label}**: {n_win}/{len(real_keys)} wins, mean AUC "
+            f"delta {md:+.4f} (CI95 [{lo:+.4f}, {hi:+.4f}]), "
+            f"Wilcoxon p={p:.2g}{sig}"
+        )
     lines += [
         "",
         "Per-base view on the real tasks (wins on the seed-mean and mean "
-        "AUC delta for each learned pool vs full / vs fb):",
+        "AUC delta for each learned pool vs full / vs fb; "
+        f"n={len(real_keys) // len(BASES)} datasets per base — "
+        "descriptive only at this n):",
         "",
     ]
     for base in BASES:
         ks = [k for k in real_keys if k[1] == base]
         parts = []
-        for label, idx in (("no-kl", 0), ("kl-t", 2)):
-            deltas = [mean_of(k, idx) - mean_of(k, 3) for k in ks]
-            fb_deltas = [mean_of(k, idx) - mean_of(k, 4) for k in ks]
+        for label, idx in (("no-kl", 0), ("kl-t", 2), ("kl-g", 3)):
+            deltas = [mean_of(k, idx) - mean_of(k, FULL) for k in ks]
+            fb_deltas = [mean_of(k, idx) - mean_of(k, FB) for k in ks]
             parts.append(
                 f"{label}: vs full {sum(d >= 0 for d in deltas)}/{len(ks)} "
                 f"({np.mean(deltas):+.3f}), vs fb "
@@ -423,6 +536,20 @@ def main():
                 f"({np.mean(fb_deltas):+.3f})"
             )
         lines.append(f"- **{base}** — " + "; ".join(parts))
+    if args.adbench_dir is None:
+        lines += [
+            "",
+            "**Real ADBench data — unavailable on this box.** The "
+            "reference's README (README.md:56-63) points at ADBench's "
+            "`get_data.sh`; this machine has zero network egress, so the "
+            "paper's actual datasets cannot be downloaded here. The "
+            "loader is ready: drop ADBench `.npz` files (X, y; y=1 = "
+            "anomaly) in a directory and re-run with "
+            "`--adbench-dir DIR` to add real rows under the identical "
+            "protocol (vgan_tpu/data.py::load_adbench validates the "
+            "contract loudly). Until then the noise-augmented sklearn "
+            "rows above are the closest same-regime proxy.",
+        ]
     lines += [
         "",
         "**Adversarial kernel learning (kl) verdict** (prose maintained in "
@@ -487,7 +614,14 @@ def main():
         "(500 epochs probed) does not change either finding.",
     ]
     text = "\n".join(lines) + "\n"
-    Path(args.out).write_text(text)
+    # preserve the appendix (suod-stage / stress-grid sections maintained
+    # by their own scripts) below the marker, if present
+    marker = "<!-- appendix -->"
+    out_path = Path(args.out)
+    if out_path.exists() and marker in out_path.read_text():
+        appendix = out_path.read_text().split(marker, 1)[1]
+        text += "\n" + marker + appendix
+    out_path.write_text(text)
     print("\n" + text)
     print(f"written to {args.out}")
 
