@@ -33,7 +33,7 @@ from od_quality_eval import auc, one_class_task  # noqa: E402 (sibling example)
 BASES = (
     "knn", "lof", "abod", "cof", "iforest", "mahalanobis", "cblof", "gmm",
     "loda", "kde", "inne", "pca", "sampling", "kpca", "mcd", "ae",
-    "dsvdd", "sod", "hbos", "copod", "ecod", "hetero",
+    "dsvdd", "sod", "ocsvm", "hbos", "copod", "ecod", "hetero",
 )
 
 # Smoke mode for CI/dev: 2 bases, first dataset only (set VGAN_QT_SMOKE=1).

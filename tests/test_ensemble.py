@@ -3762,3 +3762,277 @@ def test_streaming_knn_merge_above_cap_warns(rng, monkeypatch):
                                        mask)), axis=1
     )[:, :k]
     np.testing.assert_allclose(np.asarray(vals), d2, rtol=1e-6, atol=1e-6)
+
+
+def test_ocsvm_scores_match_numpy_oracle(rng):
+    """ocsvm_scores_masked vs a direct f64 numpy transcription of the
+    SAME fixed-protocol solver (power iteration -> projected FISTA ->
+    margin-SV rho) on the projected columns — pins the JAX program
+    against an independent implementation of the identical math (oracle
+    tier; the libsvm cross-library pin lives in test_sklearn_parity)."""
+    from vgan_tpu.ensemble import ocsvm_scores_masked
+
+    ntr, nt, d, nu = 80, 25, 7, 0.4
+    xtr = rng.normal(size=(ntr, d)).astype(np.float64)
+    xte = rng.normal(size=(nt, d)).astype(np.float64)
+    mask = np.array([1, 0, 1, 1, 0, 1, 1], bool)
+
+    # --- numpy f64 oracle on the projected columns -----------------------
+    xs, zs = xtr[:, mask], xte[:, mask]
+    g = 1.0 / mask.sum()
+    d2 = ((xs[:, None] - xs[None]) ** 2).sum(-1)
+    k_tr = np.exp(-g * d2)
+    k_te = np.exp(-g * ((zs[:, None] - xs[None]) ** 2).sum(-1))
+    C = 1.0 / (nu * ntr)
+    b = np.ones(ntr) / np.sqrt(ntr)
+    for _ in range(30):
+        b = k_tr @ b
+        b /= np.linalg.norm(b) + np.finfo(np.float64).tiny
+    step = 1.0 / ((b @ (k_tr @ b)) * 1.02 + np.finfo(np.float64).tiny)
+
+    def project(v):
+        lo, hi = v.min() - C, v.max()
+        for _ in range(60):
+            mid = 0.5 * (lo + hi)
+            if np.clip(v - mid, 0.0, C).sum() > 1.0:
+                lo = mid
+            else:
+                hi = mid
+        return np.clip(v - 0.5 * (lo + hi), 0.0, C)
+
+    a = np.full(ntr, 1.0 / ntr)
+    y, t = a.copy(), 1.0
+    for _ in range(300):
+        a_new = project(y - step * (k_tr @ y))
+        t_new = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * t * t))
+        y = a_new + ((t - 1.0) / t_new) * (a_new - a)
+        a, t = a_new, t_new
+    f_tr = k_tr @ a
+    margin = (a > C * 1e-3) & (a < C - C * 1e-3)
+    rho = f_tr[margin].mean() if margin.any() else f_tr[a > C * 1e-3].mean()
+    want = (rho - k_te @ a) * (nu * ntr)
+
+    # x64 is on in tests: f64 in -> f64 compute, so the pin is tight
+    ours = np.asarray(ocsvm_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask), nu=nu,
+    ))
+    np.testing.assert_allclose(ours, want, rtol=1e-9, atol=1e-12)
+
+
+def test_ocsvm_separation_determinism_validation(rng):
+    """Planted outliers score higher; repeated calls bit-identical;
+    loud errors on bad nu / too-few rows; ensemble + hetero composition."""
+    from vgan_tpu.ensemble import (
+        HeterogeneousEnsemble,
+        SubspaceEnsemble,
+        ocsvm_scores_masked,
+    )
+
+    d = 9
+    xtr = rng.normal(size=(120, d)).astype(np.float32)
+    inl = rng.normal(size=(25, d)).astype(np.float32)
+    out = (rng.normal(size=(8, d)) * 3.0 + 3.5).astype(np.float32)
+    xte = np.vstack([inl, out])
+    mask = np.ones(d, bool)
+    mask[4] = False
+
+    s = np.asarray(ocsvm_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask)))
+    assert np.all(np.isfinite(s))
+    assert s[25:].mean() > s[:25].mean()
+
+    a = np.asarray(ocsvm_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask), iters=50))
+    b = np.asarray(ocsvm_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask), iters=50))
+    np.testing.assert_array_equal(a, b)
+
+    with pytest.raises(ValueError, match="nu must be in"):
+        ocsvm_scores_masked(
+            jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask), nu=0.0)
+    with pytest.raises(ValueError, match="at least 2 train rows"):
+        ocsvm_scores_masked(
+            jnp.asarray(xte), jnp.asarray(xtr[:1]), jnp.asarray(mask))
+    with pytest.raises(ValueError, match="ocsvm_nu must be in"):
+        SubspaceEnsemble(np.ones((1, d), bool), np.ones(1), base="ocsvm",
+                         ocsvm_nu=1.5)
+    with pytest.raises(ValueError, match="ocsvm_iters must be"):
+        SubspaceEnsemble(np.ones((1, d), bool), np.ones(1), base="ocsvm",
+                         ocsvm_iters=0)
+
+    subs = rng.uniform(size=(6, d)) < 0.5
+    subs[~subs.any(axis=1), 0] = True
+    proba = np.full(6, 1 / 6, np.float32)
+    ens = SubspaceEnsemble(
+        subs, proba, base="ocsvm", ocsvm_nu=0.3, ocsvm_iters=150, chunk=3,
+    ).fit(xtr)
+    scores = ens.decision_function(xte)
+    assert scores[25:].mean() > scores[:25].mean()
+    assert ens.predict(xte).shape == (33,)
+
+    het = HeterogeneousEnsemble(
+        subs, proba,
+        members=[{"base": "ocsvm", "ocsvm_iters": 100}, {"base": "knn"}],
+        combination="average", k=5,
+    ).fit(xtr)
+    hs = het.decision_function(xte)
+    assert hs[25:].mean() > hs[:25].mean()
+
+
+def test_ocsvm_effective_chunk_governor():
+    from vgan_tpu.ensemble.od import _MAHA_CHUNK_BUDGET, _effective_chunk
+
+    nt, ntr, d = 50, 2000, 64
+    per_mask = 2 * ntr * ntr + nt * ntr + ntr * d
+    expect = max(1, min(128, _MAHA_CHUNK_BUDGET // per_mask))
+    assert _effective_chunk("ocsvm", 128, nt, ntr, d) == expect
+    assert _effective_chunk("ocsvm", 128, 20, 100, 8) == 128
+
+
+def _np_adam(params, grad_fn, epochs, lr):
+    """f64 numpy transcription of od._adam_train (bias-corrected Adam,
+    eps 1e-8 OUTSIDE the sqrt, step-size folding)."""
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    m = [np.zeros_like(p) for p in params]
+    v = [np.zeros_like(p) for p in params]
+    for t in range(epochs):
+        g = grad_fn(params)
+        tf = float(t) + 1.0
+        sz = lr * np.sqrt(1.0 - b2 ** tf) / (1.0 - b1 ** tf)
+        for i in range(len(params)):
+            m[i] = b1 * m[i] + (1 - b1) * g[i]
+            v[i] = b2 * v[i] + (1 - b2) * g[i] * g[i]
+            params[i] = params[i] - sz * m[i] / (np.sqrt(v[i]) + eps)
+    return params
+
+
+def test_ae_scores_match_numpy_oracle(rng):
+    """ae_scores_masked vs a full f64 numpy transcription of the SAME
+    fixed protocol — Glorot-uniform init from the same host RNG,
+    identical full-batch Adam (epochs/lr/eps), masked-output MSE
+    normalized by the active dim count, Euclidean reconstruction
+    distance — with hand-written backprop (round-4 VERDICT item 4:
+    the deep bases move from structural to oracle-tier verification)."""
+    from vgan_tpu.ensemble import ae_scores_masked
+
+    ntr, nt, d, hidden, epochs, lr, seed = 50, 12, 6, (8, 4), 40, 1e-3, 3
+    xtr = rng.normal(size=(ntr, d)).astype(np.float64)
+    xte = rng.normal(size=(nt, d)).astype(np.float64)
+    mask = np.array([1, 0, 1, 1, 0, 1], bool)
+    mask_f = mask.astype(np.float64)
+
+    # --- oracle -----------------------------------------------------------
+    xm = xtr * mask_f
+    mu = xm.mean(0)
+    scale = np.sqrt(((xm - mu) ** 2).mean(0))
+    scale = np.where(scale > 0.0, scale, 1.0)
+    z_tr = (xm - mu) / scale
+    z_te = (xte * mask_f - mu) / scale
+    d_sub = max(mask_f.sum(), 1.0)
+
+    widths = [d, *hidden, *list(reversed(hidden))[1:], d]
+    host = np.random.default_rng(seed)
+    Ws, bs = [], []
+    for w_in, w_out in zip(widths[:-1], widths[1:]):
+        lim = float(np.sqrt(6.0 / (w_in + w_out)))
+        Ws.append(host.uniform(-lim, lim, (w_in, w_out)))
+        bs.append(np.zeros(w_out))
+
+    def fwd(params, z):
+        Ws = params[: len(widths) - 1]
+        bs = params[len(widths) - 1:]
+        acts, pres = [z], []
+        a = z
+        for i, (w, b) in enumerate(zip(Ws, bs)):
+            pre = a @ w + b
+            pres.append(pre)
+            a = np.maximum(pre, 0.0) if i < len(Ws) - 1 else pre
+            acts.append(a)
+        return acts, pres, a * mask_f
+
+    def grad(params):
+        Ws = params[: len(widths) - 1]
+        acts, pres, out = fwd(params, z_tr)
+        c = 1.0 / (ntr * d_sub)
+        delta = 2.0 * c * (out - z_tr) * mask_f  # d/d a_last
+        gW, gb = [None] * len(Ws), [None] * len(Ws)
+        for i in reversed(range(len(Ws))):
+            if i < len(Ws) - 1:
+                delta = delta * (pres[i] > 0.0)
+            gW[i] = acts[i].T @ delta
+            gb[i] = delta.sum(0)
+            delta = delta @ Ws[i].T
+        return gW + gb
+
+    params = _np_adam(Ws + bs, grad, epochs, lr)
+    _, _, r_te = fwd(params, z_te)
+    want = np.sqrt(((r_te - z_te) ** 2).sum(1))
+
+    ours = np.asarray(ae_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask),
+        hidden=hidden, epochs=epochs, lr=lr, seed=seed,
+    ))
+    np.testing.assert_allclose(ours, want, rtol=1e-8, atol=1e-10)
+
+
+def test_dsvdd_scores_match_numpy_oracle(rng):
+    """dsvdd_scores_masked vs a full f64 numpy transcription (bias-free
+    encoder, eps-snapped mean-init center, squared-distance + weight-
+    decay loss, same Adam) with hand-written backprop."""
+    from vgan_tpu.ensemble import dsvdd_scores_masked
+
+    ntr, nt, d, hidden, epochs, lr, wd, seed = 50, 12, 6, (8, 4), 40, 1e-3, 1e-5, 2
+    xtr = rng.normal(size=(ntr, d)).astype(np.float64)
+    xte = rng.normal(size=(nt, d)).astype(np.float64)
+    mask = np.array([1, 1, 0, 1, 1, 0], bool)
+    mask_f = mask.astype(np.float64)
+
+    xm = xtr * mask_f
+    mu = xm.mean(0)
+    scale = np.sqrt(((xm - mu) ** 2).mean(0))
+    scale = np.where(scale > 0.0, scale, 1.0)
+    z_tr = (xm - mu) / scale
+    z_te = (xte * mask_f - mu) / scale
+
+    widths = [d, *hidden]
+    host = np.random.default_rng(seed)
+    Ws = []
+    for w_in, w_out in zip(widths[:-1], widths[1:]):
+        lim = float(np.sqrt(6.0 / (w_in + w_out)))
+        Ws.append(host.uniform(-lim, lim, (w_in, w_out)))
+
+    def embed(Ws, z):
+        acts, pres = [z], []
+        a = z
+        for i, w in enumerate(Ws):
+            pre = a @ w
+            pres.append(pre)
+            a = np.maximum(pre, 0.0) if i < len(Ws) - 1 else pre
+            acts.append(a)
+        return acts, pres, a
+
+    _, _, e0 = embed(Ws, z_tr)
+    c0 = e0.mean(0)
+    eps_c = 0.1
+    c = np.where(np.abs(c0) < eps_c, np.where(c0 < 0, -eps_c, eps_c), c0)
+
+    def grad(Ws):
+        acts, pres, e = embed(Ws, z_tr)
+        delta = 2.0 * (e - c) / ntr
+        g = [None] * len(Ws)
+        for i in reversed(range(len(Ws))):
+            if i < len(Ws) - 1:
+                delta = delta * (pres[i] > 0.0)
+            g[i] = acts[i].T @ delta + 2.0 * wd * Ws[i]
+            delta = delta @ Ws[i].T
+        return g
+
+    Ws = _np_adam(Ws, grad, epochs, lr)
+    _, _, e_te = embed(Ws, z_te)
+    want = ((e_te - c) ** 2).sum(1)
+
+    ours = np.asarray(dsvdd_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask),
+        hidden=hidden, epochs=epochs, lr=lr, weight_decay=wd, seed=seed,
+    ))
+    np.testing.assert_allclose(ours, want, rtol=1e-8, atol=1e-10)

@@ -105,6 +105,7 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
         mahalanobis_scores_masked,
         mcd_scores_masked,
         mean_dist_scores_masked,
+        ocsvm_scores_masked,
         pca_scores_masked,
         sampling_scores_masked,
         sod_scores_masked,
@@ -161,6 +162,9 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
         ),
         lambda a: sod_scores_masked(
             jnp.asarray(a), xtr, jnp.asarray(mask), 6, ref_set=4
+        ),
+        lambda a: ocsvm_scores_masked(
+            jnp.asarray(a), xtr, jnp.asarray(mask), nu=0.4, iters=100
         ),
         lambda a: mean_dist_scores_masked(
             jnp.asarray(a), xtr, jnp.asarray(mask), 3

@@ -21,7 +21,7 @@ import sys
 _SCORE_BASES = ("knn", "knn_mean", "lof", "abod", "cof", "iforest",
                 "mahalanobis", "cblof", "gmm", "loda", "kde", "inne",
                 "pca", "sampling", "kpca", "mcd", "ae", "dsvdd", "sod",
-                "copod", "hbos", "ecod")
+                "ocsvm", "copod", "hbos", "ecod")
 
 
 def _add_common_hyperparams(p: argparse.ArgumentParser) -> None:
@@ -156,6 +156,12 @@ def build_parser() -> argparse.ArgumentParser:
     score.add_argument("--sod-ref-set", type=int, default=10,
                        help="shared-nearest-neighbor reference-set size "
                             "for --base sod (--k is its n_neighbors)")
+    score.add_argument("--ocsvm-nu", type=float, default=0.5,
+                       help="one-class SVM nu (outlier-fraction bound) "
+                            "for --base ocsvm")
+    score.add_argument("--ocsvm-gamma", type=float, default=0.0,
+                       help="RBF width for --base ocsvm (0 = pyod's "
+                            "'auto': 1/n_active_features per subspace)")
     score.add_argument("--ae-hidden", default="64,32",
                        help="comma-separated encoder widths for --base ae "
                             "(decoder mirrored)")
@@ -318,6 +324,8 @@ def main(argv=None) -> int:
                     int(h) for h in args.ae_hidden.split(",")),
                 ae_epochs=args.ae_epochs,
                 sod_ref_set=args.sod_ref_set,
+                ocsvm_nu=args.ocsvm_nu,
+                ocsvm_gamma=args.ocsvm_gamma,
                 n_clusters=args.n_clusters,
                 gmm_covariance=args.gmm_covariance,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),
@@ -338,6 +346,8 @@ def main(argv=None) -> int:
                     int(h) for h in args.ae_hidden.split(",")),
                 ae_epochs=args.ae_epochs,
                 sod_ref_set=args.sod_ref_set,
+                ocsvm_nu=args.ocsvm_nu,
+                ocsvm_gamma=args.ocsvm_gamma,
                 n_clusters=args.n_clusters,
                 gmm_covariance=args.gmm_covariance,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),
