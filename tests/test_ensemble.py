@@ -1756,6 +1756,170 @@ def test_ensemble_dsvdd_base(rng):
     assert labels[30:].mean() > labels[:30].mean()
 
 
+def _np_masked_standardize(xte, xtr, mask):
+    """f64 transcription of od._masked_standardize (StandardScaler
+    semantics on the masked dims, constant columns keep scale 1)."""
+    mask_f = mask.astype(np.float64)
+    xm_tr = xtr.astype(np.float64) * mask_f[None, :]
+    mu = xm_tr.mean(axis=0)
+    scale = np.sqrt(((xm_tr - mu[None, :]) ** 2).mean(axis=0))
+    scale = np.where(scale > 0.0, scale, 1.0)
+    z_tr = (xm_tr - mu[None, :]) / scale[None, :]
+    z_te = (xte.astype(np.float64) * mask_f[None, :] - mu[None, :]) / scale[None, :]
+    return z_tr, z_te
+
+
+def _np_adam(params, grad_fn, epochs, lr):
+    """f64 transcription of od._adam_train: full-batch Adam, standard
+    bias-corrected moments, eps 1e-8 OUTSIDE the sqrt (matching the
+    implementation's ``m / (sqrt(v) + eps)`` form)."""
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    m = [np.zeros_like(p) for p in params]
+    v = [np.zeros_like(p) for p in params]
+    for t in range(epochs):
+        g = grad_fn(params)
+        m = [b1 * a + (1 - b1) * b for a, b in zip(m, g)]
+        v = [b2 * a + (1 - b2) * b * b for a, b in zip(v, g)]
+        tf = float(t) + 1.0
+        sz = lr * np.sqrt(1.0 - b2 ** tf) / (1.0 - b1 ** tf)
+        params = [p - sz * mm / (np.sqrt(vv) + eps)
+                  for p, mm, vv in zip(params, m, v)]
+    return params
+
+
+def test_ae_scores_match_numpy_oracle(rng):
+    """ae_scores_masked vs a full f64 numpy transcription of the SAME
+    fixed protocol — Glorot-uniform init from the identical host RNG
+    stream, hand-derived MLP backprop (no autodiff), the exact Adam
+    update of od._adam_train, re-masked reconstruction, and the
+    MSE/active-dim normalization. Pinned at 1e-8 rtol, which upgrades
+    the ae family to the oracle verification tier (BASES.md)."""
+    from vgan_tpu.ensemble import ae_scores_masked
+
+    d, hidden, epochs, lr, seed = 7, (6, 4), 25, 1e-3, 3
+    xtr = rng.normal(size=(40, d))
+    xte = rng.normal(size=(15, d)) * 1.5
+    for mask in (
+        np.array([1, 0, 1, 1, 0, 1, 0], bool),
+        np.ones(d, bool),
+    ):
+        ours = np.asarray(ae_scores_masked(
+            jnp.asarray(xte, jnp.float64), jnp.asarray(xtr, jnp.float64),
+            jnp.asarray(mask), hidden=hidden, epochs=epochs, lr=lr,
+            seed=seed,
+        ))
+
+        # ---- oracle -----------------------------------------------------
+        mask_f = mask.astype(np.float64)
+        z_tr, z_te = _np_masked_standardize(xte, xtr, mask)
+        ntr = len(xtr)
+        d_sub = max(mask_f.sum(), 1.0)
+        widths = [d, *hidden, *list(reversed(hidden))[1:], d]
+        host_rng = np.random.default_rng(seed)
+        params = []
+        for w_in, w_out in zip(widths[:-1], widths[1:]):
+            lim = float(np.sqrt(6.0 / (w_in + w_out)))
+            params.append(host_rng.uniform(-lim, lim, (w_in, w_out)))
+            params.append(np.zeros(w_out))
+
+        n_layers = len(widths) - 1
+
+        def forward(ps, z):
+            acts, pres = [z], []
+            a = z
+            for i in range(n_layers):
+                pre = a @ ps[2 * i] + ps[2 * i + 1]
+                pres.append(pre)
+                a = np.maximum(pre, 0.0) if i < n_layers - 1 else pre
+                acts.append(a)
+            return acts, pres, a * mask_f[None, :]
+
+        def grad_fn(ps):
+            acts, pres, r = forward(ps, z_tr)
+            # loss = sum((r - z_tr)^2) / (ntr * d_sub)
+            dr = 2.0 * (r - z_tr) / (ntr * d_sub)
+            da = dr * mask_f[None, :]
+            g = [None] * len(ps)
+            for i in reversed(range(n_layers)):
+                dpre = da if i == n_layers - 1 else da * (pres[i] > 0.0)
+                g[2 * i] = acts[i].T @ dpre
+                g[2 * i + 1] = dpre.sum(axis=0)
+                da = dpre @ ps[2 * i].T
+            return g
+
+        params = _np_adam(params, grad_fn, epochs, lr)
+        _, _, r_te = forward(params, z_te)
+        expected = np.sqrt(((r_te - z_te) ** 2).sum(axis=1))
+        np.testing.assert_allclose(ours, expected, rtol=1e-8, atol=1e-12)
+
+
+def test_dsvdd_scores_match_numpy_oracle(rng):
+    """dsvdd_scores_masked vs a full f64 numpy transcription of the SAME
+    fixed protocol — bias-free Glorot encoder from the identical host
+    RNG stream, the frozen eps-snapped center from the INITIAL
+    embedding, hand-derived backprop of the squared-distance + weight-
+    decay objective, and the exact Adam update. Oracle tier for the
+    second deep family (BASES.md)."""
+    from vgan_tpu.ensemble import dsvdd_scores_masked
+
+    d, hidden, epochs, lr, wd, seed = 7, (6, 4), 25, 1e-3, 1e-5, 5
+    xtr = rng.normal(size=(40, d))
+    xte = rng.normal(size=(15, d)) * 1.5
+    for mask in (
+        np.array([1, 1, 0, 0, 1, 0, 1], bool),
+        np.ones(d, bool),
+    ):
+        ours = np.asarray(dsvdd_scores_masked(
+            jnp.asarray(xte, jnp.float64), jnp.asarray(xtr, jnp.float64),
+            jnp.asarray(mask), hidden=hidden, epochs=epochs, lr=lr,
+            weight_decay=wd, seed=seed,
+        ))
+
+        # ---- oracle -----------------------------------------------------
+        z_tr, z_te = _np_masked_standardize(xte, xtr, mask)
+        ntr = len(xtr)
+        widths = [d, *hidden]
+        host_rng = np.random.default_rng(seed)
+        params = []
+        for w_in, w_out in zip(widths[:-1], widths[1:]):
+            lim = float(np.sqrt(6.0 / (w_in + w_out)))
+            params.append(host_rng.uniform(-lim, lim, (w_in, w_out)))
+
+        n_layers = len(params)
+
+        def embed(ps, z):
+            acts, pres = [z], []
+            a = z
+            for i in range(n_layers):
+                pre = a @ ps[i]
+                pres.append(pre)
+                a = np.maximum(pre, 0.0) if i < n_layers - 1 else pre
+                acts.append(a)
+            return acts, pres, a
+
+        # frozen center: mean initial embedding, |c|<0.1 snapped to +/-0.1
+        # (c0 == 0 snaps to +0.1, matching the jnp.where branch order)
+        _, _, e0 = embed(params, z_tr)
+        c0 = e0.mean(axis=0)
+        c = np.where(np.abs(c0) < 0.1, np.where(c0 < 0, -0.1, 0.1), c0)
+
+        def grad_fn(ps):
+            acts, pres, e = embed(ps, z_tr)
+            # loss = mean_i ||e_i - c||^2 + wd * sum ||W||^2
+            da = 2.0 * (e - c[None, :]) / ntr
+            g = [None] * n_layers
+            for i in reversed(range(n_layers)):
+                dpre = da if i == n_layers - 1 else da * (pres[i] > 0.0)
+                g[i] = acts[i].T @ dpre + 2.0 * wd * ps[i]
+                da = dpre @ ps[i].T
+            return g
+
+        params = _np_adam(params, grad_fn, epochs, lr)
+        _, _, e_te = embed(params, z_te)
+        expected = ((e_te - c[None, :]) ** 2).sum(axis=1)
+        np.testing.assert_allclose(ours, expected, rtol=1e-8, atol=1e-12)
+
+
 def test_sod_scores_match_numpy(rng):
     """sod_scores_masked vs a direct f64 numpy transcription of the
     Kriegel/pyod SOD recipe (novelty-style: shared-nearest-neighbor
