@@ -554,35 +554,60 @@ def main():
         "",
         "**Adversarial kernel learning (kl) verdict** (prose maintained in "
         "examples/od_quality_table.py next to the run that produced the "
-        "numbers; the pairwise counts above are generated). Two findings, "
-        "one positive and one deflationary:",
+        "numbers; the pairwise counts above are generated). Three "
+        "findings — one positive, two deflationary; the round-4 VERDICT's "
+        "two confounds (gradient estimator, mask positions) are now both "
+        "controlled:",
         "",
-        "1. *The kl ensemble is the best learned pool on this benchmark.* "
-        "kl(trained) beats no-kl on 49/70 real pairs (+0.019 mean AUC), "
-        "random feature bagging on 49/70 (+0.017), and the full-space "
-        "detector on 49/70 (+0.034). It also repairs no-kl's round-3 "
+        "1. *The kl ensemble is the best learned pool on this benchmark, "
+        "and the edge is significant.* kl(trained) beats no-kl on 81/115 "
+        "real pairs (+0.021 mean AUC, p=1.9e-09), random feature bagging "
+        "on 83/115 (+0.017, p=2.5e-07), and the full-space detector on "
+        "79/115 (+0.031, p=2.9e-08). It also repairs no-kl's round-3 "
         "losses: on the knn/lof/kde/cblof rows where no-kl trailed fb, "
         "kl(trained) draws level or wins (per-base view above). The only "
         "bases where it still loses to fb/full are the dim-decomposable "
         "marginal detectors (hbos/copod), where projection itself does "
         "not pay — consistent with the round-3 diagnosis.",
         "",
-        "2. *The edge is mask GEOMETRY, not adversarial optimization.* "
-        "kl(trained) vs kl(ref) — identical in everything except that "
-        "kl(ref)'s generator is detached exactly as the reference's "
-        "torch `Variable()` bug detaches it — is a coin flip: 35/70, "
-        "+0.001 mean AUC. The kl architecture's INIT-time mask "
-        "distribution (a few large, near-complementary ~d/2 subspaces "
-        "from the N(0, 0.1) init through upper_softmax binarization) "
-        "already delivers nearly all of the kl ensemble's advantage; "
-        "500 epochs of the paper-intended adversarial training move the "
-        "pool little on these tasks. Where training does matter it can "
-        "matter a lot in BOTH directions per-dataset (mahalanobis on "
-        "digits1v7/3v8: detached 0.952/0.888 -> trained 0.971/0.989, "
-        "recovering toward no-kl's 1.000). So the reference's "
-        "never-trained kl generator — the Variable() detach this repo "
-        "documented in round 1 — turns out to be nearly harmless on the "
-        "paper's own task family: the geometry it freezes is the asset.",
+        "2. *Adversarial optimization contributes nothing measurable — "
+        "even when gradients actually flow.* kl(trained) vs kl(ref) — "
+        "identical in everything except that kl(ref)'s generator is "
+        "detached exactly as the reference's torch `Variable()` bug "
+        "detaches it — is indistinguishable from noise (67/115, +0.0007, "
+        "CI95 crosses 0, p=0.61). The round-4 objection was that this "
+        "only shows the reference's mask-as-constant estimator can't "
+        "move the masks; the kl(gumbel) column closes it: with the "
+        "Gumbel-ST estimator passing real gradients through the "
+        "binarization, the pool still does not improve — kl(gumbel) vs "
+        "kl(ref) is -0.0002 mean AUC (the p=4.5e-04 is a consistently "
+        "signed but practically nil shift), and kl(gumbel) is marginally "
+        "WORSE than kl(trained) (-0.0009, p=0.0071). Training still "
+        "matters per-dataset in both directions (mahalanobis on "
+        "digits1v7/3v8: detached 0.952/0.888 -> trained 0.971/0.989), "
+        "but on average 500 epochs of the paper-intended adversarial "
+        "game move nothing, under either estimator.",
+        "",
+        "3. *WHICH dims the generator picks doesn't matter either — only "
+        "the mask-size distribution transfers.* The geometry-matched "
+        "random control (uniform-position masks with kl(ref)'s exact "
+        "per-mask active-dim counts and pool probabilities) is slightly "
+        "BETTER than the kl pool it mimics (kl(ref) vs geo-rand: 43/115, "
+        "-0.0052, p=2.1e-09) and beats random feature bagging by the "
+        "same margin the kl pools do (+0.021, 91/115, p=1.3e-12). So on "
+        "this task family the entire kl advantage is carried by its "
+        "mask-size geometry — a few large, near-complementary ~d/2 "
+        "subspaces from the N(0, 0.1) init through upper_softmax "
+        "binarization — not by WHERE those masks land. The reference's "
+        "never-trained kl generator (the Variable() detach this repo "
+        "documented in round 1) is therefore harmless on the paper's own "
+        "task family: the only asset was never the training, and a "
+        "user can get the same ensemble quality from size-matched random "
+        "masks. Caveat: these tasks drown REAL signal in appended "
+        "iid noise, where any ~d/2 mask keeps ~half the signal; the "
+        "position-sensitivity the paper posits would only show on data "
+        "where informative dims are few and must be FOUND (see the "
+        "stress rows below and the stress-grid appendix).",
         "",
         "**Learned vs random bagging**: kl(trained)'s edge over fb is "
         "broad (abod/iforest/loda/gmm strongest, +0.03-0.05); no-kl's "

@@ -445,6 +445,7 @@ class VGAN(_VGANCommon):
         replicate_generator_detach: Optional[bool] = None,
         generator_grad: str = "reference",
         gumbel_tau: float = 1.0,
+        latent_size: Optional[int] = None,
         elm: bool = False,
         verbose: bool = True,
         mesh=None,
@@ -498,6 +499,9 @@ class VGAN(_VGANCommon):
         # deterministic upper-softmax forward.
         self.generator_grad = generator_grad
         self.gumbel_tau = gumbel_tau
+        # capacity override of the reference rule max(d//16, 1); None =
+        # reference parity (vgan.py:196)
+        self.latent_size = latent_size
         self.gram_matmul_dtype = gram_matmul_dtype
         self.model_matmul_dtype = model_matmul_dtype
         self.opt_state_dtype = opt_state_dtype
@@ -530,6 +534,7 @@ class VGAN(_VGANCommon):
             opt_state_dtype=self.opt_state_dtype,
             generator_grad=self.generator_grad,
             gumbel_tau=self.gumbel_tau,
+            latent_override=self.latent_size,
         )
 
     def get_the_networks(self, ndims: int, latent_size: int, device: str = None):

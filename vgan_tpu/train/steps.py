@@ -104,12 +104,18 @@ class TrainConfig:
     # overhead (~10% step-throughput win at the reference config); capped by
     # the number of batches per epoch
     scan_unroll: int = 4
+    # Override of the reference latent-size rule max(d//16, 1)
+    # (vgan.py:196) — a capacity knob for the stress-grid study; None
+    # keeps reference parity.
+    latent_override: "int | None" = None
 
     def _unroll(self, nb: int) -> int:
         return max(1, min(self.scan_unroll, nb))
 
     @property
     def latent_size(self) -> int:
+        if self.latent_override is not None:
+            return int(self.latent_override)
         return latent_size_for(self.ndims)
 
     @property
