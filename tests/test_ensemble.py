@@ -4053,6 +4053,270 @@ def test_ocsvm_effective_chunk_governor():
     assert _effective_chunk("ocsvm", 128, 20, 100, 8) == 128
 
 
+def _sos_oracle(x, mask, perplexity=4.5, iters=64):
+    """numpy-f64 transcription of the published SOS chain (Janssens et
+    al. 2012 / scikit-sos): squared-distance affinities, perplexity
+    bisection with the same fixed iteration rule as the JAX program,
+    binding probabilities, transductive outlier probability."""
+    xs = np.asarray(x, np.float64)[:, mask]
+    n = len(xs)
+    d2 = ((xs[:, None, :] - xs[None, :, :]) ** 2).sum(-1)
+    beta = np.ones(n)
+    lo, hi = np.zeros(n), np.full(n, np.inf)
+    log_u = np.log(perplexity)
+    for _ in range(iters):
+        a = np.exp(-d2 * beta[:, None])
+        np.fill_diagonal(a, 0.0)
+        sum_a = np.maximum(a.sum(1), np.finfo(np.float64).tiny)
+        h = np.log(sum_a) + beta * np.sum(d2 * a, 1) / sum_a
+        too_spread = h > log_u
+        lo = np.where(too_spread, beta, lo)
+        hi = np.where(too_spread, hi, beta)
+        beta = np.where(
+            too_spread,
+            np.where(np.isinf(hi), beta * 2.0, 0.5 * (lo + hi)),
+            np.where(lo == 0.0, beta * 0.5, 0.5 * (lo + hi)),
+        )
+    a = np.exp(-d2 * beta[:, None])
+    np.fill_diagonal(a, 0.0)
+    b = a / a.sum(1)[:, None]
+    return np.prod(1.0 - b, axis=0)
+
+
+def test_sos_transductive_matches_numpy_oracle(rng):
+    """sos_scores_masked(exclude_self=True) on self-aligned rows vs the
+    f64 oracle of the published recipe on the projected columns — the
+    shifted-kernel bisection and log-space binding must be numerically
+    equivalent to the plain-exp chain (x64 is on in tests, so the pin is
+    tight). Two perplexities, subspace + full masks."""
+    from vgan_tpu.ensemble import sos_scores_masked
+
+    d = 7
+    x = rng.normal(size=(60, d)).astype(np.float64)
+    x[:4] += 3.0  # planted cluster so betas spread
+    for mask in (np.array([1, 0, 1, 0, 0, 1, 1], bool), np.ones(d, bool)):
+        for perp in (4.5, 10.0):
+            ours = np.asarray(sos_scores_masked(
+                jnp.asarray(x), jnp.asarray(x), jnp.asarray(mask),
+                perplexity=perp, exclude_self=True,
+            ))
+            want = _sos_oracle(x, mask, perplexity=perp)
+            np.testing.assert_allclose(ours, want, rtol=1e-7, atol=1e-10)
+
+
+def test_sos_novelty_separation_determinism_validation(rng):
+    """Novelty scores are per-point probabilities in [0, 1] with planted
+    outliers on top; repeated calls bit-identical; loud guards; ensemble
+    + hetero + predict composition."""
+    from vgan_tpu.ensemble import (
+        HeterogeneousEnsemble,
+        SubspaceEnsemble,
+        sos_scores_masked,
+    )
+
+    d = 9
+    xtr = rng.normal(size=(90, d)).astype(np.float32)
+    inl = rng.normal(size=(25, d)).astype(np.float32)
+    out = (rng.normal(size=(8, d)) * 2.0 + 4.0).astype(np.float32)
+    xte = np.vstack([inl, out])
+    mask = np.ones(d, bool)
+    mask[4] = False
+
+    s = np.asarray(sos_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask)))
+    assert np.all(np.isfinite(s)) and np.all(s >= 0.0) and np.all(s <= 1.0)
+    assert s[25:].mean() > s[:25].mean()
+
+    a = np.asarray(sos_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask)))
+    np.testing.assert_array_equal(a, s)
+
+    with pytest.raises(ValueError, match="at least 2 train rows"):
+        sos_scores_masked(
+            jnp.asarray(xte), jnp.asarray(xtr[:1]), jnp.asarray(mask))
+    with pytest.raises(ValueError, match="perplexity < n_train"):
+        sos_scores_masked(
+            jnp.asarray(xte), jnp.asarray(xtr[:4]), jnp.asarray(mask),
+            perplexity=10.0)
+    with pytest.raises(ValueError, match="sos_perplexity must be"):
+        SubspaceEnsemble(np.ones((1, d), bool), np.ones(1), base="sos",
+                         sos_perplexity=0.0)
+    with pytest.raises(ValueError, match="sos_iters must be"):
+        SubspaceEnsemble(np.ones((1, d), bool), np.ones(1), base="sos",
+                         sos_iters=0)
+
+    subs = rng.uniform(size=(6, d)) < 0.5
+    subs[~subs.any(axis=1), 0] = True
+    proba = np.full(6, 1 / 6, np.float32)
+    ens = SubspaceEnsemble(
+        subs, proba, base="sos", sos_perplexity=6.0, chunk=3,
+    ).fit(xtr)
+    scores = ens.decision_function(xte)
+    assert scores[25:].mean() > scores[:25].mean()
+    # decision_scores_ goes through the positional-excl path (no k guard)
+    assert ens.decision_scores_.shape == (90,)
+    assert ens.predict(xte).shape == (33,)
+
+    het = HeterogeneousEnsemble(
+        subs, proba,
+        members=[{"base": "sos", "sos_perplexity": 6.0}, {"base": "knn"}],
+        combination="average", k=5,
+    ).fit(xtr)
+    hs = het.decision_function(xte)
+    assert hs[25:].mean() > hs[:25].mean()
+
+
+def test_sos_exclude_self_concat_consistency(rng):
+    """In predict's concatenated [train; test] batch the leading rows
+    score transductively and the trailing novel rows through the
+    novelty denominator — identical to calling the two paths
+    separately."""
+    from vgan_tpu.ensemble import sos_scores_masked
+
+    d = 6
+    xtr = rng.normal(size=(40, d)).astype(np.float32)
+    xte = rng.normal(size=(11, d)).astype(np.float32)
+    mask = np.array([1, 1, 0, 1, 0, 1], bool)
+    both = np.vstack([xtr, xte])
+    s_both = np.asarray(sos_scores_masked(
+        jnp.asarray(both), jnp.asarray(xtr), jnp.asarray(mask),
+        exclude_self=True,
+    ))
+    s_tr = np.asarray(sos_scores_masked(
+        jnp.asarray(xtr), jnp.asarray(xtr), jnp.asarray(mask),
+        exclude_self=True,
+    ))
+    s_te = np.asarray(sos_scores_masked(
+        jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask),
+    ))
+    np.testing.assert_allclose(s_both[:40], s_tr, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(s_both[40:], s_te, rtol=1e-6, atol=1e-9)
+
+
+def test_sos_effective_chunk_governor():
+    from vgan_tpu.ensemble.od import _MAHA_CHUNK_BUDGET, _effective_chunk
+
+    nt, ntr, d = 50, 2000, 64
+    per_mask = 4 * ntr * ntr + 3 * ntr * nt
+    expect = max(1, min(128, _MAHA_CHUNK_BUDGET // per_mask))
+    assert _effective_chunk("sos", 128, nt, ntr, d) == expect
+    assert _effective_chunk("sos", 128, 20, 100, 8) == 128
+
+
+def test_lmdd_scores_match_numpy_oracle(rng):
+    """lmdd_scores_masked vs an f64 numpy transcription of the Arning
+    singleton smoothing factors on the projected columns — both the
+    leave-one-out (exclude_self, incl. predict's concat batch with
+    trailing novel rows) and add-one paths, both dissimilarities."""
+    from vgan_tpu.ensemble import lmdd_scores_masked
+
+    d = 8
+    x = rng.normal(size=(50, d)).astype(np.float64)
+    x[:2] *= 4.0  # planted deviations
+    xt = rng.normal(size=(15, d)).astype(np.float64)
+    xt[:2] += 6.0
+    mask = np.zeros(d, bool)
+    mask[[0, 2, 3, 6]] = True
+
+    def oracle(x_test, dis, excl):
+        xtr = x[:, mask]
+        xq = np.asarray(x_test, np.float64)[:, mask]
+        n = len(xtr)
+
+        def dval(a):
+            if dis == "var":
+                return np.mean(np.var(a, axis=0))
+            return np.mean(np.abs(a - a.mean(0)))
+
+        d_full = dval(xtr)
+        out = []
+        for t, row in enumerate(xq):
+            if excl and t < n:
+                rest = np.delete(xtr, t, axis=0)
+                out.append(max(d_full - dval(rest), 0.0) * (n - 1))
+            else:
+                out.append(
+                    max(dval(np.vstack([xtr, row])) - d_full, 0.0) * n
+                )
+        return np.array(out)
+
+    for dis in ("var", "aad"):
+        for excl, q in ((True, np.vstack([x, xt])), (False, xt)):
+            ours = np.asarray(lmdd_scores_masked(
+                jnp.asarray(q), jnp.asarray(x), jnp.asarray(mask),
+                dis_measure=dis, exclude_self=excl,
+            ))
+            want = oracle(q, dis, excl)
+            np.testing.assert_allclose(ours, want, rtol=1e-9, atol=1e-12)
+
+
+def test_lmdd_separation_validation_composition(rng):
+    """Planted deviations dominate; loud guards; ensemble / hetero /
+    predict / decision_scores_ composition for both measures."""
+    from vgan_tpu.ensemble import (
+        HeterogeneousEnsemble,
+        SubspaceEnsemble,
+        lmdd_scores_masked,
+    )
+
+    d = 9
+    xtr = rng.normal(size=(80, d)).astype(np.float32)
+    inl = rng.normal(size=(25, d)).astype(np.float32)
+    out = (rng.normal(size=(8, d)) * 3.0 + 4.0).astype(np.float32)
+    xte = np.vstack([inl, out])
+    mask = np.ones(d, bool)
+
+    for dis in ("var", "aad"):
+        s = np.asarray(lmdd_scores_masked(
+            jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask),
+            dis_measure=dis,
+        ))
+        assert np.all(np.isfinite(s)) and np.all(s >= 0.0)
+        assert s[25:].mean() > s[:25].mean()
+
+    with pytest.raises(ValueError, match="dis_measure"):
+        lmdd_scores_masked(
+            jnp.asarray(xte), jnp.asarray(xtr), jnp.asarray(mask),
+            dis_measure="iqr")
+    with pytest.raises(ValueError, match="at least 2 train rows"):
+        lmdd_scores_masked(
+            jnp.asarray(xte), jnp.asarray(xtr[:1]), jnp.asarray(mask))
+    with pytest.raises(ValueError, match="lmdd_dis"):
+        SubspaceEnsemble(np.ones((1, d), bool), np.ones(1), base="lmdd",
+                         lmdd_dis="iqr")
+
+    subs = rng.uniform(size=(6, d)) < 0.5
+    subs[~subs.any(axis=1), 0] = True
+    proba = np.full(6, 1 / 6, np.float32)
+    ens = SubspaceEnsemble(
+        subs, proba, base="lmdd", lmdd_dis="aad", chunk=3,
+    ).fit(xtr)
+    scores = ens.decision_function(xte)
+    assert scores[25:].mean() > scores[:25].mean()
+    assert ens.decision_scores_.shape == (80,)
+    assert ens.predict(xte).shape == (33,)
+
+    het = HeterogeneousEnsemble(
+        subs, proba,
+        members=[{"base": "lmdd"}, {"base": "knn"}],
+        combination="average", k=5,
+    ).fit(xtr)
+    hs = het.decision_function(xte)
+    assert hs[25:].mean() > hs[:25].mean()
+
+
+def test_lmdd_effective_chunk_governor():
+    from vgan_tpu.ensemble.od import (
+        _LMDD_BLOCK, _MAHA_CHUNK_BUDGET, _effective_chunk,
+    )
+
+    nt, ntr, d = 400, 2000, 64
+    per_mask = ntr * d + 3 * nt * d + _LMDD_BLOCK * nt * d
+    expect = max(1, min(128, _MAHA_CHUNK_BUDGET // per_mask))
+    assert _effective_chunk("lmdd", 128, nt, ntr, d) == expect
+    assert _effective_chunk("lmdd", 128, 20, 100, 4) == 128
+
+
 def _np_adam(params, grad_fn, epochs, lr):
     """f64 numpy transcription of od._adam_train (bias-corrected Adam,
     eps 1e-8 OUTSIDE the sqrt, step-size folding)."""

@@ -234,7 +234,7 @@ def test_sharded_ensemble_matches_single_device(rng):
     mesh = data_mesh()
     for base in ("knn", "lof", "abod", "cof", "mahalanobis", "cblof",
                  "gmm", "loda", "kde", "inne", "pca", "sampling", "kpca",
-                 "mcd", "ae", "dsvdd", "sod", "ocsvm"):
+                 "mcd", "ae", "dsvdd", "sod", "ocsvm", "sos", "lmdd"):
         for agg in ("average", "max"):
             single = SubspaceEnsemble(
                 masks, proba, base=base, k=5, aggregation=agg, chunk=2

@@ -109,6 +109,8 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
         pca_scores_masked,
         sampling_scores_masked,
         sod_scores_masked,
+        sos_scores_masked,
+        lmdd_scores_masked,
     )
     from vgan_tpu.ensemble.od import _iforest_adapter
 
@@ -162,6 +164,12 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
         ),
         lambda a: sod_scores_masked(
             jnp.asarray(a), xtr, jnp.asarray(mask), 6, ref_set=4
+        ),
+        lambda a: sos_scores_masked(
+            jnp.asarray(a), xtr, jnp.asarray(mask), perplexity=5.0
+        ),
+        lambda a: lmdd_scores_masked(
+            jnp.asarray(a), xtr, jnp.asarray(mask), dis_measure="aad"
         ),
         lambda a: ocsvm_scores_masked(
             jnp.asarray(a), xtr, jnp.asarray(mask), nu=0.4, iters=100

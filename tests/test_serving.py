@@ -93,7 +93,7 @@ def test_dim_base_scorer_export_roundtrip(rng, tmp_path):
 
     for base in ("copod", "hbos", "ecod", "abod", "cof", "mahalanobis",
                  "cblof", "gmm", "loda", "kde", "inne", "pca", "sampling",
-                 "kpca", "mcd", "ae", "dsvdd", "sod", "ocsvm"):
+                 "kpca", "mcd", "ae", "dsvdd", "sod", "ocsvm", "sos", "lmdd"):
         ens = SubspaceEnsemble(masks, proba, base=base).fit(xtr)
         path = tmp_path / f"{base}.bin"
         export_ensemble_scorer(ens, path)

@@ -21,7 +21,7 @@ import sys
 _SCORE_BASES = ("knn", "knn_mean", "lof", "abod", "cof", "iforest",
                 "mahalanobis", "cblof", "gmm", "loda", "kde", "inne",
                 "pca", "sampling", "kpca", "mcd", "ae", "dsvdd", "sod",
-                "ocsvm", "copod", "hbos", "ecod")
+                "ocsvm", "sos", "lmdd", "copod", "hbos", "ecod")
 
 
 def _add_common_hyperparams(p: argparse.ArgumentParser) -> None:
@@ -162,6 +162,12 @@ def build_parser() -> argparse.ArgumentParser:
     score.add_argument("--ocsvm-gamma", type=float, default=0.0,
                        help="RBF width for --base ocsvm (0 = pyod's "
                             "'auto': 1/n_active_features per subspace)")
+    score.add_argument("--sos-perplexity", type=float, default=4.5,
+                       help="target binding-distribution perplexity for "
+                            "--base sos (paper default 4.5)")
+    score.add_argument("--lmdd-dis", choices=["var", "aad"], default="var",
+                       help="dissimilarity measure for --base lmdd "
+                            "(Arning smoothing factors)")
     score.add_argument("--ae-hidden", default="64,32",
                        help="comma-separated encoder widths for --base ae "
                             "(decoder mirrored)")
@@ -326,6 +332,8 @@ def main(argv=None) -> int:
                 sod_ref_set=args.sod_ref_set,
                 ocsvm_nu=args.ocsvm_nu,
                 ocsvm_gamma=args.ocsvm_gamma,
+                sos_perplexity=args.sos_perplexity,
+                lmdd_dis=args.lmdd_dis,
                 n_clusters=args.n_clusters,
                 gmm_covariance=args.gmm_covariance,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),
@@ -348,6 +356,8 @@ def main(argv=None) -> int:
                 sod_ref_set=args.sod_ref_set,
                 ocsvm_nu=args.ocsvm_nu,
                 ocsvm_gamma=args.ocsvm_gamma,
+                sos_perplexity=args.sos_perplexity,
+                lmdd_dis=args.lmdd_dis,
                 n_clusters=args.n_clusters,
                 gmm_covariance=args.gmm_covariance,
                 aggregation=args.aggregation, mesh=_parse_mesh(args.mesh),

@@ -28,7 +28,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from vgan_tpu.ensemble.od import (
-    PyodSurfaceMixin, SubspaceEnsemble, _NEIGHBOR_BASES,
+    PyodSurfaceMixin, SubspaceEnsemble, _POSITIONAL_EXCL_BASES,
 )
 
 
@@ -249,8 +249,8 @@ class HeterogeneousEnsemble(PyodSurfaceMixin):
         scores = self.decision_function(both, exclude_self=True)
         return scores[:n_tr], scores[n_tr:]
 
-    def distill(self, members=None, n_features: int = 256,
-                ridge: float = 1e-4, seed: int = 0):
+    def distill(self, members=None, n_features: int = 512,
+                ridge="gcv", seed: int = 0):
         """suod's pseudo-supervised approximation stage: fit a fast
         supervised regressor per member on ``(X_train -> member's train
         scores)`` and serve the regressor instead of the detector — a
@@ -271,7 +271,9 @@ class HeterogeneousEnsemble(PyodSurfaceMixin):
         idxs = range(len(self.members)) if members is None else members
         for i in idxs:
             m = self.members[i]
-            neighbor = isinstance(m.base, str) and m.base in _NEIGHBOR_BASES
+            neighbor = isinstance(m.base, str) and (
+                m.base in _POSITIONAL_EXCL_BASES
+            )
             s_tr = np.asarray(
                 m.decision_function(x_tr, exclude_self=neighbor),
                 np.float64,
@@ -302,7 +304,8 @@ class HeterogeneousEnsemble(PyodSurfaceMixin):
                 )
             else:
                 neighbor = (
-                    isinstance(m.base, str) and m.base in _NEIGHBOR_BASES
+                    isinstance(m.base, str)
+                    and m.base in _POSITIONAL_EXCL_BASES
                 )
                 s = m.decision_function(
                     x_test, exclude_self=exclude_self and neighbor

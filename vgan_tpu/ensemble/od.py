@@ -14,7 +14,8 @@ so each subspace's distance matrix is a batched MXU matmul, ``vmap`` batches
 over thousands of masks, and ``lax.map`` chunks the mask axis to bound
 memory. Base detectors implemented natively (KNN k-th-distance, KNN mean
 distance, LOF, ABOD, COF, isolation forest, Mahalanobis, MCD, PCA, KPCA,
-CBLOF, GMM, LODA, KDE, INNE, Sampling, a trained-in-program AutoEncoder,
+CBLOF, GMM, LODA, KDE, INNE, Sampling, SOS, LMDD, a trained-in-program
+AutoEncoder, Deep SVDD, SOD,
 an in-program one-class SVM (exact libsvm dual via projected FISTA),
 and the dim-decomposable
 COPOD/HBOS/ECOD); a pyod adapter covers arbitrary CPU
@@ -201,6 +202,22 @@ def _effective_chunk(
         if not isinstance(nt, int):  # symbolic batch dim under jax.export
             nt = _EXPORT_NT_HINT
         per_mask = max(2 * ntr * ntr + nt * ntr + ntr * d, 1)
+        return max(1, min(chunk, _MAHA_CHUNK_BUDGET // per_mask))
+    if base == "sos":
+        # per in-flight mask: the (ntr, ntr) distance/shift planes + the
+        # bisection's kernel plane (~4 ntr^2 in flight) + the (ntr, nt)
+        # test affinity/binding planes
+        if not isinstance(nt, int):  # symbolic batch dim under jax.export
+            nt = _EXPORT_NT_HINT
+        per_mask = max(4 * ntr * ntr + 3 * ntr * nt, 1)
+        return max(1, min(chunk, _MAHA_CHUNK_BUDGET // per_mask))
+    if base == "lmdd":
+        # per in-flight mask: the masked (ntr, d) train copy + the (nt, d)
+        # per-row moment planes; the aad measure additionally scans a
+        # (_LMDD_BLOCK, nt, d) deviation plane
+        if not isinstance(nt, int):  # symbolic batch dim under jax.export
+            nt = _EXPORT_NT_HINT
+        per_mask = max(ntr * d + 3 * nt * d + _LMDD_BLOCK * nt * d, 1)
         return max(1, min(chunk, _MAHA_CHUNK_BUDGET // per_mask))
     if base in ("cblof", "gmm"):
         # per in-flight mask: the masked (ntr, d) train copy + the (ntr,
@@ -1788,6 +1805,280 @@ def _ocsvm_scorer(nu: float, gamma: float, iters: int):
     )
 
 
+def sos_scores_masked(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 0,
+    *, perplexity: float = 4.5, iters: int = 64,
+    exclude_self: bool = False,
+) -> jax.Array:
+    """Stochastic Outlier Selection (Janssens et al. 2012; pyod sos /
+    scikit-sos) in the masked subspace — the affinity-based probabilistic
+    family (reference capability via the pyod pin at requirements.txt:58).
+
+    The paper's chain on the projected dims: per-train-row affinities
+    ``a_ij = exp(-d2_ij * beta_i)`` (eq. 2 with ``beta = 1/(2 sigma^2)``
+    on squared masked distances), each ``beta_i`` tuned by a
+    fixed-iteration bisection so the binding distribution's Shannon
+    entropy hits ``log(perplexity)`` (the t-SNE-style search scikit-sos
+    uses, here ``iters`` vectorized halving steps over all rows at once);
+    binding probabilities ``b_ij = a_ij / sum_{k != i} a_ik``; outlier
+    probability ``O(x) = prod_i (1 - b_{i,x})`` — the returned score, in
+    [0, 1], higher = more outlying (pyod's orientation).
+
+    TPU-native shape: the train affinity plane rides the masked
+    squared-distance MXU matmul; the bisection is ``iters`` elementwise
+    passes over the SHIFTED kernel ``exp(-(d2 - d2_min_row) beta)``
+    (max entry 1 — no overflow at any beta); test binding goes through
+    log-space (``logaddexp``) so near/far novel points never over/
+    underflow. Everything is jnp ops, so ``vmap`` batches whole pools of
+    masks.
+
+    ``exclude_self=True`` (positionally self-aligned rows, e.g. the
+    ``decision_scores_`` mixin) reproduces the paper's transductive
+    recipe exactly: row t's own affinity column is dropped from both the
+    binding sums and the product — pinned against a numpy-f64
+    transcription of the published chain. Novel rows are scored by the
+    novelty adaptation: x joins the set, ``b_{i,x} = a_{i,x} /
+    (sum_{j != i} a_ij + a_{i,x})``, with the betas FROZEN at their
+    train-tuned values (documented divergence: transductive SOS would
+    re-tune perplexity over the union per query batch, which is
+    batch-dependent; freezing makes scores per-point and serving-safe,
+    the same novelty-style adaptation as the sod base).
+
+    ``k`` is ignored (signature parity). Memory is O(ntr^2 + nt x ntr)
+    per in-flight mask (see ``_effective_chunk``).
+    """
+    del k
+    if x_train.shape[0] < 2:
+        raise ValueError(
+            f"sos needs at least 2 train rows (the binding distribution "
+            f"is over the other points); got {x_train.shape[0]}"
+        )
+    if not perplexity < x_train.shape[0]:
+        raise ValueError(
+            f"sos needs perplexity < n_train (scikit-sos's constraint); "
+            f"got perplexity={perplexity} with n_train={x_train.shape[0]}"
+        )
+    dtype = x_train.dtype
+    n_tr = x_train.shape[0]
+    d2_tr = _masked_sq_dists(x_train, x_train, mask)
+    diag = jax.lax.broadcasted_iota(
+        jnp.int32, d2_tr.shape, 0
+    ) == jax.lax.broadcasted_iota(jnp.int32, d2_tr.shape, 1)
+    # off-diagonal row minimum: the stable shift for the bisection kernel
+    dmin = jnp.min(_mask_diagonal(d2_tr), axis=1)
+    dshift = d2_tr - dmin[:, None]  # >= 0 off-diag; diag masked to -inf
+    log_u = jnp.log(jnp.asarray(perplexity, dtype))
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+    def entropy_sumq(beta):
+        expo = jnp.where(diag, -jnp.inf, -dshift * beta[:, None])
+        q = jnp.exp(expo)
+        sumq = jnp.maximum(jnp.sum(q, axis=1), tiny)
+        h = jnp.log(sumq) + beta * jnp.sum(dshift * q, axis=1) / sumq
+        return h, sumq
+
+    def bisect(carry, _):
+        beta, lo, hi = carry
+        h, _ = entropy_sumq(beta)
+        too_spread = h > log_u  # entropy too high -> sharpen: raise beta
+        lo = jnp.where(too_spread, beta, lo)
+        hi = jnp.where(too_spread, hi, beta)
+        up = jnp.where(jnp.isinf(hi), beta * 2.0, 0.5 * (lo + hi))
+        down = jnp.where(lo == 0.0, beta * 0.5, 0.5 * (lo + hi))
+        return (jnp.where(too_spread, up, down), lo, hi), None
+
+    (beta, _, _), _ = jax.lax.scan(
+        bisect,
+        (jnp.ones((n_tr,), dtype), jnp.zeros((n_tr,), dtype),
+         jnp.full((n_tr,), jnp.inf, dtype)),
+        None, length=iters,
+    )
+    _, sumq = entropy_sumq(beta)
+    # log sum_{j != i} a_ij in UNshifted terms (a_ij = exp(-beta d2_ij))
+    log_sum_a = -beta * dmin + jnp.log(sumq)
+
+    d2_te = _masked_sq_dists(x_train, x_test, mask)  # (ntr, nt)
+    log_a_te = -beta[:, None] * d2_te
+    if exclude_self:
+        # leading columns t < n_tr ARE train rows positionally: the
+        # transductive formula applies (a_{t,t} is already absent from
+        # log_sum_a; row t is dropped from column t's product). Trailing
+        # columns (predict's concatenated novel rows) still score through
+        # the novelty denominator.
+        cols = jax.lax.broadcasted_iota(jnp.int32, d2_te.shape, 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, d2_te.shape, 0)
+        log_den = jnp.where(
+            cols < n_tr, log_sum_a[:, None],
+            jnp.logaddexp(log_sum_a[:, None], log_a_te),
+        )
+        b = jnp.exp(log_a_te - log_den)
+        b = jnp.where(rows == cols, 0.0, b)
+    else:
+        # novelty: x joins the set, so its own affinity enters row i's
+        # binding denominator
+        b = jnp.exp(log_a_te - jnp.logaddexp(log_sum_a[:, None], log_a_te))
+    b = jnp.clip(b, 0.0, 1.0)
+    return jnp.exp(jnp.sum(jnp.log1p(-b), axis=0))
+
+
+@functools.lru_cache(maxsize=None)
+def _sos_scorer(perplexity: float, iters: int, exclude_self: bool):
+    """Memoized partial (one hashable static per config; see
+    :func:`_loda_scorer`)."""
+    return functools.partial(
+        sos_scores_masked, perplexity=perplexity, iters=iters,
+        exclude_self=exclude_self,
+    )
+
+
+_LMDD_BLOCK = 256  # train-row block for the aad deviation plane
+
+
+def lmdd_scores_masked(
+    x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 0,
+    *, dis_measure: str = "var", exclude_self: bool = False,
+) -> jax.Array:
+    """Deviation-based outlier detection (Arning, Agrawal & Raghavan
+    1996; the pyod lmdd family) in the masked subspace.
+
+    The paper's smoothing factor for an exception set ``I_j`` is
+    ``SF(I_j) = C(I - I_j) * (D(I) - D(I - I_j))`` — how much the set's
+    dissimilarity ``D`` drops (scaled by the remaining cardinality) when
+    the candidates are removed. Per-point scores only need SINGLETON
+    exception sets, for which the smoothing factor is closed-form:
+
+    - positionally self-aligned rows (``exclude_self=True`` leading
+      columns): ``(n-1) * max(D(X) - D(X \\ x), 0)`` — removing an
+      outlier drops the dissimilarity;
+    - novel rows: ``n * max(D(X + x) - D(X), 0)`` — adding an outlier
+      raises it.
+
+    ``dis_measure``: 'var' (mean per-dim variance over the masked dims —
+    the paper's dissimilarity example for numeric data; leave-one-out
+    closed-form from the masked sum/sum-of-squares, one (nt, d)
+    elementwise pass) or 'aad' (mean absolute deviation about the
+    per-dim mean, pyod's default measure; the leave-one-out mean shifts
+    every deviation, so the deviation plane is recomputed in
+    ``_LMDD_BLOCK``-row train blocks under ``lax.scan`` —
+    O(ntr x nt x d) work per mask, O(block x nt x d) memory).
+
+    Documented divergence vs pyod's lmdd: pyod APPROXIMATES smoothing
+    factors by accumulating dissimilarity increments along ``n_iter``
+    random orderings of the rows (the paper's linear-scan heuristic for
+    finding exception SETS, which is inherently sequential and
+    RNG-dependent). Per-point singleton smoothing factors need no
+    ordering: this scorer computes them exactly and deterministically,
+    so there is no ``n_iter``/``random_state`` and scores are
+    permutation-free. The 'iqr' measure is not offered (leave-one-out
+    quantiles do not vectorize into matmul shape).
+
+    ``k`` is ignored (signature parity).
+    """
+    del k
+    if dis_measure not in ("var", "aad"):
+        raise ValueError(
+            f"unknown dis_measure={dis_measure!r}: expected 'var' or "
+            "'aad' ('iqr' is not offered — see the docstring)"
+        )
+    n = x_train.shape[0]
+    if n < 2:
+        raise ValueError(
+            f"lmdd needs at least 2 train rows (leave-one-out "
+            f"dissimilarity); got {n}"
+        )
+    dtype = x_train.dtype
+    mask_f = mask.astype(dtype)
+    d_act = jnp.maximum(jnp.sum(mask_f), 1.0)
+    xm_tr = x_train * mask_f[None, :]
+    xm_te = x_test * mask_f[None, :]
+    s1 = jnp.sum(xm_tr, axis=0)  # (d,) masked column sums
+    nf = jnp.asarray(float(n), dtype)
+    mu = s1 / nf
+
+    cols = jnp.arange(x_test.shape[0], dtype=jnp.int32)
+    is_self = (
+        (cols < n) if exclude_self
+        else jnp.zeros_like(cols, dtype=bool)
+    )
+    # c = cardinality after the move: n+1 on addition, n-1 on removal.
+    # The D differences below are computed in CLOSED FORM rather than as
+    # D_eff - D_full of two separately rounded O(1) quantities — the
+    # smoothing factor is O(1/n), so the naive difference loses ~n x
+    # relative precision in f32 (observed: 4e-4 live-vs-export drift
+    # before this form; the closed forms are algebraically identical).
+    c_eff = jnp.where(is_self, nf - 1.0, nf + 1.0)
+    dev_te = (xm_te - mu[None, :]) * mask_f[None, :]
+
+    if dis_measure == "var":
+        # centered one-pass variance (s2/n - mean^2 cancels for large
+        # means); per-dim v = mean((x - mu)^2)
+        v = jnp.sum(jnp.square(xm_tr - mu[None, :]) * mask_f, axis=0) / nf
+        # exact update/downdate identities (m = full mean, v = full var):
+        #   add x:    var' - var = (n (x-m)^2 / (n+1) - v) / (n+1)
+        #   remove x: var - var' = (n (x-m)^2 / (n-1) - v) / (n-1)
+        delta = jnp.sum(
+            (nf * jnp.square(dev_te) / c_eff[:, None] - v[None, :])
+            * mask_f[None, :], axis=1,
+        ) / (c_eff * d_act)
+        sf = delta
+    else:
+        # aad: the mean shift is O(1/n), so accumulate the PER-ELEMENT
+        # deviation difference sum_i (|x_i - mu_eff| - |x_i - mu|)
+        # (each term is a difference of close values — no large-sum
+        # cancellation) in blocked train passes; own = |x - mu_eff|.
+        #   add:    D' - D = (n dlt + n own - S) / (n (n+1) d_act)
+        #   remove: D - D' = (-n dlt + n own - S) / (n (n-1) d_act)
+        # and the final sf scale (n or n-1) cancels one denominator
+        # factor (see below).
+        s1_eff = jnp.where(
+            is_self[:, None], s1[None, :] - xm_te, s1[None, :] + xm_te
+        )
+        mu_eff = s1_eff / c_eff[:, None]
+        blk = _LMDD_BLOCK
+        n_blocks = -(-n // blk)
+        pad = n_blocks * blk - n
+        xm_pad = jnp.pad(xm_tr, ((0, pad), (0, 0)))
+        valid = jnp.pad(jnp.ones((n,), dtype), (0, pad))
+        xm_blocks = xm_pad.reshape(n_blocks, blk, -1)
+        v_blocks = valid.reshape(n_blocks, blk)
+
+        def body(acc, blk_in):
+            xb, vb = blk_in
+            d_eff = jnp.abs(xb[:, None, :] - mu_eff[None, :, :])
+            d_full = jnp.abs(xb[:, :] - mu[None, :])[:, None, :]
+            diff = (d_eff - d_full) * mask_f[None, None, :]
+            diff = diff * vb[:, None, None]
+            s_full = jnp.sum(
+                jnp.abs(xb - mu[None, :]) * mask_f[None, :]
+                * vb[:, None]
+            )
+            return (acc[0] + jnp.sum(diff, axis=(0, 2)),
+                    acc[1] + s_full), None
+
+        (dlt, s_full), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((x_test.shape[0],), dtype),
+             jnp.zeros((), dtype)),
+            (xm_blocks, v_blocks),
+        )
+        own = jnp.sum(jnp.abs(xm_te - mu_eff) * mask_f[None, :], axis=1)
+        numer = jnp.where(is_self, -dlt, dlt) * nf + nf * own - s_full
+        sf = numer / (nf * c_eff * d_act)
+
+    # paper scale C(I - I_j): n on addition, n-1 on removal
+    return jnp.maximum(sf, 0.0) * jnp.where(is_self, nf - 1.0, nf)
+
+
+@functools.lru_cache(maxsize=None)
+def _lmdd_scorer(dis_measure: str, exclude_self: bool):
+    """Memoized partial (one hashable static per config; see
+    :func:`_loda_scorer`)."""
+    return functools.partial(
+        lmdd_scores_masked, dis_measure=dis_measure,
+        exclude_self=exclude_self,
+    )
+
+
 def mcd_scores_masked(
     x_test: jax.Array, x_train: jax.Array, mask: jax.Array, k: int = 0,
     *, support_fraction: float = 0.0, n_starts: int = 8, c_steps: int = 15,
@@ -2477,6 +2768,13 @@ _BASE_SCORERS = {
 # exclude_self contract.
 _NEIGHBOR_BASES = ("knn", "knn_mean", "lof", "abod", "cof", "sod")
 
+# Bases for which exclude_self=True relies on positional test-row ==
+# train-row alignment (so chunking must be bypassed and decision_scores_
+# passes the flag): the k-neighbor bases plus sos, whose transductive
+# formula drops the self column but has no k (the k < n_train guards
+# stay on _NEIGHBOR_BASES).
+_POSITIONAL_EXCL_BASES = _NEIGHBOR_BASES + ("sos", "lmdd")
+
 # Dim-decomposable bases: per-dim score planes shared across ALL masks, the
 # whole ensemble reduces to masked-sum matmuls (see _dim_subspace_raw).
 _DIM_BASES = ("copod", "hbos", "ecod")
@@ -2499,7 +2797,7 @@ _BASE_SCORERS_EXCL = {
 # memoized partial so the jitted paths still see one hashable static).
 _PARAM_BASES = (
     "loda", "kde", "cblof", "gmm", "inne", "pca", "sampling", "kpca",
-    "mcd", "ae", "dsvdd", "sod", "ocsvm",
+    "mcd", "ae", "dsvdd", "sod", "ocsvm", "sos", "lmdd",
 )
 
 
@@ -2518,6 +2816,8 @@ def _scorer_and_k(
     ae_epochs: int = 50, ae_lr: float = 1e-3,
     sod_ref_set: int = 10, sod_alpha: float = 0.8,
     ocsvm_nu: float = 0.5, ocsvm_gamma: float = 0.0, ocsvm_iters: int = 300,
+    sos_perplexity: float = 4.5, sos_iters: int = 64,
+    lmdd_dis: str = "var",
     exclude_self: bool = False,
 ):
     """Resolve a base name to its (scorer, static-k) pair — the single
@@ -2576,6 +2876,16 @@ def _scorer_and_k(
         return _ocsvm_scorer(
             float(ocsvm_nu), float(ocsvm_gamma), int(ocsvm_iters),
         ), 0
+    if base == "sos":
+        # sos honors exclude_self (positional transductive scoring) but
+        # has no k — it is positional-excl without the neighbor k guard
+        return _sos_scorer(
+            float(sos_perplexity), int(sos_iters), bool(exclude_self),
+        ), 0
+    if base == "lmdd":
+        # lmdd honors exclude_self (leave-one-out vs add-one smoothing
+        # factor) the same positional way
+        return _lmdd_scorer(str(lmdd_dis), bool(exclude_self)), 0
     if base == "kde":
         return _kde_scorer(float(kde_bandwidth), False), 0
     if base == "cblof":
@@ -2618,6 +2928,8 @@ def _scorer_params(ens) -> dict:
         sod_ref_set=ens.sod_ref_set, sod_alpha=ens.sod_alpha,
         ocsvm_nu=ens.ocsvm_nu, ocsvm_gamma=ens.ocsvm_gamma,
         ocsvm_iters=ens.ocsvm_iters,
+        sos_perplexity=ens.sos_perplexity, sos_iters=ens.sos_iters,
+        lmdd_dis=ens.lmdd_dis,
     )
 
 
@@ -2663,8 +2975,11 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         ``k`` as its n_neighbors plus ``sod_ref_set``/``sod_alpha``),
         'ocsvm' (one-class SVM, Schölkopf 2001: the exact libsvm dual QP
         solved in-program by projected FISTA on the RBF kernel — reads
-        the ocsvm_* knobs), 'kde' (negative Gaussian kernel-density
-        log-likelihood), 'copod',
+        the ocsvm_* knobs), 'sos' (Stochastic Outlier Selection,
+        Janssens 2012: perplexity-calibrated affinity binding
+        probabilities, score = the probability no other point binds to
+        the query — reads sos_perplexity/sos_iters), 'kde' (negative
+        Gaussian kernel-density log-likelihood), 'copod',
         'hbos', 'ecod', or a pyod-style detector instance (CPU fallback
         loop; pyod optional — any object with sklearn-style
         get_params/fit/decision_function).
@@ -2756,6 +3071,14 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         subspace) plus the fixed FISTA iteration budget of the
         in-program dual-QP solver (300 reproduces libsvm's decision
         values to ~2e-4 relative; see ``ocsvm_scores_masked``).
+    sos_perplexity, sos_iters:
+        base='sos' knobs: the target binding-distribution perplexity
+        (paper default 4.5; must be < n_train) and the fixed
+        beta-bisection budget (see ``sos_scores_masked``).
+    lmdd_dis:
+        base='lmdd' dissimilarity measure: 'var' (mean per-dim
+        variance) or 'aad' (mean absolute deviation; see
+        ``lmdd_scores_masked``).
     test_chunk:
         score ``decision_function`` test sets larger than this in
         ``test_chunk``-row slices — n_test becomes unbounded at
@@ -2846,6 +3169,9 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         ocsvm_nu: float = 0.5,
         ocsvm_gamma: float = 0.0,
         ocsvm_iters: int = 300,
+        sos_perplexity: float = 4.5,
+        sos_iters: int = 64,
+        lmdd_dis: str = "var",
         test_chunk: Optional[int] = None,
         jl_dim: Optional[int] = None,
         jl_seed: int = 0,
@@ -2958,6 +3284,25 @@ class SubspaceEnsemble(PyodSurfaceMixin):
             raise ValueError(
                 f"ocsvm_iters must be an int >= 1 (FISTA iteration "
                 f"budget); got {ocsvm_iters!r}"
+            )
+        if not (isinstance(sos_perplexity, (int, float, np.floating))
+                and not isinstance(sos_perplexity, bool)
+                and sos_perplexity > 0.0):
+            raise ValueError(
+                f"sos_perplexity must be a float > 0 (target binding-"
+                f"distribution perplexity, paper default 4.5); got "
+                f"{sos_perplexity!r}"
+            )
+        if not (isinstance(sos_iters, (int, np.integer))
+                and not isinstance(sos_iters, bool) and sos_iters >= 1):
+            raise ValueError(
+                f"sos_iters must be an int >= 1 (beta-bisection budget); "
+                f"got {sos_iters!r}"
+            )
+        if lmdd_dis not in ("var", "aad"):
+            raise ValueError(
+                f"unknown lmdd_dis={lmdd_dis!r}: expected 'var' or 'aad' "
+                "(the leave-one-out-computable Arning dissimilarities)"
             )
         if not (len(tuple(ae_hidden)) >= 1 and all(
                 isinstance(h, (int, np.integer)) and not isinstance(h, bool)
@@ -3095,6 +3440,9 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         self.ocsvm_nu = ocsvm_nu
         self.ocsvm_gamma = ocsvm_gamma
         self.ocsvm_iters = ocsvm_iters
+        self.sos_perplexity = sos_perplexity
+        self.sos_iters = sos_iters
+        self.lmdd_dis = lmdd_dis
         self.test_chunk = test_chunk
         self._x_train = None
         self._threshold = None
@@ -3202,8 +3550,10 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         incomparable to test scores. Computed once per fit, cached."""
         if self._vote_thr is None:
             x_tr = np.asarray(self._x_train)
-            excl = isinstance(self.base, str) and self.base in _NEIGHBOR_BASES
-            if excl:
+            excl = isinstance(self.base, str) and (
+                self.base in _POSITIONAL_EXCL_BASES
+            )
+            if isinstance(self.base, str) and self.base in _NEIGHBOR_BASES:
                 assert self.k < len(x_tr), (
                     "vote thresholds need k < n_train (self-pairs are "
                     "excluded when scoring the train rows)"
@@ -3256,11 +3606,12 @@ class SubspaceEnsemble(PyodSurfaceMixin):
         assert self._x_train is not None, "call fit(X_train) first"
         x_test = self._project(np.asarray(x_test))
         neighbor_excl = exclude_self and isinstance(self.base, str) and (
-            self.base in _NEIGHBOR_BASES
+            self.base in _POSITIONAL_EXCL_BASES
         )
-        if neighbor_excl:
+        if neighbor_excl and self.base in _NEIGHBOR_BASES:
             # loud guard instead of sentinel-valued "distances": with
-            # self-pairs dropped only n_train - 1 neighbors exist
+            # self-pairs dropped only n_train - 1 neighbors exist (sos is
+            # positional-excl but has no k)
             assert self.k < self._x_train.shape[0], (
                 "exclude_self=True needs k < n_train (self-pairs are "
                 "excluded, so only n_train - 1 neighbors remain)"
