@@ -85,7 +85,10 @@ def run(n_devices: int) -> None:
     rng = np.random.default_rng(0)
     n, d = 8 * data, 32
     x = rng.normal(size=(n, d)).astype(np.float32)
-    config = TrainConfig(ndims=d, batch_size=n // data, mmd_impl="jnp")
+    # gumbel_st exercises the round-5 straight-through binarization path
+    # (gradients THROUGH the mask snap) under the sharded whole-fit program
+    config = TrainConfig(ndims=d, batch_size=n // data, mmd_impl="jnp",
+                         generator_grad="gumbel_st")
     phases = AlternationSchedule(1, 5).phase_array(2)
     state, det_hist, gen_hist = kl_fit_program_dp(
         x,
