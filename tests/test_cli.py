@@ -50,6 +50,16 @@ def test_fit_kl_variant(data_file, tmp_path):
     assert rc == 0
 
 
+def test_fit_kl_gumbel_and_latent_flags(data_file, tmp_path):
+    """--generator-grad / --latent-size reach the kl training config."""
+    rc = main([
+        "fit", "--data", str(data_file), "--variant", "kl",
+        "--epochs", "2", "--batch-size", "32", "--quiet",
+        "--generator-grad", "gumbel_st", "--latent-size", "4",
+    ])
+    assert rc == 0
+
+
 def test_fit_csv_input(tmp_path):
     x = np.random.default_rng(1).normal(size=(64, 8))
     csv = tmp_path / "x.csv"

@@ -86,6 +86,16 @@ def build_parser() -> argparse.ArgumentParser:
     fit.add_argument("--temperature", type=float, default=0.0)
     fit.add_argument("--iternum-d", type=int, default=1)
     fit.add_argument("--iternum-g", type=int, default=5)
+    fit.add_argument("--generator-grad",
+                     choices=["reference", "st", "gumbel_st"],
+                     default="reference",
+                     help="kl binarization gradient estimator: the "
+                          "reference's mask-as-constant semantics, "
+                          "straight-through, or Gumbel-ST (gradients "
+                          "flow through the mask snap)")
+    fit.add_argument("--latent-size", type=int, default=None,
+                     help="override the reference's max(d//16, 1) "
+                          "generator latent size (kl variant)")
     fit.add_argument("--checkpoint", default=None,
                      help="directory for a full-train-state checkpoint")
     _add_common_hyperparams(fit)
@@ -256,6 +266,8 @@ def main(argv=None) -> int:
                 lr_D=args.lr_d,
                 iternum_d=args.iternum_d,
                 iternum_g=args.iternum_g,
+                generator_grad=args.generator_grad,
+                latent_size=args.latent_size,
                 **common,
             )
         else:
