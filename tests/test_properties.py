@@ -84,11 +84,13 @@ def test_mmd2_biased_symmetry_and_self_zero(x, y):
     np.testing.assert_allclose(self_m, 0.0, atol=1e-4)
 
 
-@settings(**_SETTINGS)
-@given(x=_finite_f32((30, 6), -5, 5), noise=_finite_f32((10, 6), -5, 5))
-def test_masked_scorers_ignore_masked_out_dims(x, noise):
-    """Perturbing ONLY masked-out dimensions never changes a masked
-    scorer's output — the defining invariant of subspace projection."""
+def _invariance_scorers(xtr, mask):
+    """The per-family scorer closures for the masked-dims invariance
+    property, split into two halves so the two test functions land on
+    different xdist workers — a single process compiling all 22 scorer
+    programs segfaults XLA:CPU on the degraded 1-vCPU host (the
+    ROADMAP.md round-3 item 16 re-host incident; each half passes
+    everywhere)."""
     from vgan_tpu.ensemble import (
         abod_scores_masked,
         cblof_scores_masked,
@@ -114,13 +116,7 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
     )
     from vgan_tpu.ensemble.od import _iforest_adapter
 
-    mask = np.array([1, 0, 1, 0, 1, 0], bool)
-    xtr = jnp.asarray(x[:20])
-    xte = x[20:].copy()
-    xte_pert = xte.copy()
-    xte_pert[:, ~mask] += noise[:, ~mask]
-
-    for scorer in (
+    return (
         lambda a: knn_scores_masked(jnp.asarray(a), xtr, jnp.asarray(mask), 3),
         lambda a: abod_scores_masked(jnp.asarray(a), xtr, jnp.asarray(mask), 3),
         lambda a: cof_scores_masked(jnp.asarray(a), xtr, jnp.asarray(mask), 3),
@@ -186,11 +182,36 @@ def test_masked_scorers_ignore_masked_out_dims(x, noise):
         lambda a: _iforest_adapter(
             jnp.asarray(a), xtr, jnp.asarray(mask), 16
         ),
-    ):
+    )
+
+
+def _check_invariance(x, noise, half):
+    """Perturbing ONLY masked-out dimensions never changes a masked
+    scorer's output — the defining invariant of subspace projection."""
+    mask = np.array([1, 0, 1, 0, 1, 0], bool)
+    xtr = jnp.asarray(x[:20])
+    xte = x[20:].copy()
+    xte_pert = xte.copy()
+    xte_pert[:, ~mask] += noise[:, ~mask]
+    scorers = _invariance_scorers(xtr, mask)
+    mid = len(scorers) // 2
+    for scorer in scorers[:mid] if half == 0 else scorers[mid:]:
         np.testing.assert_allclose(
             np.asarray(scorer(xte_pert)), np.asarray(scorer(xte)),
             rtol=1e-5, atol=1e-6,
         )
+
+
+@settings(**_SETTINGS)
+@given(x=_finite_f32((30, 6), -5, 5), noise=_finite_f32((10, 6), -5, 5))
+def test_masked_scorers_ignore_masked_out_dims(x, noise):
+    _check_invariance(x, noise, half=0)
+
+
+@settings(**_SETTINGS)
+@given(x=_finite_f32((30, 6), -5, 5), noise=_finite_f32((10, 6), -5, 5))
+def test_masked_scorers_ignore_masked_out_dims_b(x, noise):
+    _check_invariance(x, noise, half=1)
 
 
 @settings(**_SETTINGS)
